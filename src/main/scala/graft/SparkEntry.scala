@@ -15,6 +15,7 @@ object SparkEntry {
 
   private def registries: Seq[registry.QueryRegistry] = Seq(
     registry.AnalyticsQueries,
+    registry.EtlQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
