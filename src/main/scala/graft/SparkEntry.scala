@@ -16,6 +16,7 @@ object SparkEntry {
   private def registries: Seq[registry.QueryRegistry] = Seq(
     registry.AnalyticsQueries,
     registry.EtlQueries,
+    registry.AggQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

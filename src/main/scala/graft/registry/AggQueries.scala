@@ -1,0 +1,226 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.OracleSafe._
+
+/** Aggregation / window / join families (SURVEY §2.3–2.5, J2/J4/J5,
+  * S2/S5).
+  *
+  * Determinism notes (these run on any partitioning, so every tie is
+  * broken explicitly):
+  *  - group-collects are sorted inside the group before serialization;
+  *  - argmax/argmin use composite keys (value-length + value, or
+  *    date + key);
+  *  - top-k/mode order by (count desc, value asc).
+  * All aggregations are partial-aggregate (map-side combine) friendly;
+  * the window queries shuffle once on their partition key — at 100 TB
+  * that single hash partition by customer key is the unavoidable
+  * minimum for "latest per group".
+  */
+object AggQueries extends QueryRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A2: group-collect (nest) + count, serialized as a sorted CSV
+    // string so the oracle can compare exactly.
+    "a1_group_collect" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          concat_ws(",", transform(array_sort(collect_list(col("l_linenumber"))),
+            _.cast("string"))).as("line_numbers"),
+          count(lit(1)).as("filing_count"))),
+
+    // A3: longest name per group, ties to the lexicographically greatest.
+    "a3_argmax_longest" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .groupBy(col("p_brand"))
+        .agg(max_by(col("p_name"),
+          concat(lpad(length(col("p_name")).cast("string"), 3, "0"), col("p_name")))
+          .as("display_name"))),
+
+    // A4: boolean ANY per group.
+    "a4_bool_any" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          bool_or(col("o_totalprice") > 300000).as("has_big_order"),
+          count(lit(1)).as("n_orders"))),
+
+    // A5: latest date per group.
+    "a5_max_date" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).cast("date").as("latest_order_date"))),
+
+    // A6: sorted distinct-set per group, serialized for the oracle.
+    "a6_distinct_set" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(concat_ws(",", array_sort(collect_set(col("c_mktsegment"))))
+          .as("segments"))),
+
+    // A9: global mode with deterministic tie-break.
+    "a9_mode" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+        .limit(1)
+        .select(col("event_type").as("top_event_type"))),
+
+    // W1: latest row per group via row_number window.
+    "w1_latest_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("latest_date"))
+    }),
+
+    // W2: first element of an in-group sorted array (array path kept
+    // deliberately: exercises sort_array + element_at nest semantics).
+    "w2_first_after_sort" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(try_element_at(
+          array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
+          lit(1)).getField("l_partkey").as("first_partkey"))),
+
+    // W3/W4: global sort + top-k with tie-break.
+    "w3_global_sort" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // W5: single latest row overall (micros-precision ordering to match
+    // the oracle exactly — see Tables.events nanos note).
+    "w5_latest_run" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .orderBy(unix_micros(col("ts")).desc, col("event_id").desc)
+        .limit(1)
+        .select(col("event_id"), col("ts").cast("date").as("event_date"))),
+
+    // S2+S5: multi-query union then dedup on ingest.
+    "s2_union_dedup" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      o.filter(col("o_orderstatus") === "O")
+        .unionByName(o.filter(col("o_totalprice") > 100000))
+        .dropDuplicates("o_orderkey")
+    }),
+
+    // J2: cache-lookup left join with miss fallback.
+    "j2_cache_lookup" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val cache = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"),
+          concat(lit("seg_"), col("c_custkey") % 3).as("cached_label"))
+      c.join(broadcast(cache), c("c_custkey") === cache("k"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("cached_label"), lit("MISS")).as("label"))
+    }),
+
+    // J4/S11: incremental anti-join against a completed-work manifest.
+    "j4_anti_join" -> ((s, dir) => {
+      val manifest = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      Tables.lineitem(s, dir)
+        .join(manifest, col("l_orderkey") === manifest("o_orderkey"), "left_anti")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"))
+    }),
+
+    // J5: nest → re-flatten roundtrip (collect_list then explode); the
+    // oracle is the identity projection, which is the point.
+    "j5_explode_roundtrip" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_linenumber")).as("lns"))
+        .select(col("l_orderkey"), explode(col("lns")).as("ln"))),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "a1_group_collect" ->
+      """SELECT l_orderkey,
+        |  string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_numbers,
+        |  COUNT(*) AS filing_count
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "a3_argmax_longest" ->
+      """SELECT p_brand,
+        |  arg_max(p_name, lpad(CAST(length(p_name) AS VARCHAR), 3, '0') || p_name)
+        |    AS display_name
+        |FROM part GROUP BY p_brand""".stripMargin,
+
+    "a4_bool_any" ->
+      """SELECT o_custkey, bool_or(o_totalprice > 300000) AS has_big_order,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "a5_max_date" ->
+      """SELECT o_custkey, CAST(MAX(o_orderdate) AS DATE) AS latest_order_date
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "a6_distinct_set" ->
+      """SELECT c_nationkey,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "a9_mode" ->
+      """SELECT event_type AS top_event_type FROM events
+        |GROUP BY event_type ORDER BY COUNT(*) DESC, event_type LIMIT 1""".stripMargin,
+
+    "w1_latest_per_group" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
+    "w2_first_after_sort" ->
+      """SELECT l_orderkey, l_partkey AS first_partkey FROM (
+        |  SELECT l_orderkey, l_partkey, row_number() OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
+        |  FROM lineitem)
+        |WHERE rn = 1""".stripMargin,
+
+    "w3_global_sort" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "w5_latest_run" ->
+      """SELECT event_id, CAST(ts AS DATE) AS event_date FROM events
+        |ORDER BY epoch_us(ts) DESC, event_id DESC LIMIT 1""".stripMargin,
+
+    "s2_union_dedup" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT DISTINCT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+        |    UNION ALL
+        |    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 100000))""".stripMargin,
+
+    "j2_cache_lookup" ->
+      """SELECT c.c_custkey,
+        |  coalesce(k.cached_label, 'MISS') AS label
+        |FROM customer c LEFT JOIN (
+        |  SELECT c_custkey AS k, 'seg_' || (c_custkey % 3) AS cached_label
+        |  FROM customer WHERE c_custkey % 7 = 0) k
+        |ON c.c_custkey = k.k""".stripMargin,
+
+    "j4_anti_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "j5_explode_roundtrip" ->
+      "SELECT l_orderkey, l_linenumber AS ln FROM lineitem",
+  )
+}
