@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** Column-level entry points for graft's custom Catalyst expressions. */
+object GraftFunctions {
+
+  /** `uuid5(namespace, name)` — RFC 4122 v5 deterministic UUID. */
+  def uuid5(namespace: Column, name: Column): Column =
+    ColumnBridge.column(Uuid5(
+      ColumnBridge.expression(namespace),
+      ColumnBridge.expression(name)))
+
+  /** uuid5 in the reference's fixed DNS namespace
+    * (`code/structure_data.py:118-122`).
+    */
+  def uuid5(name: Column): Column = uuid5(lit(Uuid5.NamespaceDns), name)
+}

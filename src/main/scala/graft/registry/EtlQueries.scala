@@ -121,6 +121,17 @@ object EtlQueries extends QueryRegistry {
         col("p_partkey"), Normalize.sanitizeFilename(raw).as("filename"))
     }),
 
+    // uuid5 company ids over normalized names — no DuckDB oracle (no
+    // sha1 there); parity is pinned by Uuid5Spec's Python vectors and
+    // the driver's rows-only check.
+    "uuid5_company_id" -> ((s, dir) => {
+      val norm = Normalize.normalizeName(partEntityName)
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        norm.as("normalized_name"),
+        graft.functions.GraftFunctions.uuid5(norm).as("company_id"))
+    }),
+
     "f15_validation_split" -> ((s, dir) => {
       val valid = col("o_totalprice").between(2000, 450000)
       Tables.orders(s, dir)
