@@ -17,6 +17,7 @@ object SparkEntry {
     registry.AnalyticsQueries,
     registry.EtlQueries,
     registry.AggQueries,
+    registry.DedupQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

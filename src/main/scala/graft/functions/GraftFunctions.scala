@@ -17,4 +17,9 @@ object GraftFunctions {
     * (`code/structure_data.py:118-122`).
     */
   def uuid5(name: Column): Column = uuid5(lit(Uuid5.NamespaceDns), name)
+
+  /** `ro_similarity(a, b)` — difflib-parity Ratcliff–Obershelp ratio. */
+  def roSimilarity(a: Column, b: Column): Column =
+    ColumnBridge.column(RatcliffObershelp(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
