@@ -18,6 +18,7 @@ object SparkEntry {
     registry.EtlQueries,
     registry.AggQueries,
     registry.DedupQueries,
+    registry.IpesQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

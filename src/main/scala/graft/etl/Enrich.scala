@@ -1,0 +1,90 @@
+package graft.etl
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gold-layer enrichment (`code/enrich_data.py`), Spark-shaped.
+  *
+  * The reference calls an LLM per company with a 21 s rate limit and a
+  * JSON cache keyed by normalized name. The Spark architecture keeps
+  * the two halves the reference hand-codes:
+  *
+  *  - J2 cache join: companies LEFT JOIN the persisted cache; hits pass
+  *    through, misses flow to the effect stage.
+  *  - The effect stage is `mapPartitions` over a typed Dataset — the
+  *    batch-boundary pattern for side-effecting calls (HTTP + JSON
+  *    parse), never a per-row UDF inside a select. Offline, the call is
+  *    a deterministic stub (md5-derived labels) so results are
+  *    oracle-checkable; the rate limiter hook marks where pacing lives.
+  *    `coalesce(maxConcurrency)` caps parallel callers the way the
+  *    reference's serial loop caps at 1.
+  */
+object Enrich {
+
+  case class CompanyKey(id: String, normalized_name: String, filing_count: Long)
+  case class Enriched(
+      id: String, normalized_name: String, filing_count: Long,
+      is_active: Boolean, activity_signal: String, industry_segment: String,
+      product_summary: String, market_position: String)
+
+  /** Deterministic offline stand-in for the LLM call: labels derived
+    * from md5(normalized_name) nibbles (ascii mod), so any engine can
+    * reproduce them.
+    */
+  def stub(key: CompanyKey): Enriched = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.normalized_name.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val seg = IpesSchemas.IndustrySegments(hex.charAt(0).toInt % IpesSchemas.IndustrySegments.length)
+    val pos = IpesSchemas.MarketPositions(hex.charAt(1).toInt % IpesSchemas.MarketPositions.length)
+    Enriched(
+      key.id, key.normalized_name, key.filing_count,
+      is_active = hex.charAt(2).toInt % 2 == 0,
+      activity_signal = s"${key.filing_count} filings on record",
+      industry_segment = seg,
+      product_summary = s"Provider of ${key.normalized_name} services",
+      market_position = pos)
+  }
+
+  /** Enrich all companies through the mapPartitions effect stage.
+    * `rateLimitMs` > 0 sleeps between calls (the reference's 21 s
+    * pacing); 0 for offline stub runs.
+    */
+  def enrichAll(
+      companies: Dataset[CompanyKey],
+      rateLimitMs: Long = 0,
+      maxConcurrency: Int = 8): Dataset[Enriched] = {
+    import companies.sparkSession.implicits._
+    companies
+      .coalesce(maxConcurrency)
+      .mapPartitions { it =>
+        it.map { k =>
+          if (rateLimitMs > 0) Thread.sleep(rateLimitMs)
+          stub(k)
+        }
+      }
+  }
+
+  /** J2: cache probe → enrich only the misses → union write-back shape.
+    * Returns the enriched frame plus the updated cache contents.
+    */
+  def enrichWithCache(
+      spark: SparkSession,
+      companies: DataFrame,
+      cache: DataFrame): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val hits = companies.join(broadcast(cache), Seq("normalized_name"), "inner")
+    val misses = companies.join(broadcast(cache.select("normalized_name")),
+        Seq("normalized_name"), "left_anti")
+      .select(col("id"), col("normalized_name"), col("filing_count"))
+      .as[CompanyKey]
+    val fresh = enrichAll(misses).toDF()
+    val all = hits.select(fresh.columns.map(col).toSeq: _*).unionByName(fresh)
+    val newCache = cache.unionByName(
+      fresh.select("normalized_name", "is_active", "activity_signal",
+        "industry_segment", "product_summary", "market_position"))
+    (all, newCache)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.etl.IpesSchemas
+
+/** S3/S4/S6/S7/S8 roundtrips + tolerant-read behavior. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("S3 jsonArray: reads whole-file arrays; corrupt rows land in _corrupt_record") {
+    val dir = tmp("json")
+    val f = new java.io.File(dir, "data.json")
+    val good = """[{"submission_id":"1","company_name":"Acme LLC","date_received":"2024-01-01",
+      |"submission_type":"APPLICATION","docket_number":"INBOX-52.15",
+      |"proceeding_description":"VoIP","bureau":"","filing_status":"DISSEMINATED",
+      |"contact_attorney":"","law_firm":"","document_urls":"","detail_url":""}]""".stripMargin
+    Files.writeString(f.toPath, good)
+    // cache first: Spark refuses raw-file queries that reference only
+    // the internal corrupt-record column
+    val df = Readers.jsonArray(spark, IpesSchemas.bronze, f.toString).cache()
+    assert(df.count() === 1)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 0)
+    assert(df.select("company_name").collect()(0).getString(0) === "Acme LLC")
+  }
+
+  test("S6/S7 roundtrip: csv with fixed column order, json lines") {
+    val dir = tmp("rt")
+    val df = Seq(("a", 1L, "2024-01-01"), ("b", 2L, "2024-02-01"))
+      .toDF("entity_name", "filing_count", "latest_filing_date")
+    Writers.csvOrdered(df, Seq("entity_name", "filing_count", "latest_filing_date"), s"$dir/csv")
+    Writers.json(df, s"$dir/json")
+    val backCsv = Readers.csv(spark, df.schema, s"$dir/csv")
+    assert(backCsv.orderBy("entity_name").collect().map(_.toSeq).toSeq ===
+      df.orderBy("entity_name").collect().map(_.toSeq).toSeq)
+    val backJson = spark.read.schema(df.schema).json(s"$dir/json")
+    assert(backJson.count() === 2)
+  }
+
+  test("S8 append-history: runs accumulate, latest-run query (W5) reads newest") {
+    val dir = tmp("hist")
+    val r1 = Seq((3L, 0L)).toDF("valid_records", "invalid_records")
+    val r2 = Seq((5L, 1L)).toDF("valid_records", "invalid_records")
+    Writers.appendHistory(r1, dir, "2024-01-01T00:00:00")
+    Writers.appendHistory(r2, dir, "2024-01-02T00:00:00")
+    val hist = spark.read.parquet(dir)
+    assert(hist.count() === 2)
+    val latest = hist.orderBy(col("run_ts").desc).limit(1).collect()(0)
+    assert(latest.getAs[Long]("valid_records") === 5L)
+  }
+
+  test("packList/unpackList edge serialization roundtrip") {
+    val df = Seq(Seq("u1", "u2"), Seq("solo"), Seq.empty[String])
+      .toDF("urls")
+      .withColumn("packed", Writers.packList(col("urls")))
+      .withColumn("back", Writers.unpackList(col("packed")))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](2))
+    }
+  }
+}
