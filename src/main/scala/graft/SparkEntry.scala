@@ -19,6 +19,10 @@ object SparkEntry {
     registry.AggQueries,
     registry.DedupQueries,
     registry.IpesQueries,
+    registry.TextQueries,
+    registry.ScaleDedupQueries,
+    registry.SimilarityQueries,
+    registry.MmStreamQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,134 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Scale-path deduplication family for training-data pipelines: exact
+  * (hash groupBy), n-gram Jaccard (inverted-index join), MinHash+LSH
+  * (signature banding), SimHash (bit-vote fingerprints).
+  *
+  * Shuffle budget at 100 TB:
+  *  - exact: one hash shuffle on the digest (map-side combine first);
+  *  - jaccard: explode shingles → one shuffle on shingle (the inverted
+  *    index), pair counts aggregate map-side; never a cross join;
+  *  - minhash: one agg shuffle for signatures + one join shuffle on
+  *    (band, band_hash) — candidate volume is controlled by bands×rows,
+  *    independent of corpus² ;
+  *  - simhash: one agg shuffle for the 64 bit-votes.
+  */
+object ScaleDedup {
+
+  /** Exact dedup over a content digest: canonical (min id) per digest
+    * plus the duplicate count.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_docs"))
+
+  /** (id, shingle) inverted-index rows — distinct so Jaccard is over
+    * shingle SETS.
+    */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** Pairwise n-gram Jaccard ≥ threshold via the inverted index: join
+    * on shingle → count shared → |A∪B| from per-doc sizes.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n).cache()
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = idx.select(col("id").as("id_a"), col("shingle"))
+    val b = idx.select(col("id").as("id_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: k independent permutations simulated as
+    * xxhash64 with per-slot salts; one aggregation produces all slots.
+    */
+  def minhashSignatures(index: DataFrame, k: Int = 16): DataFrame =
+    index.groupBy(col("id"))
+      .agg(array((0 until k).map(i =>
+        min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
+    * hash each band, join docs sharing any band bucket. Then verify
+    * with exact Jaccard upstream if precision matters.
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    // bands=8, rows=2 puts the LSH S-curve threshold at (1/8)^(1/2)≈0.35
+    // — tuned for catching pairs down to ~0.5 Jaccard with high recall.
+    val rows = k / bands
+    val sigs = minhashSignatures(shingleIndex(df, idCol, textCol, n), k)
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string")))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** 64-bit SimHash: per-token xxhash64, each bit votes ±1, sign of the
+    * vote total sets the fingerprint bit. One shuffle (groupBy id).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
+    tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .withColumn("simhash",
+        (0 until 64).map(j =>
+          when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)))
+      .select(col("id"), col("simhash"))
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs by simhash: block on 16-bit chunks (a ≤k-distance
+    * pair must agree on ≥ one chunk for k < 4), verify with hamming.
+    */
+  def simhashPairs(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunked = fingerprints.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val l = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -21,7 +21,7 @@ import graft.etl.{Enrich, IpesPipeline}
   */
 object IpesQueries extends QueryRegistry {
 
-  private[registry] def bronzeFromOrders(s: SparkSession, dir: String): DataFrame = {
+  def bronzeFromOrders(s: SparkSession, dir: String): DataFrame = {
     val name =
       when(col("o_custkey") % 6 === 0, lit("Wireline Competition Bureau"))
         .when(col("o_custkey") % 6 === 1, lit("John Smith"))

@@ -1,0 +1,86 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
+
+/** Multimodal-column plumbing + streaming-shape queries.
+  *
+  * `mm_metadata` / `mm_decode_stub` run the binary pipeline (metadata
+  * in the scan; decode through the mapPartitions effect seam with the
+  * deterministic stub) — both oracle-checked since the stub derives
+  * from md5. `stream_tumbling_hourly` is the batch run of the exact
+  * plan `EventStreams.tumblingCounts` executes on a stream (unified
+  * engine); the streaming execution itself is covered by
+  * EventStreamsSpec on MemoryStream.
+  */
+object MmStreamQueries extends QueryRegistry {
+
+  private def binDocs(s: SparkSession, dir: String): DataFrame = {
+    val content = when(col("doc_id") % 4 === 0, lit("%PDF-1.7 stream"))
+      .when(col("doc_id") % 4 === 1, lit("PK worddoc"))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), content.cast("binary").as("content"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_metadata" -> ((s, dir) =>
+      Multimodal.withMetadata(binDocs(s, dir), "content").drop("content")),
+
+    "mm_decode_stub" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeImages(
+        binDocs(s, dir).as[Multimodal.BinDoc]).toDF()
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+        Multimodal.decodeImages(binDocs(s, dir).as[Multimodal.BinDoc]).toDF(),
+        stride = 5)
+    }),
+
+    "stream_tumbling_hourly" -> ((s, dir) =>
+      EventStreams.tumblingCounts(Tables.events(s, dir), "1 hour")),
+  )
+
+  private val contentSql =
+    """CASE doc_id % 4 WHEN 0 THEN '%PDF-1.7 stream'
+      |  WHEN 1 THEN 'PK worddoc' ELSE text END""".stripMargin.replace("\n", " ")
+
+  def oracle: Map[String, String] = Map(
+    "mm_metadata" -> s"""
+      |SELECT doc_id,
+      |  octet_length(encode($contentSql)) AS size_bytes,
+      |  CASE WHEN left($contentSql, 4) = '%PDF' THEN 'pdf'
+      |       WHEN left($contentSql, 2) = 'PK' THEN 'docx'
+      |       ELSE 'bin' END AS file_type,
+      |  md5($contentSql) AS content_md5
+      |FROM documents""".stripMargin,
+
+    "mm_decode_stub" -> s"""
+      |WITH h AS (SELECT doc_id, md5($contentSql) AS hx FROM documents)
+      |SELECT doc_id,
+      |  32 * (1 + ascii(substr(hx, 1, 1)) % 8) AS width,
+      |  32 * (1 + ascii(substr(hx, 2, 1)) % 8) AS height,
+      |  1 + ascii(substr(hx, 3, 1)) % 4 AS channels,
+      |  1 + ascii(substr(hx, 4, 1)) % 30 AS n_frames
+      |FROM h""".stripMargin,
+
+    "mm_frame_sample" -> s"""
+      |WITH h AS (SELECT doc_id, 1 + ascii(substr(md5($contentSql), 4, 1)) % 30 AS n_frames
+      |           FROM documents)
+      |SELECT doc_id, unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx
+      |FROM h""".stripMargin,
+
+    "stream_tumbling_hourly" -> """
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin,
+  )
+}

@@ -1,0 +1,75 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.similarity.Knn
+
+/** Similarity-search extension family over `embeddings` (64-dim float
+  * vectors). Brute-force cosine top-k and perturbation near-dup pairs
+  * carry full DuckDB oracles (list lambdas + identical double math);
+  * the LSH path hashes with xxhash64 — rows-only, recall pinned by
+  * KnnSpec.
+  */
+object SimilarityQueries extends QueryRegistry {
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+
+  def withPerturbed(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+    base.unionByName(base.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * 1.0001 + 0.001).as("embedding")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cosine_topk" -> ((s, dir) =>
+      Knn.bruteForceTopK(queriesDf(s, dir), Tables.embeddings(s, dir), k = 5)),
+
+    "emb_near_dup" -> ((s, dir) =>
+      Knn.cosineNearDupPairs(withPerturbed(s, dir), threshold = 0.99)),
+
+    "ann_lsh_topk" -> ((s, dir) =>
+      Knn.lshTopK(Tables.embeddings(s, dir), queriesDf(s, dir),
+        dim = 64, nPlanes = 8, k = 5)),
+  )
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(%s, %s), x -> x[1] * x[2]))"
+
+  private def cosineSql(a: String, b: String): String = {
+    val d = dotSql.format(a, b)
+    val na = s"sqrt(${dotSql.format(a, a)})"
+    val nb = s"sqrt(${dotSql.format(b, b)})"
+    s"round($d / ($na * $nb), 6)"
+  }
+
+  def oracle: Map[String, String] = Map(
+    "emb_cosine_topk" -> s"""
+      |WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, cand_id, ${cosineSql("qe", "ce")} AS sim
+      |  FROM c, q WHERE query_id <> cand_id),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+      |      FROM scored)
+      |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "emb_near_dup" -> s"""
+      |WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |pert AS (SELECT vec_id + 100000 AS vec_id,
+      |           list_transform(e, x -> x * 1.0001 + 0.001) AS e
+      |         FROM base WHERE vec_id % 9 = 0),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ${cosineSql("a.e", "b.e")} AS sim
+      |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+      |WHERE ${cosineSql("a.e", "b.e")} >= 0.99""".stripMargin,
+  )
+}

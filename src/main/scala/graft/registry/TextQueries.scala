@@ -1,0 +1,78 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextAnalysis
+
+/** Text-analysis extension family over `documents`. */
+object TextQueries extends QueryRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("predicted_lang"))),
+
+    "text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "text_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+  )
+
+  private def hits(lang: String): String = {
+    val words = TextAnalysis.LangStopwords.toMap.apply(lang)
+      .map(w => s"'$w'").mkString(",")
+    s"len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'), [$words]))"
+  }
+
+  private val langCase: String = {
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val branches = langs.map { l =>
+      val geqAll = langs.filter(_ != l)
+        .map(o => s"${hits(l)} >= ${hits(o)}").mkString(" AND ")
+      s"WHEN $geqAll AND ${hits(l)} > 0 THEN '$l'"
+    }.mkString(" ")
+    s"CASE $branches ELSE 'und' END"
+  }
+
+  def oracle: Map[String, String] = Map(
+    "text_langid" ->
+      s"SELECT doc_id, $langCase AS predicted_lang FROM documents",
+
+    "text_quality" -> s"""
+      |WITH t AS (SELECT doc_id,
+      |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS ntok,
+      |  CAST(length(text) AS DOUBLE) AS nchars,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+      |  CAST(${hits("en")} AS DOUBLE) AS h
+      |FROM documents)
+      |SELECT doc_id, round(
+      |  least(ntok / 100.0, 1.0) * 0.3 +
+      |  (CASE WHEN nchars / greatest(ntok, 1.0) BETWEEN 3.0 AND 10.0
+      |        THEN 1.0 ELSE 0.3 END) * 0.2 +
+      |  alpha / greatest(nchars, 1.0) * 0.3 +
+      |  least(h / 3.0, 1.0) * 0.2, 6) AS quality
+      |FROM t""".stripMargin,
+
+    "text_tokens" -> """
+      |SELECT doc_id,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_subwords
+      |FROM documents""".stripMargin,
+
+    "text_fingerprint" -> """
+      |SELECT doc_id,
+      |  md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fp
+      |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.OracleSafe._
+
+/** Structured Streaming shapes for the incremental behaviors in SURVEY
+  * §2.7. Every transform here is plan-identical between a batch frame
+  * and a `readStream` frame — the specs run them on MemoryStream and
+  * the registry runs the batch equivalent, which is exactly Spark's
+  * unified-engine contract.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window counts with lateness tolerance. On a
+    * streaming input the watermark bounds state; on batch it's a no-op.
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String,
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Stateful dedup-on-ingest (S5's streaming form): one row per id,
+    * watermark-bounded state.
+    */
+  def streamingDedup(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id")
+}

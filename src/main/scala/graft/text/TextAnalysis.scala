@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Column
+  * chains (codegen'd, pushdown-friendly) — at 100 TB these run inside
+  * the scan's whole-stage codegen with zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: letter runs, single digits, and isolated
+    * punctuation each count as one token (a cheap stand-in for byte-pair
+    * tokenizer budgeting).
+    */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Tiny per-language stopword inventories for the n-gram heuristic.
+    * Order matters: ties resolve to the earliest language here.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "ist"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"))
+
+  /** Stopword hits for one language (distinct-token set intersection —
+    * order-independent, hence deterministic under any partitioning).
+    */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(array_intersect(tokens(c), array(words.map(lit): _*)))
+
+  /** Language-ID heuristic: argmax of stopword hits, ties to the first
+    * language in `LangStopwords` order (deterministic CASE chain).
+    */
+  def langId(c: Column): Column = {
+    val scores = LangStopwords.map { case (lang, words) => lang -> stopwordHits(c, words) }
+    scores.foldRight(lit("und")) { case ((lang, score), rest) =>
+      val othersGeq = scores.filter(_._1 != lang).map(_._2)
+        .foldLeft(lit(true))((acc, s) => acc && score >= s)
+      when(othersGeq && score > 0, lang).otherwise(rest)
+    }
+  }
+
+  /** Quality score in [0,1]: word-count saturation, mean word length
+    * band, alpha ratio, stopword presence. Plain double arithmetic on
+    * one row — deterministic everywhere.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val nChars = length(c).cast("double")
+    val alphaChars = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    val meanWordLen = nChars / greatest(nTok, lit(1.0))
+    val lengthScore = least(nTok / lit(100.0), lit(1.0))
+    val wordLenScore = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.3)
+    val alphaScore = alphaChars / greatest(nChars, lit(1.0))
+    val stopScore = least(stopwordHits(c, LangStopwords.head._2).cast("double") / lit(3.0), lit(1.0))
+    round(lengthScore * 0.3 + wordLenScore * 0.2 + alphaScore * 0.3 + stopScore * 0.2, 6)
+  }
+
+  /** Content fingerprint: md5 over the canonical token stream (stable
+    * under whitespace/case noise).
+    */
+  def fingerprint(c: Column): Column = md5(concat_ws(" ", tokens(c)))
+
+  /** Word n-gram shingles (empty below n tokens). */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+}

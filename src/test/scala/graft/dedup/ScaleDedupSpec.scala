@@ -1,0 +1,62 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.registry.ScaleDedupQueries
+
+/** Recall of the approximate dedup paths against exact n-gram Jaccard
+  * on the engineered near-dup universe (sf0.001).
+  */
+class ScaleDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val docs = ScaleDedupQueries.withNearDups(spark, TestSpark.SfDir)
+
+  private lazy val exactPairs: Set[(Long, Long)] =
+    ScaleDedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("engineered near-dups are all found by exact jaccard") {
+    // every doc_id % 7 == 0 original pairs with its +100000 copy; the
+    // corpus also contains genuine word-salad near-dups, which is fine.
+    val engineered = exactPairs.filter { case (a, b) => b == a + 100000 }
+    val expected = docs.filter(col("doc_id") < 100000 && col("doc_id") % 7 === 0)
+      .count()
+    assert(engineered.size === expected.toInt)
+  }
+
+  test("minhash LSH candidates achieve >=95% recall on exact-jaccard pairs") {
+    val cands = ScaleDedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exactPairs.diff(cands)
+    assert(missed.size * 20 <= exactPairs.size,
+      s"LSH missed ${missed.size}/${exactPairs.size} true pairs")
+    // the engineered (high-jaccard) pairs must all be caught
+    val engineeredMissed = missed.filter { case (a, b) => b == a + 100000 }
+    assert(engineeredMissed.isEmpty, s"missed engineered: $engineeredMissed")
+  }
+
+  test("simhash: near-dup copies land within small hamming distance") {
+    val fps = ScaleDedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dists = exactPairs.toSeq.map { case (a, b) =>
+      java.lang.Long.bitCount(fps(a) ^ fps(b))
+    }
+    // 3 appended tokens on ~30-90-token docs barely move the votes
+    assert(dists.count(_ <= 3) >= dists.size / 2,
+      s"too many large hamming distances: $dists")
+    // unrelated docs are far apart
+    val unrelated = java.lang.Long.bitCount(fps(1L) ^ fps(2L))
+    assert(unrelated > 10)
+  }
+
+  test("exact dedup groups carry duplicate counts") {
+    val d = ScaleDedup.exact(
+      docs.limit(0).unionByName(
+        ScaleDedupQueries.withNearDups(spark, TestSpark.SfDir)),
+      "doc_id", "text")
+    assert(d.filter(col("n_docs") > 1).count() === 0) // near-dups differ
+  }
+}

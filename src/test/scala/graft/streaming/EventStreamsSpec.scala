@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Streaming shapes actually executed as streams: MemoryStream drives
+  * the same plan the registry runs in batch; results must agree.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+    (2L, ts("2024-01-01 10:55:00"), "click", 2.0),
+    (3L, ts("2024-01-01 11:05:00"), "view", 3.0),
+    (2L, ts("2024-01-01 10:55:00"), "click", 2.0), // duplicate event_id
+    (4L, ts("2024-01-01 12:30:00"), "click", 4.0))
+
+  test("tumbling window counts on a real stream match the batch plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val input = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(input, "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("tumbling_out")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    q.stop()
+
+    val batch = EventStreams.tumblingCounts(
+      rows.toDF("event_id", "ts", "event_type", "value"), "1 hour")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    assert(streamed === batch)
+    assert(streamed(("2024-01-01 10:00", "click")) === ((3L, 5.0)))
+  }
+
+  test("streaming dedup drops the duplicate event_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val input = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.streamingDedup(input)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").collect()
+    q.stop()
+    assert(out.length === 4)
+    assert(out.map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L))
+  }
+}
