@@ -111,20 +111,59 @@ object FuzzyDedup {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** Driver-side union-find over a small edge list — the fast path for
+    * components over DISTINCT entity names, whose edge count is tiny
+    * even when the row count is 100 TB. Canonical = min name per
+    * component.
+    */
+  def unionFind(edges: Array[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val members = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    members.map(m => m -> find(m)).toMap
+  }
+
   /** Distinct-name → canonical-name mapping (singletons map to
     * themselves). `exhaustive=false` switches to blocked candidates.
+    *
+    * Edge sets up to `driverCcThreshold` run union-find on the driver
+    * (one collect of name pairs — O(distinct entities), not O(rows));
+    * larger graphs fall back to distributed label propagation.
     */
   def canonicalMap(
       names: DataFrame, nameCol: String,
       ratioThreshold: Double = 0.95,
-      exhaustive: Boolean = true): DataFrame = {
-    val keys = names.select(col(nameCol).as("name")).distinct()
+      exhaustive: Boolean = true,
+      driverCcThreshold: Int = 1000000): DataFrame = {
+    val spark = names.sparkSession
+    // distinct names are small by construction; caching saves the two
+    // extra full passes over the (possibly huge) input that pairs and
+    // the final join would otherwise trigger.
+    val keys = names.select(col(nameCol).as("name")).distinct().cache()
     val pairs =
       if (exhaustive) allPairs(keys, "name") else candidatePairs(keys, "name")
     val edges = pairs
       .filter(isDuplicate(col("name_a"), col("name_b"), ratioThreshold))
       .select(col("name_a").as("src"), col("name_b").as("dst"))
-    val cc = connectedComponents(edges)
+
+    val sample = edges.limit(driverCcThreshold + 1).collect()
+    val cc =
+      if (sample.length <= driverCcThreshold) {
+        import spark.implicits._
+        val mapping = unionFind(sample.map(r => (r.getString(0), r.getString(1))))
+        broadcast(mapping.toSeq.toDF("id", "component"))
+      } else connectedComponents(edges) // too big to broadcast back
+
     keys.join(cc, keys("name") === cc("id"), "left")
       .select(col("name"), coalesce(col("component"), col("name")).as("canonical"))
   }

@@ -44,9 +44,12 @@ object Normalize {
     trim(regexp_replace(s5, "\\s+", " "))
   }
 
-  /** F7: entity matches any blocklist regex. */
+  /** F7: entity matches any blocklist regex. One alternation regex, not
+    * six rlike passes — same semantics, ~6× less regex work per row
+    * (this sits on the hot filter path of every pipeline run).
+    */
   def shouldExclude(c: Column): Column =
-    ExcludePatterns.map(p => lower(coalesce(c, lit(""))).rlike(p)).reduce(_ || _)
+    lower(coalesce(c, lit(""))).rlike(ExcludePatterns.mkString("(", ")|(", ")"))
 
   /** F9: submission type contains APPLICATION / REQUEST / PETITION. */
   def isApplicationType(c: Column): Column =
@@ -56,9 +59,10 @@ object Normalize {
     * Keyword test is substring containment, matching the reference.
     */
   def isLikelyIndividual(name: Column): Column = {
-    val hasBusinessWord = BusinessIndicators
-      .map(k => lower(coalesce(name, lit(""))).contains(k))
-      .reduce(_ || _)
+    // one alternation of literal substrings == the reference's
+    // any(contains) over the indicator list
+    val hasBusinessWord = lower(coalesce(name, lit("")))
+      .rlike(BusinessIndicators.map(java.util.regex.Pattern.quote).mkString("|"))
     (size(split(trim(coalesce(name, lit(""))), "\\s+")) <= 3) && !hasBusinessWord
   }
 

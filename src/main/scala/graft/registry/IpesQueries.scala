@@ -59,6 +59,11 @@ object IpesQueries extends QueryRegistry {
         .otherwise(urls).as("document_urls"),
       concat(lit("https://www.fcc.gov/ecfs/filing/"), col("o_orderkey"))
         .as("detail_url"))
+      // local parquet at this SF is one row group = one scan task; the
+      // downstream regex chain is CPU-bound, so spread it (a 150k-row
+      // shuffle is noise; at cluster scale the scan parallelizes itself
+      // and this becomes a no-op-sized exchange before heavy compute).
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -22,6 +22,7 @@ object ScaleDedupQueries extends QueryRegistry {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   def withNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -29,6 +30,9 @@ object ScaleDedupQueries extends QueryRegistry {
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" zz9 yy8 xx7")).as("text")))
+      // single-row-group local parquet -> 1 scan task; the shingle
+      // explode + tokenize downstream is CPU-bound, so spread it first.
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

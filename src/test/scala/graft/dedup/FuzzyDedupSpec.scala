@@ -72,6 +72,17 @@ class FuzzyDedupSpec extends AnyFunSuite {
     assert(pluralOnly.subsetOf(blockedEdges))
   }
 
+  test("distributed label propagation agrees with driver union-find") {
+    val edges = FuzzyDedup.allPairs(fixture.toDF("name"), "name")
+      .filter(FuzzyDedup.isDuplicate(col("name_a"), col("name_b")))
+      .select(col("name_a").as("src"), col("name_b").as("dst"))
+    val distributed = FuzzyDedup.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val uf = FuzzyDedup.unionFind(
+      edges.collect().map(r => (r.getString(0), r.getString(1))))
+    assert(distributed === uf)
+  }
+
   test("connectedComponents handles empty edge set") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     assert(FuzzyDedup.connectedComponents(empty).count() === 0)

@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DownloadSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "Acme Telecom LLC", "https://www.fcc.gov/ecfs/document/1/1"),
+    (2L, "Stratus Networks", "https://www.fcc.gov/ecfs/document/2/1"),
+    (3L, "Bad Url Co", "https://www.fcc.gov/ecfs/document/broken/1"))
+    .toDF("doc_id", "entity_name", "url")
+
+  private val fakeFetch: String => Either[String, Array[Byte]] = url =>
+    if (url.contains("broken")) Left("HTTP 404")
+    else if (url.contains("/documents/1/"))
+      Right("%PDF-1.7 fake".getBytes)
+    else Right(Array[Byte]('P', 'K', 3, 4, 0))
+
+  test("S10 URL rewrite hits the binary endpoint") {
+    val urls = DownloadSink.buildQueue(docs, Seq.empty[String].toDF("filename"))
+      .select("url").collect().map(_.getString(0))
+    assert(urls.forall(_.contains("/documents/")))
+  }
+
+  test("sink writes sniffed extensions and counts outcomes") {
+    val out = Files.createTempDirectory("dl").toString
+    val q = DownloadSink.buildQueue(docs, Seq.empty[String].toDF("filename"))
+    val s = DownloadSink.run(q, out, fakeFetch)
+    assert(s === DownloadSink.Summary(2, 1))
+    val files = new java.io.File(out).list().sorted
+    assert(files === Array("Acme_Telecom_LLC_1.pdf", "Stratus_Networks_2.docx"))
+  }
+
+  test("S11 skip-existing: manifest anti-join shrinks the queue") {
+    val manifest = Seq("Acme_Telecom_LLC_1").toDF("filename")
+    val q = DownloadSink.buildQueue(docs, manifest)
+    assert(q.count() === 2)
+    assert(!q.select("filename").collect().map(_.getString(0))
+      .contains("Acme_Telecom_LLC_1"))
+  }
+
+  test("doc-limit caps the queue like --doc-limit") {
+    val q = DownloadSink.buildQueue(docs, Seq.empty[String].toDF("filename"), limit = 1)
+    assert(q.count() === 1)
+  }
+
+  test("magic-byte extension fallback for unknown content") {
+    assert(DownloadSink.extensionFor("hello".getBytes) === ".bin")
+    assert(DownloadSink.extensionFor(Array(0xD0, 0xCF, 0x11, 0xE0, 1).map(_.toByte)) === ".doc")
+  }
+}
