@@ -23,6 +23,7 @@ object SparkEntry {
     registry.ScaleDedupQueries,
     registry.SimilarityQueries,
     registry.MmStreamQueries,
+    registry.OpsQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -67,6 +67,30 @@ object Enrich {
       }
   }
 
+  /** F16: parse + validate an LLM JSON reply (`enrich_data.py:114-124`):
+    * strip markdown fences, tolerant `from_json` (null on malformed),
+    * then require all five contract keys non-null or null the whole
+    * struct — the column form of the reference's key check.
+    */
+  def parseLlmReply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("is_active", BooleanType),
+      StructField("activity_signal", StringType),
+      StructField("industry_segment", StringType),
+      StructField("product_summary", StringType),
+      StructField("market_position", StringType)))
+    val parsed = from_json(regexp_replace(c, "```(json)?", ""), schema)
+    when(
+      parsed.isNotNull &&
+        parsed.getField("is_active").isNotNull &&
+        parsed.getField("activity_signal").isNotNull &&
+        parsed.getField("industry_segment").isNotNull &&
+        parsed.getField("product_summary").isNotNull &&
+        parsed.getField("market_position").isNotNull,
+      parsed).otherwise(lit(null).cast(schema))
+  }
+
   /** J2: cache probe → enrich only the misses → union write-back shape.
     * Returns the enriched frame plus the updated cache contents.
     */

@@ -46,6 +46,9 @@ object MmStreamQueries extends QueryRegistry {
 
     "stream_tumbling_hourly" -> ((s, dir) =>
       EventStreams.tumblingCounts(Tables.events(s, dir), "1 hour")),
+
+    "stream_sessionize" -> ((s, dir) =>
+      EventStreams.sessionCounts(Tables.events(s, dir), "30 minutes")),
   )
 
   private val contentSql =
@@ -82,5 +85,24 @@ object MmStreamQueries extends QueryRegistry {
       |  event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // lag + cumulative-sum sessionization is the closed-form equivalent
+    // of session_window: new session iff gap >= 30 min (micros).
+    "stream_sessionize" -> """
+      |WITH e AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |      OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id,
+      |  strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sid""".stripMargin,
   )
 }

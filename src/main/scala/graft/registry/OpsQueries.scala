@@ -1,0 +1,115 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.Enrich
+import graft.functions.OracleSafe._
+import graft.ops.Skew
+import graft.sources.PaginatedSource
+
+/** Cross-cutting operator queries: the S1 paginated scan protocol, F16
+  * LLM-reply validation, the salted-join skew tool (result-identical to
+  * the plain join — which is exactly what its oracle asserts), and the
+  * SQL-API surface over temp views.
+  */
+object OpsQueries extends QueryRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1: the page loop is a driver-side protocol by nature (each page
+    // depends on the previous offset); the fixture stands in for the
+    // remote API and the result re-distributes via createDataFrame.
+    "s1_paginated_scan" -> ((s, dir) => {
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+      val api = src.collect()
+      val fetch = (offset: Long, limit: Int) =>
+        PaginatedSource.FetchResult(
+          api.slice(offset.toInt, offset.toInt + limit).toSeq,
+          Some(api.length.toLong))
+      val (rows, _) = PaginatedSource.fetchAll(fetch, pageSize = 1000)
+      s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), src.schema)
+    }),
+
+    "f16_llm_validation" -> ((s, dir) => {
+      val reply = when(col("doc_id") % 3 === 0, concat(
+        lit("```json{\"is_active\": true, \"activity_signal\": \"sig"),
+        col("doc_id"),
+        lit("\", \"industry_segment\": \"Carrier\", " +
+          "\"product_summary\": \"p\", \"market_position\": \"SMB\"}```")))
+        .when(col("doc_id") % 3 === 1, lit("{\"is_active\": false}"))
+        .otherwise(lit("not json at all"))
+      val parsed = Enrich.parseLlmReply(reply)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        parsed.getField("is_active").as("is_active"),
+        parsed.getField("activity_signal").as("activity_signal"),
+        parsed.getField("industry_segment").as("industry_segment"),
+        parsed.isNotNull.as("valid"))
+    }),
+
+    "skew_salted_join" -> ((s, dir) =>
+      Skew.saltedEquiJoin(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")),
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), decSum(col("l_quantity")).as("qty"))),
+
+    "sql_dashboard" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment""".stripMargin)
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "s1_paginated_scan" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
+    "f16_llm_validation" -> """
+      |WITH r AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN '```json{"is_active": true, "activity_signal": "sig' || doc_id ||
+      |        '", "industry_segment": "Carrier", "product_summary": "p", "market_position": "SMB"}```'
+      |      WHEN 1 THEN '{"is_active": false}'
+      |      ELSE 'not json at all' END AS reply
+      |  FROM documents),
+      |c0 AS (SELECT doc_id, regexp_replace(reply, '```(json)?', '', 'g') AS j0 FROM r),
+      |c AS (SELECT doc_id, CASE WHEN json_valid(j0) THEN j0 END AS j FROM c0),
+      |v AS (SELECT doc_id, j,
+      |  (j IS NOT NULL
+      |    AND json_extract_string(j, '$.is_active') IS NOT NULL
+      |    AND json_extract_string(j, '$.activity_signal') IS NOT NULL
+      |    AND json_extract_string(j, '$.industry_segment') IS NOT NULL
+      |    AND json_extract_string(j, '$.product_summary') IS NOT NULL
+      |    AND json_extract_string(j, '$.market_position') IS NOT NULL) AS ok
+      |  FROM c)
+      |SELECT doc_id,
+      |  CASE WHEN ok THEN CAST(json_extract_string(j, '$.is_active') AS BOOLEAN) END AS is_active,
+      |  CASE WHEN ok THEN json_extract_string(j, '$.activity_signal') END AS activity_signal,
+      |  CASE WHEN ok THEN json_extract_string(j, '$.industry_segment') END AS industry_segment,
+      |  ok AS valid
+      |FROM v""".stripMargin,
+
+    "skew_salted_join" -> """
+      |SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin,
+
+    "sql_dashboard" -> """
+      |SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin,
+  )
+}

@@ -32,4 +32,19 @@ object EventStreams {
   def streamingDedup(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
+
+  /** Gap-based sessionization via `session_window` — merged state on a
+    * stream, a plain aggregation on batch. A new session starts when
+    * the gap to the previous event is ≥ `gap`.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", gap)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("total_value"))
 }
