@@ -36,6 +36,10 @@ object SimilarityQueries extends QueryRegistry {
     "ann_lsh_topk" -> ((s, dir) =>
       Knn.lshTopK(Tables.embeddings(s, dir), queriesDf(s, dir),
         dim = 64, nPlanes = 8, k = 5)),
+
+    "ann_ivf_topk" -> ((s, dir) =>
+      Knn.ivfTopK(Tables.embeddings(s, dir), queriesDf(s, dir),
+        nCentroids = 16, nProbe = 4, k = 5)),
   )
 
   private val dotSql =

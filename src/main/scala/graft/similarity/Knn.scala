@@ -82,6 +82,58 @@ object Knn {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  /** IVF coarse quantizer: `nCentroids` deterministically hash-sampled
+    * corpus vectors (xxhash64 order — seedless and executor-stable).
+    * Real systems refine with Lloyd iterations; the partition/probe
+    * plumbing is identical.
+    */
+  def ivfCentroids(vectors: DataFrame, nCentroids: Int): DataFrame =
+    vectors.orderBy(xxhash64(col("vec_id")))
+      .limit(nCentroids)
+      .select(monotonically_increasing_id().as("cid"),
+        col("embedding").as("c_emb"))
+
+  /** Assign every vector to its nearest centroid (broadcast nested
+    * loop over the tiny centroid set — corpus never shuffles).
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("embedding"), col("c_emb")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** IVF top-k: probe the query's `nProbe` nearest inverted lists, then
+    * exact-rank within them. One equi-join shuffle on the list id
+    * instead of |Q|×|C| comparisons; recall comes from nProbe.
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame,
+              nCentroids: Int = 16, nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val centroids = ivfCentroids(vectors, nCentroids).cache()
+    val assigned = ivfAssign(vectors, centroids)
+      .select(col("cid"), col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select(col("cid"), col("query_id"), col("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    assigned.join(probes, Seq("cid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold — the
     * semantic-dedup primitive. Broadcast one side when it fits;
     * callers at scale pre-bucket with lshBucket and join on it.

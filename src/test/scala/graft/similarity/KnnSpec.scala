@@ -46,6 +46,27 @@ class KnnSpec extends AnyFunSuite {
     assert(found >= total * 9 / 10, s"recall $found/$total")
   }
 
+  test("IVF recall@5: perturbed copies land in the probed lists") {
+    import graft.registry.SimilarityQueries
+    val perturbed = SimilarityQueries.withPerturbed(spark, TestSpark.SfDir)
+    val qs = perturbed.filter(col("vec_id") >= 100000)
+    val found = Knn.ivfTopK(perturbed, qs, nCentroids = 16, nProbe = 4, k = 5)
+      .filter(col("cand_id") === col("query_id") - 100000).count()
+    val total = qs.count()
+    assert(found >= total * 9 / 10, s"IVF recall $found/$total")
+  }
+
+  test("IVF results are exact within the probed lists") {
+    val brute = Knn.bruteForceTopK(queries, emb, k = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Knn.ivfTopK(emb, queries, nCentroids = 16, nProbe = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (key, sim) =>
+      brute.get(key).foreach(exact => assert(math.abs(exact - sim) < 1e-9, key))
+    }
+  }
+
   test("cosine of identical vectors is 1.0") {
     val one = Knn.cosineNearDupPairs(
       emb.filter(col("vec_id") < 2)
