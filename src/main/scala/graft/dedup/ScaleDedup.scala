@@ -43,11 +43,15 @@ object ScaleDedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n).cache()
+    // self-join on an 8-byte shingle hash, not the string: smaller
+    // shuffle and cheaper key compares; collision probability at any
+    // plausible shingle cardinality is ~|shingles|^2 / 2^65.
+    val idx = shingleIndex(df, idCol, textCol, n)
+      .withColumn("sh", xxhash64(col("shingle"))).drop("shingle").cache()
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val a = idx.select(col("id").as("id_a"), col("shingle"))
-    val b = idx.select(col("id").as("id_b"), col("shingle"))
-    val inter = a.join(b, "shingle")
+    val a = idx.select(col("id").as("id_a"), col("sh"))
+    val b = idx.select(col("id").as("id_b"), col("sh"))
+    val inter = a.join(b, "sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))

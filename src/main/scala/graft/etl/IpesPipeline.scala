@@ -69,6 +69,10 @@ object IpesPipeline {
         count(lit(1)).as("filing_count"),
         bool_or(Normalize.isApplicationType(col("submission_type")))
           .as("is_applicant"),
+        // scalar max alongside the array: consumers that only need the
+        // latest date (companies.csv) let Catalyst prune the whole
+        // collect_list instead of sorting every filing struct
+        max(col("date_received")).as("_latest"),
         // newest-first: sort asc by (date, struct) then reverse — fully
         // deterministic even on equal dates.
         reverse(array_sort(collect_list(
@@ -81,9 +85,8 @@ object IpesPipeline {
       .withColumn("is_individual", Normalize.isLikelyIndividual(col("entity_name")))
       .filter(col("is_applicant") && !col("is_individual"))
       .withColumn("entity_type", lit("Company"))
-      .withColumn("latest_filing_date",
-        coalesce(try_element_at(col("filings"), lit(1)).getField("date_received"), lit("")))
-      .drop("is_individual")
+      .withColumn("latest_filing_date", coalesce(col("_latest"), lit("")))
+      .drop("is_individual", "_latest")
 
     val nested = (if (withId)
       gated.withColumn("id", GraftFunctions.uuid5(col("normalized_name")))
