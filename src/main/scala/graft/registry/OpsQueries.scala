@@ -60,6 +60,16 @@ object OpsQueries extends QueryRegistry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"), decSum(col("l_quantity")).as("qty"))),
 
+    // S1 scale path: DataSourceV2 offset-ranged parallel scan of the
+    // deterministic API fixture, aggregated per page.
+    "s1_dsv2_scan" -> ((s, dir) => {
+      val n = 20000
+      s.read.format("graft.sources.v2.FilingsApiSource")
+        .option("total", n).option("pageSize", 1000).load()
+        .groupBy(col("page"), col("submission_type"))
+        .agg(count(lit(1)).as("n_rows"), decSum(col("amount")).as("amount_sum"))
+    }),
+
     "sql_dashboard" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_v")
       Tables.customer(s, dir).createOrReplaceTempView("customer_v")
@@ -105,6 +115,18 @@ object OpsQueries extends QueryRegistry {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin,
+
+    "s1_dsv2_scan" -> """
+      |WITH api AS (
+      |  SELECT i,
+      |    CAST(i // 1000 AS INT) AS page,
+      |    CASE i % 4 WHEN 0 THEN 'APPLICATION' WHEN 1 THEN 'COMMENT'
+      |      WHEN 2 THEN 'PETITION' ELSE 'REQUEST' END AS submission_type,
+      |    (i % 1000) / 10.0 AS amount
+      |  FROM range(0, 20000) t(i))
+      |SELECT page, submission_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS amount_sum
+      |FROM api GROUP BY page, submission_type""".stripMargin,
 
     "sql_dashboard" -> """
       |SELECT c_mktsegment, COUNT(*) AS n,
