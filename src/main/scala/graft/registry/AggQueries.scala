@@ -63,6 +63,19 @@ object AggQueries extends QueryRegistry {
         .agg(concat_ws(",", array_sort(collect_set(col("c_mktsegment"))))
           .as("segments"))),
 
+    // A8 at scale: exact distinct (oracle) vs HLL sketch (rows-only;
+    // tolerance pinned by spec). Exact countDistinct is a full shuffle
+    // of the key domain — the approx form is the 100 TB default.
+    "a8_distinct_exact" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))),
+
+    "a8_distinct_approx" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"))),
+
     // A9: global mode with deterministic tie-break.
     "a9_mode" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -173,6 +186,10 @@ object AggQueries extends QueryRegistry {
       """SELECT c_nationkey,
         |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
         |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "a8_distinct_exact" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "a9_mode" ->
       """SELECT event_type AS top_event_type FROM events
