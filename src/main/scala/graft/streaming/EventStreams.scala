@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.functions.OracleSafe._
 
@@ -32,6 +33,33 @@ object EventStreams {
   def streamingDedup(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserTotal(user_id: Long, total: Double, n: Long, alert: Boolean)
+
+  /** Custom per-key state the built-in aggregates can't express:
+    * running per-user totals emitted on every event, with an alert flag
+    * once the lifetime total crosses `alertAt`. State survives across
+    * micro-batches in the state store; events within a batch are
+    * applied in (ts, value) order for determinism.
+    */
+  def runningTotals(events: Dataset[UserEvent], alertAt: Double): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Long), UserTotal](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[(Double, Long)]) =>
+          val (t0, n0) = state.getOption.getOrElse((0.0, 0L))
+          var t = t0
+          var n = n0
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.value)).map { e =>
+            t += e.value; n += 1
+            UserTotal(uid, t, n, t >= alertAt)
+          }
+          state.update((t, n))
+          out.iterator
+      }
+  }
 
   /** Gap-based sessionization via `session_window` — merged state on a
     * stream, a plain aggregation on batch. A new session starts when

@@ -45,6 +45,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed(("2024-01-01 10:00", "click")) === ((3L, 5.0)))
   }
 
+  test("flatMapGroupsWithState keeps per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val input = mem.toDF().toDF("user_id", "ts", "value")
+      .as[EventStreams.UserEvent]
+    val q = EventStreams.runningTotals(input, alertAt = 5.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("totals_out").start()
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 2.0), (1L, ts("2024-01-01 10:01:00"), 2.0))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 10:02:00"), 2.0)) // second micro-batch
+    q.processAllAvailable()
+    val rows = spark.table("totals_out").orderBy("n").collect()
+      .map(r => (r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    q.stop()
+    // state carried over: third event sees total 6.0 and alerts
+    assert(rows.toSeq === Seq((2.0, 1L, false), (4.0, 2L, false), (6.0, 3L, true)))
+  }
+
   test("streaming dedup drops the duplicate event_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
