@@ -27,6 +27,26 @@ object TextQueries extends QueryRegistry {
     "text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // rolling-hash winnowing fingerprints — rows-only (xxhash64 has no
+    // DuckDB twin); substring-sharing guarantee pinned by spec.
+    "text_winnow_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(TextAnalysis.winnowFingerprints(col("text"))).as("n_fingerprints"))),
+
+    // A12 composition at scale: top terms per source via explode +
+    // count + per-group window rank.
+    "text_top_terms" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("cnt").desc, col("term").asc)
+      Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+    }),
   )
 
   private def hits(lang: String): String = {
@@ -74,5 +94,17 @@ object TextQueries extends QueryRegistry {
       |SELECT doc_id,
       |  md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fp
       |FROM documents""".stripMargin,
+
+    "text_top_terms" -> """
+      |WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |counts AS (
+      |  SELECT source, term, COUNT(*) AS cnt FROM tok GROUP BY source, term),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY source ORDER BY cnt DESC, term) AS rnk
+      |  FROM counts)
+      |SELECT source, term, cnt, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
   )
 }

@@ -72,6 +72,20 @@ object TextAnalysis {
     */
   def fingerprint(c: Column): Column = md5(concat_ws(" ", tokens(c)))
 
+  /** Winnowing fingerprints: hash every n-gram shingle (the rolling
+    * hash), then keep the minimum hash of each w-length window —
+    * guarantees any shared substring of ≥ n+w-1 tokens yields a shared
+    * fingerprint, with ~2/(w+1) of the hashes retained. Pure column
+    * ops, so fingerprinting runs inside the scan at 100 TB.
+    */
+  def winnowFingerprints(c: Column, n: Int = 3, w: Int = 4): Column = {
+    val hashes = transform(shingles(c, n), s => xxhash64(s))
+    when(size(hashes) < w, array_sort(array_distinct(hashes)))
+      .otherwise(array_sort(array_distinct(
+        transform(sequence(lit(0), size(hashes) - w),
+          i => array_min(slice(hashes, i + 1, lit(w)))))))
+  }
+
   /** Word n-gram shingles (empty below n tokens). */
   def shingles(c: Column, n: Int): Column = {
     val t = tokens(c)
