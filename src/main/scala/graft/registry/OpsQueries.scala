@@ -70,6 +70,21 @@ object OpsQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_rows"), decSum(col("amount")).as("amount_sum"))
     }),
 
+    // as-of join: attach the latest point-in-time snapshot (every 10th
+    // event) to each event without leakage; oracle is DuckDB's native
+    // ASOF JOIN. Micros-precision BIGINT keys avoid the ns/us gap.
+    "asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      val snaps = e.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("us"))
+        .agg(min(col("value")).as("snap_value"))
+      graft.ops.AsOf.asofJoin(
+        e.select("event_id", "user_id", "us"), snaps,
+        key = "user_id", tsCol = "us", payloadCols = Seq("snap_value"))
+    }),
+
     "sql_dashboard" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_v")
       Tables.customer(s, dir).createOrReplaceTempView("customer_v")
@@ -127,6 +142,15 @@ object OpsQueries extends QueryRegistry {
       |SELECT page, submission_type, COUNT(*) AS n_rows,
       |  CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS amount_sum
       |FROM api GROUP BY page, submission_type""".stripMargin,
+
+    "asof_join" -> """
+      |WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events),
+      |snap AS (
+      |  SELECT user_id, us, MIN(value) AS snap_value
+      |  FROM e WHERE event_id % 10 = 0 GROUP BY user_id, us)
+      |SELECT e.event_id, e.user_id, e.us, snap.snap_value
+      |FROM e ASOF LEFT JOIN snap
+      |  ON e.user_id = snap.user_id AND e.us >= snap.us""".stripMargin,
 
     "sql_dashboard" -> """
       |SELECT c_mktsegment, COUNT(*) AS n,
