@@ -40,15 +40,6 @@ object IpesPipeline {
       .withColumn("normalized_raw", Normalize.normalizeName(col("company_name")))
       .filter(col("normalized_raw") =!= "")
 
-    // J3: distinct-name dedup, then broadcast the tiny canonical map
-    // back onto the filings.
-    val canon = FuzzyDedup.canonicalMap(
-        base.select(col("normalized_raw").as("name")), "name",
-        ratioThreshold, exhaustive)
-      .withColumnRenamed("canonical", "normalized_name")
-    val withCanon = base.join(broadcast(canon),
-      base("normalized_raw") === canon("name")).drop("name")
-
     val filingStruct = struct(
       col("submission_id").as("filing_id"),
       col("date_received"),
@@ -60,8 +51,12 @@ object IpesPipeline {
         .otherwise(split(col("document_urls"), "; ")).as("document_urls"),
       col("detail_url"))
 
-    val grouped = withCanon
-      .groupBy(col("normalized_name"))
+    // Phase 1 — ONE pass over bronze: pre-aggregate per raw normalized
+    // name. Everything downstream (dedup, merge, company build) runs on
+    // |distinct names| rows, so bronze is scanned exactly once no
+    // matter how many times the outputs are consumed.
+    val perName = base
+      .groupBy(col("normalized_raw"))
       .agg(
         max_by(col("company_name"),
           concat(lpad(length(col("company_name")).cast("string"), 4, "0"),
@@ -69,15 +64,30 @@ object IpesPipeline {
         count(lit(1)).as("filing_count"),
         bool_or(Normalize.isApplicationType(col("submission_type")))
           .as("is_applicant"),
-        // scalar max alongside the array: consumers that only need the
-        // latest date (companies.csv) let Catalyst prune the whole
-        // collect_list instead of sorting every filing struct
         max(col("date_received")).as("_latest"),
-        // newest-first: sort asc by (date, struct) then reverse — fully
-        // deterministic even on equal dates.
-        reverse(array_sort(collect_list(
-          struct(col("date_received").as("_k"), filingStruct.as("f")))))
-          .as("_sorted"))
+        collect_list(struct(col("date_received").as("_k"), filingStruct.as("f")))
+          .as("_fs"))
+
+    // J3 over the pre-aggregated name domain (no extra bronze pass).
+    val canon = FuzzyDedup.canonicalMap(
+        perName.select(col("normalized_raw").as("name")), "name",
+        ratioThreshold, exhaustive)
+      .withColumnRenamed("canonical", "normalized_name")
+
+    // Phase 2 — merge dedup'd groups: all aggregates re-combine
+    // losslessly (max of max, sum of counts, or of ors, flatten of
+    // lists), sorted newest-first at the end for determinism.
+    val grouped = perName
+      .join(broadcast(canon), perName("normalized_raw") === canon("name"))
+      .groupBy(col("normalized_name"))
+      .agg(
+        max_by(col("entity_name"),
+          concat(lpad(length(col("entity_name")).cast("string"), 4, "0"),
+            col("entity_name"))).as("entity_name"),
+        sum(col("filing_count")).as("filing_count"),
+        bool_or(col("is_applicant")).as("is_applicant"),
+        max(col("_latest")).as("_latest"),
+        reverse(array_sort(flatten(collect_list(col("_fs"))))).as("_sorted"))
       .withColumn("filings", transform(col("_sorted"), x => x.getField("f")))
       .drop("_sorted")
 

@@ -99,6 +99,14 @@ class IpesPipelineSpec extends AnyFunSuite {
     assert(st.getLong(0) === 3 && st.getLong(1) === 0 && st.getLong(2) === 3)
   }
 
+  test("observedValid yields counts through the Observation channel") {
+    val (valid, obs) = Validate.observedValid(out.companies, Validate.companyConstraint)
+    assert(valid.count() === 3) // the action that populates the observation
+    val m = obs.get
+    assert(m("n_valid") === 3L)
+    assert(m("n_invalid") === 0L)
+  }
+
   test("enrichment stub is deterministic and cache path short-circuits") {
     import spark.implicits._
     val keys = out.companies
