@@ -70,6 +70,23 @@ object OpsQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_rows"), decSum(col("amount")).as("amount_sum"))
     }),
 
+    // range join: events against 1-hour windows anchored at every 20th
+    // event, bucketized into an equi-join; oracle is the plain
+    // inequality join.
+    "range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      val intervals = e.filter(col("event_id") % 20 === 0)
+        .select(col("event_id").as("interval_id"), col("us").as("start"),
+          (col("us") + 3600L * 1000000L).as("end"))
+      graft.ops.RangeJoin.bucketed(
+          e.select(col("event_id"), col("us"), col("value")), intervals,
+          "us", "start", "end", width = 600L * 1000000L)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_points"), decSum(col("value")).as("total_value"))
+    }),
+
     // as-of join: attach the latest point-in-time snapshot (every 10th
     // event) to each event without leakage; oracle is DuckDB's native
     // ASOF JOIN. Micros-precision BIGINT keys avoid the ns/us gap.
@@ -142,6 +159,16 @@ object OpsQueries extends QueryRegistry {
       |SELECT page, submission_type, COUNT(*) AS n_rows,
       |  CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS amount_sum
       |FROM api GROUP BY page, submission_type""".stripMargin,
+
+    "range_join" -> """
+      |WITH e AS (SELECT event_id, epoch_us(ts) AS us, value FROM events),
+      |iv AS (
+      |  SELECT event_id AS interval_id, us AS s, us + 3600000000 AS e2
+      |  FROM e WHERE event_id % 20 = 0)
+      |SELECT interval_id, COUNT(*) AS n_points,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM e JOIN iv ON e.us BETWEEN iv.s AND iv.e2
+      |GROUP BY interval_id""".stripMargin,
 
     "asof_join" -> """
       |WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events),
