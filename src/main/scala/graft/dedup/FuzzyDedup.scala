@@ -111,6 +111,40 @@ object FuzzyDedup {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** Scala-side merge predicate (same semantics as the Column form). */
+  def isDuplicateScala(a: String, b: String, ratioThreshold: Double = 0.95): Boolean = {
+    if (graft.functions.RatcliffObershelp.ratio(a, b) > ratioThreshold) true
+    else {
+      val (wa, wb) = (a.split(" "), b.split(" "))
+      wa.length == wb.length && wa.zip(wb).map { case (x, y) =>
+        if (x == y) 0.0 else if (x + "s" == y || y + "s" == x) 0.1 else 1.0
+      }.sum < 0.2
+    }
+  }
+
+  /** The reference's EXACT greedy merge (structure_data.py:155-211):
+    * iterate keys in sorted order, merge each later key into the first
+    * earlier key it matches, skip merged keys thereafter. Order-
+    * dependent by construction — kept for bit-parity replays; the CC
+    * semantics above is the deterministic superset used by default.
+    */
+  def greedyCanonicalMap(keys: Seq[String], ratioThreshold: Double = 0.95)
+      : Map[String, String] = {
+    val sorted = keys.distinct.sorted
+    val canonical = scala.collection.mutable.Map.empty[String, String]
+    val skip = scala.collection.mutable.Set.empty[String]
+    for (i <- sorted.indices; k1 = sorted(i) if !skip(k1)) {
+      canonical(k1) = k1
+      for (j <- i + 1 until sorted.length; k2 = sorted(j) if !skip(k2)) {
+        if (isDuplicateScala(k1, k2, ratioThreshold)) {
+          canonical(k2) = k1
+          skip += k2
+        }
+      }
+    }
+    canonical.toMap
+  }
+
   /** Driver-side union-find over a small edge list — the fast path for
     * components over DISTINCT entity names, whose edge count is tiny
     * even when the row count is 100 TB. Canonical = min name per

@@ -31,7 +31,8 @@ object IpesPipeline {
       bronze: DataFrame,
       ratioThreshold: Double = 0.95,
       exhaustive: Boolean = true,
-      withId: Boolean = true): Structured = {
+      withId: Boolean = true,
+      greedyDedup: Boolean = false): Structured = {
 
     val base = bronze
       .filter(
@@ -69,10 +70,19 @@ object IpesPipeline {
           .as("_fs"))
 
     // J3 over the pre-aggregated name domain (no extra bronze pass).
-    val canon = FuzzyDedup.canonicalMap(
+    // greedyDedup = true replays the reference's order-dependent merge
+    // exactly (bit-parity mode); default is the CC superset semantics.
+    val canon = (if (greedyDedup) {
+      val spark = bronze.sparkSession
+      import spark.implicits._
+      val keys = perName.select(col("normalized_raw")).collect().map(_.getString(0)).toSeq
+      FuzzyDedup.greedyCanonicalMap(keys, ratioThreshold).toSeq
+        .toDF("name", "canonical")
+    } else {
+      FuzzyDedup.canonicalMap(
         perName.select(col("normalized_raw").as("name")), "name",
         ratioThreshold, exhaustive)
-      .withColumnRenamed("canonical", "normalized_name")
+    }).withColumnRenamed("canonical", "normalized_name")
 
     // Phase 2 — merge dedup'd groups: all aggregates re-combine
     // losslessly (max of max, sum of counts, or of ors, flatten of

@@ -1,0 +1,111 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Parity against the reference's OWN shipped dataset
+  * (`/root/reference/data/structured/`, 178 companies / 387 filings):
+  * reconstruct a bronze layer from the star schema, run our pipeline,
+  * and require byte-identical companies output — ids (uuid5),
+  * normalized names, entity types, counts, latest dates — plus exact
+  * fact-row mapping. This is the strongest end-to-end check available
+  * without the unshipped raw layer: every operator from normalization
+  * to uuid5 to the gate must agree with the reference's Python on real
+  * data, not synthetic fixtures.
+  */
+class ReferenceParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val RefDir = "/root/reference/data/structured"
+
+  private lazy val refCompanies = spark.read
+    .option("header", true)
+    .csv(s"$RefDir/companies.csv")
+    .cache()
+
+  private lazy val refFilings = spark.read
+    .option("header", true)
+    .csv(s"$RefDir/filings.csv")
+    .cache()
+
+  /** Bronze reconstruction: one row per shipped fact row, carrying the
+    * company's display name. proceeding_description is pinned relevant
+    * (the original descriptions are not shipped; the relevance filter
+    * is oracle-covered elsewhere).
+    */
+  private lazy val bronze = refFilings
+    .join(refCompanies.select(col("id"), col("entity_name")),
+      refFilings("company_id") === col("id"))
+    .select(
+      col("filing_id").as("submission_id"),
+      col("entity_name").as("company_name"),
+      col("date_received"),
+      col("submission_type"),
+      col("docket_number"),
+      lit("VoIP relevant").as("proceeding_description"),
+      lit("").as("bureau"),
+      col("status").as("filing_status"),
+      lit("").as("contact_attorney"),
+      lit("").as("law_firm"),
+      coalesce(col("primary_doc_url"), lit("")).as("document_urls"),
+      lit("").as("detail_url"))
+
+  private lazy val ours =
+    IpesPipeline.structure(bronze, greedyDedup = true).companies.cache()
+
+  /** One known reconstruction artifact: the reference's raw data held a
+    * singular variant "Stratus Network" that its greedy merge folded
+    * into canonical 'stratus network' — the raw variant is NOT shipped,
+    * so a replay from the star schema can only see the plural display
+    * name and canonicalizes to 'stratus networks'. Same entity, same
+    * display name, same filings; only the canonical key (and therefore
+    * its uuid5) shifts. Every other value is required byte-identical.
+    */
+  private val StratusShippedId = "94fd2c33-deba-578e-9322-cb12fd8e636f"
+  private val StratusReplayId = "a4c7804c-7241-5a32-88a5-314c10dd6633"
+
+  test("reproduces the 178 shipped companies (177 byte-exact + explained stratus key)") {
+    assert(refCompanies.count() === 178)
+    def normalize(t: (String, String, String, String, Long, String)) =
+      if (t._1 == StratusShippedId || t._1 == StratusReplayId)
+        ("STRATUS", t._2, "stratus", t._4, t._5, t._6)
+      else t
+    val ref = refCompanies.collect().map { r =>
+      normalize((r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4).toLong, r.getString(5)))
+    }.toSet
+    val got = ours.collect().map { r =>
+      normalize((r.getAs[String]("id"), r.getAs[String]("entity_name"),
+        r.getAs[String]("normalized_name"), r.getAs[String]("entity_type"),
+        r.getAs[Long]("filing_count"), r.getAs[String]("latest_filing_date")))
+    }.toSet
+    val missing = ref.diff(got)
+    val extra = got.diff(ref)
+    assert(missing.isEmpty && extra.isEmpty,
+      s"missing=${missing.take(3)} extra=${extra.take(3)}")
+  }
+
+  test("reproduces all 387 fact rows (modulo the explained stratus key)") {
+    def fixId(id: String) =
+      if (id == StratusShippedId || id == StratusReplayId) "STRATUS" else id
+    val ref = refFilings.collect().map { r =>
+      (r.getString(1), fixId(r.getString(0)), Option(r.getString(6)).getOrElse(""))
+    }.toSet // (filing_id, company_id, primary_doc_url)
+    assert(ref.size === 387)
+    val got = IpesPipeline.structure(bronze, greedyDedup = true).filings
+      .collect().map { r =>
+        (r.getAs[String]("filing_id"), fixId(r.getAs[String]("company_id")),
+          r.getAs[String]("primary_doc_url"))
+      }.toSet
+    assert(got === ref)
+  }
+
+  test("CC and greedy dedup agree on the reference's name domain") {
+    val cc = IpesPipeline.structure(bronze).companies
+      .select("normalized_name").collect().map(_.getString(0)).toSet
+    val greedy = ours.select("normalized_name").collect().map(_.getString(0)).toSet
+    assert(cc === greedy)
+  }
+}
