@@ -76,6 +76,15 @@ object AggQueries extends QueryRegistry {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"))),
 
+    // Percentiles: exact continuous interpolation (same formula as
+    // DuckDB quantile_cont); approx_percentile is the 100 TB path.
+    "a15_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))),
+
     // A9: global mode with deterministic tie-break.
     "a9_mode" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -189,6 +198,12 @@ object AggQueries extends QueryRegistry {
 
     "a8_distinct_exact" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a15_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "a9_mode" ->
