@@ -52,21 +52,28 @@ object FuzzyDedup {
   def isDuplicate(a: Column, b: Column, ratioThreshold: Double = 0.95): Column =
     GraftFunctions.roSimilarity(a, b) > ratioThreshold || tokenCost(a, b) < 0.2
 
-  /** Blocked candidate pairs: names sharing a block key, as an
-    * equi-join (the scale path — no cross join). Default block: first
-    * token with any trailing 's' stripped, so plural pairs always
-    * co-block.
+  /** Multi-key blocked candidate pairs: names co-block when they share
+    * ANY block key, as one equi-join on (key_index, key) — the scale
+    * path, no cross join. Defaults: first token and last token, each
+    * with trailing 's' stripped. Plural pairs always share both keys;
+    * high-ratio pairs differing in one token (the `cold X` ~ `old X`
+    * family) still share the other — multi-key blocking is what closes
+    * that single-key recall gap.
     */
   def candidatePairs(
       names: DataFrame, nameCol: String,
-      blocker: Column => Column = c => regexp_replace(substring_index(c, " ", 1), "s$", ""))
+      blockers: Seq[Column => Column] = Seq(
+        c => regexp_replace(substring_index(c, " ", 1), "s$", ""),
+        c => regexp_replace(substring_index(c, " ", -1), "s$", "")))
       : DataFrame = {
     val keys = names.select(col(nameCol).as("name")).distinct()
-      .withColumn("block", blocker(col("name")))
-    val a = keys.select(col("block"), col("name").as("name_a"))
-    val b = keys.select(col("block"), col("name").as("name_b"))
-    a.join(b, "block").filter(col("name_a") < col("name_b"))
-      .select("name_a", "name_b")
+      .select(col("name"), posexplode(array(blockers.map(b => b(col("name"))): _*)))
+      .withColumnRenamed("pos", "block_i").withColumnRenamed("col", "block")
+      .distinct()
+    val a = keys.select(col("block_i"), col("block"), col("name").as("name_a"))
+    val b = keys.select(col("block_i"), col("block"), col("name").as("name_b"))
+    a.join(b, Seq("block_i", "block")).filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
   }
 
   /** Exhaustive pairs over distinct names (reference-parity path;

@@ -55,7 +55,7 @@ class FuzzyDedupSpec extends AnyFunSuite {
     rows.foreach { case (a, b, exp) => assert(got((a, b)) === exp, s"($a,$b)") }
   }
 
-  test("blocked candidatePairs finds every merging pair the exhaustive path finds") {
+  test("multi-key blocked candidatePairs finds every exhaustive merging pair") {
     val names = fixture.toDF("name")
     val exhaustiveEdges = FuzzyDedup.allPairs(names, "name")
       .filter(FuzzyDedup.isDuplicate(col("name_a"), col("name_b")))
@@ -63,13 +63,11 @@ class FuzzyDedupSpec extends AnyFunSuite {
     val blockedEdges = FuzzyDedup.candidatePairs(names, "name")
       .filter(FuzzyDedup.isDuplicate(col("name_a"), col("name_b")))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    // Plural pairs always co-block; the ratio-only cross-block pair
-    // (cold/old) is the documented recall tradeoff of first-token
-    // blocking, so assert on the plural subset.
-    val pluralOnly = exhaustiveEdges.filter { case (a, b) =>
-      a.split(" ").zip(b.split(" ")).exists { case (x, y) => x + "s" == y || y + "s" == x }
-    }
-    assert(pluralOnly.subsetOf(blockedEdges))
+    // first+last-token blocking covers plural pairs (share both keys)
+    // AND the cold/old ratio pairs (share the last token): full recall
+    // on this fixture.
+    assert(exhaustiveEdges.subsetOf(blockedEdges),
+      s"missed: ${exhaustiveEdges.diff(blockedEdges)}")
   }
 
   test("distributed label propagation agrees with driver union-find") {
