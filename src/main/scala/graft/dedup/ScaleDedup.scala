@@ -122,6 +122,40 @@ object ScaleDedup {
       .select(col("id"), col("simhash"))
   }
 
+  /** The composed corpus-dedup operation: MinHash-LSH candidates →
+    * exact-Jaccard verification → connected components → canonical
+    * (min id) per duplicate cluster. Returns (id, canonical_id) for
+    * every input doc; `filter(id === canonical_id)` yields the deduped
+    * corpus. Shuffle budget: signatures (1) + band join (1) + verify
+    * join against the shingle index (1) + CC over the (tiny) duplicate
+    * graph.
+    */
+  def nearDupDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, n)
+    val verified = ngramJaccardPairs(df, idCol, textCol, n, threshold)
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+    // zero-pad ids: the CC machinery canonicalizes by MIN STRING, and
+    // lexicographic order must equal numeric order
+    val edges = verified.select(
+      format_string("%020d", col("id_a")).as("src"),
+      format_string("%020d", col("id_b")).as("dst"))
+    val sample = edges.limit(1000000).collect()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cc =
+      if (sample.length <= 1000000) {
+        FuzzyDedup.unionFind(sample.map(r => (r.getString(0), r.getString(1))))
+          .toSeq.toDF("cid", "component")
+      } else FuzzyDedup.connectedComponents(edges)
+        .withColumnRenamed("id", "cid")
+    df.select(col(idCol).as("id"))
+      .join(broadcast(cc), format_string("%020d", col("id")) === col("cid"), "left")
+      .select(col("id"),
+        coalesce(col("component").cast("long"), col("id")).as("canonical_id"))
+  }
+
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

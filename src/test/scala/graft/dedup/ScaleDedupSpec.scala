@@ -52,6 +52,20 @@ class ScaleDedupSpec extends AnyFunSuite {
     assert(unrelated > 10)
   }
 
+  test("composed nearDupDedup collapses engineered near-dups to the min id") {
+    val mapping = ScaleDedup.nearDupDedup(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mapping.size === docs.count())
+    // every engineered copy maps to a canonical <= its original's id
+    exactPairs.filter { case (a, b) => b == a + 100000 }.foreach { case (a, b) =>
+      assert(mapping(b) <= a, s"copy $b -> ${mapping(b)}")
+      assert(mapping(b) === mapping(a), s"pair ($a,$b) split")
+    }
+    // untouched docs are their own canonical
+    val canonicals = mapping.values.toSet
+    assert(mapping.count { case (id, c) => id == c } >= canonicals.size)
+  }
+
   test("exact dedup groups carry duplicate counts") {
     val d = ScaleDedup.exact(
       docs.limit(0).unionByName(
