@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Round benchmark: headline queries at SPARK_GRAFT_SF_DIR, one JSON
   * line on stdout.
@@ -11,6 +11,12 @@ import org.apache.spark.sql.SparkSession
   * (q1), broadcast star join, window, the full IPES pipeline (including
   * the iterative dedup), the inverted-index and LSH dedup paths, vector
   * search, text scoring, and the event-time window.
+  *
+  * Harness contract: the metrics JSON is the ONLY line this main prints
+  * to stdout (Spark logs go to stderr; build.sbt routes forked stdout
+  * through unprefixed). A failed headline query is recorded in the
+  * "errors" field and flips the exit code to 1 — never silently timed
+  * as if it ran.
   */
 object Bench {
 
@@ -20,9 +26,11 @@ object Bench {
     "a11_monthly_trend",
     "w1_latest_per_group",
     "ipes_companies_full",
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_corpus_composed",
     "dedup_minhash",
     "emb_cosine_topk",
+    "emb_near_dup",
     "text_quality",
     "stream_tumbling_hourly")
 
@@ -42,29 +50,43 @@ object Bench {
 
     // Untimed warmup: JIT the write path, list files, load parquet
     // footers so the first timed query doesn't pay session cold-start.
+    // Reads go through Tables.* — events.parquet is TIMESTAMP(NANOS)
+    // and needs the legacy-nanos workaround a raw read would miss.
     spark.range(1000000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
-    Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
-      .foreach { t =>
-        try spark.read.parquet(s"$sfDir/$t.parquet").limit(1)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+    val warm: Seq[(SparkSession, String) => DataFrame] = Seq(
+      Tables.lineitem, Tables.orders, Tables.customer,
+      Tables.documents, Tables.embeddings, Tables.events)
+    warm.foreach { t =>
+      try t(spark, sfDir).limit(1).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup failed: ${e.getMessage}")
       }
+    }
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = Headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        case None =>
+          errors(name) = "query not registered"
+          None
       }
     }
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

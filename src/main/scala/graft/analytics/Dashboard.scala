@@ -51,7 +51,10 @@ object Dashboard {
   /** A7–A10: single-row headline metrics (total, distinct, mode, max).
     * Mode is made deterministic by tie-breaking on the value itself —
     * the reference's pandas `.mode()[0]` has the same smallest-value
-    * semantics.
+    * semantics. The mode sub-result is attached with a LEFT join: on
+    * empty input the aggregate still emits its one row (count 0, null
+    * max) with a null top_priority, matching SQL semantics — a cross
+    * join would drop the row entirely.
     */
   def headlineMetrics(orders: DataFrame): DataFrame = {
     val mode = orders
@@ -65,6 +68,6 @@ object Dashboard {
         count(lit(1)).as("total_orders"),
         countDistinct(col("o_custkey")).as("distinct_customers"),
         max(col("o_orderdate")).cast("date").as("latest_order_date"))
-      .crossJoin(mode)
+      .join(mode, lit(true), "left")
   }
 }

@@ -175,7 +175,10 @@ object FuzzyDedup {
   }
 
   /** Distinct-name → canonical-name mapping (singletons map to
-    * themselves). `exhaustive=false` switches to blocked candidates.
+    * themselves). The default is the blocked `candidatePairs` path —
+    * one equi-join on block keys, the 100 TB shape; `exhaustive=true`
+    * opts into the quadratic all-pairs comparison (reference-parity
+    * runs on small name domains only).
     *
     * Edge sets up to `driverCcThreshold` run union-find on the driver
     * (one collect of name pairs — O(distinct entities), not O(rows));
@@ -184,13 +187,14 @@ object FuzzyDedup {
   def canonicalMap(
       names: DataFrame, nameCol: String,
       ratioThreshold: Double = 0.95,
-      exhaustive: Boolean = true,
+      exhaustive: Boolean = false,
       driverCcThreshold: Int = 1000000): DataFrame = {
     val spark = names.sparkSession
-    // distinct names are small by construction; caching saves the two
-    // extra full passes over the (possibly huge) input that pairs and
-    // the final join would otherwise trigger.
-    val keys = names.select(col(nameCol).as("name")).distinct().cache()
+    // distinct names are small by construction; materializing them once
+    // (localCheckpoint — GC-cleaned, unlike a cached plan) saves the
+    // two extra full passes over the (possibly huge) input that pairs
+    // and the final join would otherwise trigger.
+    val keys = names.select(col(nameCol).as("name")).distinct().localCheckpoint()
     val pairs =
       if (exhaustive) allPairs(keys, "name") else candidatePairs(keys, "name")
     val edges = pairs

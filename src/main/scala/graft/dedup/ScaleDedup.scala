@@ -17,6 +17,12 @@ import graft.text.TextAnalysis
   *    (band, band_hash) — candidate volume is controlled by bands×rows,
   *    independent of corpus² ;
   *  - simhash: one agg shuffle for the 64 bit-votes.
+  *
+  * Intermediate frames that feed two stages (the shingle index) are
+  * `localCheckpoint`ed, not `cache`d: blocks are materialized once,
+  * lineage is cut, and the ContextCleaner frees them when the frame is
+  * garbage-collected — no unpersist bookkeeping leaking across a
+  * long-lived session running hundreds of queries.
   */
 object ScaleDedup {
 
@@ -39,19 +45,26 @@ object ScaleDedup {
 
   /** Pairwise n-gram Jaccard ≥ threshold via the inverted index: join
     * on shingle → count shared → |A∪B| from per-doc sizes.
+    *
+    * `maxDocFreq` caps the quadratic in-group pair expansion: a shingle
+    * shared by m docs expands to m(m-1)/2 pairs, so one stop-shingle
+    * ("terms of service") in a 100 TB corpus detonates a task. The
+    * default drops shingles above 1000 docs — pairs that share ONLY
+    * such shingles are far below any useful threshold anyway (their
+    * union is ≥ the doc sizes, intersection a handful of stop-
+    * shingles). Pass 0 for exact Jaccard (test-scale oracles only).
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
-      maxDocFreq: Long = 0): DataFrame = {
+      maxDocFreq: Long = 1000): DataFrame = {
     // 8-byte shingle hashes (collision odds ~|shingles|²/2^65), then
     // ONE shuffle on the hash and in-group pair expansion — measured
     // ~3× faster than the index self-join, which shuffles the index
-    // twice. maxDocFreq > 0 drops super-common shingles before the
-    // quadratic expansion (the standard stop-shingle cap for corpora
-    // with hot shingles; 0 keeps exact Jaccard).
+    // twice.
     val idx = shingleIndex(df, idCol, textCol, n)
-      .withColumn("sh", xxhash64(col("shingle"))).drop("shingle").cache()
+      .withColumn("sh", xxhash64(col("shingle"))).drop("shingle")
+      .localCheckpoint()
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val grouped = idx.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -74,6 +87,34 @@ object ScaleDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Per-doc hashed shingle set (id, shs) — the verify-side operand for
+    * candidate-bounded exact Jaccard.
+    */
+  def shingleSets(index: DataFrame): DataFrame =
+    index.withColumn("sh", xxhash64(col("shingle"))).drop("shingle")
+      .groupBy(col("id"))
+      .agg(collect_set(col("sh")).as("shs"))
+
+  /** Exact Jaccard evaluated ONLY for the given candidate pairs: two
+    * equi-joins attach each side's shingle set, the intersection runs
+    * inside codegen. Cost is bounded by |candidates| — this is the
+    * verification stage an LSH pass is supposed to buy, never a
+    * full-corpus pair expansion.
+    */
+  def verifyJaccardPairs(
+      candidates: DataFrame, index: DataFrame, threshold: Double): DataFrame = {
+    val sets = shingleSets(index)
+    candidates.select(col("id_a"), col("id_b"))
+      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("shs_a")).cast("long") + size(col("shs_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** MinHash signature: k independent permutations simulated as
     * xxhash64 with per-slot salts; one aggregation produces all slots.
     */
@@ -82,17 +123,18 @@ object ScaleDedup {
       .agg(array((0 until k).map(i =>
         min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
 
-  /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
-    * hash each band, join docs sharing any band bucket. Then verify
-    * with exact Jaccard upstream if precision matters.
+  /** LSH candidate pairs from a prebuilt (id, shingle) index: band the
+    * signature (bands × rowsPerBand = k), hash each band, join docs
+    * sharing any band bucket. Then verify with exact Jaccard
+    * ([[verifyJaccardPairs]]) if precision matters.
     */
-  def minhashCandidates(
-      df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
-    // bands=8, rows=2 puts the LSH S-curve threshold at (1/8)^(1/2)≈0.35
-    // — tuned for catching pairs down to ~0.5 Jaccard with high recall.
+  def minhashCandidatesFromIndex(
+      index: DataFrame, k: Int = 16, bands: Int = 8): DataFrame = {
+    // rows = k/bands sets the LSH S-curve threshold at (1/bands)^(1/rows)
+    // — e.g. bands=8, rows=2 → ≈0.35, catching pairs down to ~0.5
+    // Jaccard with high recall.
     val rows = k / bands
-    val sigs = minhashSignatures(shingleIndex(df, idCol, textCol, n), k)
+    val sigs = minhashSignatures(index, k)
     val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, concat_ws(",",
@@ -104,6 +146,12 @@ object ScaleDedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
+
+  /** LSH candidate pairs straight from a corpus (convenience form). */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame =
+    minhashCandidatesFromIndex(shingleIndex(df, idCol, textCol, n), k, bands)
 
   /** 64-bit SimHash: per-token xxhash64, each bit votes ±1, sign of the
     * vote total sets the fingerprint bit. One shuffle (groupBy id).
@@ -123,35 +171,53 @@ object ScaleDedup {
   }
 
   /** The composed corpus-dedup operation: MinHash-LSH candidates →
-    * exact-Jaccard verification → connected components → canonical
-    * (min id) per duplicate cluster. Returns (id, canonical_id) for
-    * every input doc; `filter(id === canonical_id)` yields the deduped
-    * corpus. Shuffle budget: signatures (1) + band join (1) + verify
-    * join against the shingle index (1) + CC over the (tiny) duplicate
-    * graph.
+    * exact-Jaccard verification OF THE CANDIDATES ONLY → connected
+    * components → canonical (min id) per duplicate cluster. Returns
+    * (id, canonical_id) for every input doc; `filter(id ===
+    * canonical_id)` yields the deduped corpus.
+    *
+    * Shuffle budget: one shingle explode feeds both stages (the index
+    * is localCheckpoint'ed), signatures (1 agg) + band join (1) +
+    * candidate-bounded verify (2 equi-joins) + CC over the duplicate
+    * graph. The exact-Jaccard pass never touches non-candidate pairs —
+    * at 100 TB the LSH stage is what makes verification affordable.
+    *
+    * k=64/bands=32 puts per-pair recall at threshold 0.6 above
+    * 1 − (1 − 0.6²)³² ≈ 1 − 7e−7 — the candidate stage is effectively
+    * lossless for true pairs, which is what lets a full-Jaccard oracle
+    * check this end-to-end.
+    *
+    * Component assignment mirrors FuzzyDedup.canonicalMap: collect up
+    * to `driverCcThreshold` edges for driver union-find (duplicate
+    * edges are tiny relative to corpus rows), overflow falls back to
+    * distributed min-label propagation — and the fallback mapping is
+    * NOT broadcast (it can exceed driver memory by construction).
     */
   def nearDupDedup(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, n)
-    val verified = ngramJaccardPairs(df, idCol, textCol, n, threshold)
-      .join(cands, Seq("id_a", "id_b"), "left_semi")
+      n: Int = 3, threshold: Double = 0.6,
+      k: Int = 64, bands: Int = 32,
+      driverCcThreshold: Int = 1000000): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
+    val cands = minhashCandidatesFromIndex(idx, k, bands)
+    val verified = verifyJaccardPairs(cands, idx, threshold)
     // zero-pad ids: the CC machinery canonicalizes by MIN STRING, and
     // lexicographic order must equal numeric order
     val edges = verified.select(
       format_string("%020d", col("id_a")).as("src"),
       format_string("%020d", col("id_b")).as("dst"))
-    val sample = edges.limit(1000000).collect()
+    val sample = edges.limit(driverCcThreshold + 1).collect()
     val spark = df.sparkSession
     import spark.implicits._
     val cc =
-      if (sample.length <= 1000000) {
-        FuzzyDedup.unionFind(sample.map(r => (r.getString(0), r.getString(1))))
-          .toSeq.toDF("cid", "component")
+      if (sample.length <= driverCcThreshold) {
+        broadcast(
+          FuzzyDedup.unionFind(sample.map(r => (r.getString(0), r.getString(1))))
+            .toSeq.toDF("cid", "component"))
       } else FuzzyDedup.connectedComponents(edges)
         .withColumnRenamed("id", "cid")
     df.select(col(idCol).as("id"))
-      .join(broadcast(cc), format_string("%020d", col("id")) === col("cid"), "left")
+      .join(cc, format_string("%020d", col("id")) === col("cid"), "left")
       .select(col("id"),
         coalesce(col("component").cast("long"), col("id")).as("canonical_id"))
   }

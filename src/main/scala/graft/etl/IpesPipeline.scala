@@ -30,7 +30,7 @@ object IpesPipeline {
   def structure(
       bronze: DataFrame,
       ratioThreshold: Double = 0.95,
-      exhaustive: Boolean = true,
+      exhaustive: Boolean = false,
       withId: Boolean = true,
       greedyDedup: Boolean = false): Structured = {
 
@@ -53,9 +53,11 @@ object IpesPipeline {
       col("detail_url"))
 
     // Phase 1 — ONE pass over bronze: pre-aggregate per raw normalized
-    // name. Everything downstream (dedup, merge, company build) runs on
-    // |distinct names| rows, so bronze is scanned exactly once no
-    // matter how many times the outputs are consumed.
+    // name, then materialize (localCheckpoint). The dedup stage runs an
+    // eager edge-collect action and the final outputs run their own —
+    // without the checkpoint each action would re-scan bronze and
+    // re-run the regex chain; with it, bronze is scanned exactly once
+    // and the blocks are freed by the ContextCleaner on GC.
     val perName = base
       .groupBy(col("normalized_raw"))
       .agg(
@@ -68,6 +70,7 @@ object IpesPipeline {
         max(col("date_received")).as("_latest"),
         collect_list(struct(col("date_received").as("_k"), filingStruct.as("f")))
           .as("_fs"))
+      .localCheckpoint()
 
     // J3 over the pre-aggregated name domain (no extra bronze pass).
     // greedyDedup = true replays the reference's order-dependent merge

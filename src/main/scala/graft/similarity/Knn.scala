@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * streamed — no shuffle of the corpus). The scale path is
   * random-hyperplane LSH: bucket by sign bits, search only co-bucketed
   * candidates — one equi-join shuffle instead of the cross product,
-  * trading recall (multi-probe via several tables restores it).
+  * trading recall (multi-table probing restores it: a pair is a
+  * candidate if it co-buckets in ANY of the independent tables).
   */
 object Knn {
 
@@ -42,40 +43,59 @@ object Knn {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 scaled into [-0.5, 0.5). Seeded by constants only, so
-    * every executor regenerates identical planes — no driver state to
-    * ship.
+  /** Deterministic pseudo-random hyperplane component for
+    * (table, plane, dim): xxhash64 scaled into [-0.5, 0.5). Seeded by
+    * constants only, so every executor regenerates identical planes —
+    * no driver state to ship. `table` selects an independent plane set
+    * (multi-table LSH probing).
     */
-  private def planeComponent(plane: Int, d: Column): Column =
-    (pmod(xxhash64(lit(plane), d), lit(100000L)).cast("double") / 100000.0) - 0.5
+  private def planeComponent(table: Int, plane: Int, d: Column): Column =
+    (pmod(xxhash64(lit(table), lit(plane), d), lit(100000L)).cast("double") / 100000.0) - 0.5
 
-  /** Sign-bit bucket id from `nPlanes` hyperplanes. */
-  def lshBucket(emb: Column, dim: Int, nPlanes: Int): Column =
+  /** Sign-bit bucket id from `nPlanes` hyperplanes of table `table`. */
+  def lshBucket(emb: Column, dim: Int, nPlanes: Int, table: Int = 0): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(emb, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+          (x, i) => x.cast("double") * planeComponent(table, p, i)),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  /** ANN top-k: candidates restricted to the query's LSH bucket, then
-    * exact cosine rank within the bucket. Returns the same schema as
-    * bruteForceTopK (rank is within-bucket).
+  /** (tbl, bucket, ...) rows: one row per vector per LSH table — all
+    * tables' buckets computed in a single pass over the input (one
+    * posexplode, not one scan per table).
+    */
+  private def bucketedAll(df: DataFrame, dim: Int, nPlanes: Int,
+                          nTables: Int): DataFrame =
+    df.select(col("*"),
+      posexplode(array((0 until nTables).map(t =>
+        lshBucket(col("embedding"), dim, nPlanes, t)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+
+  /** ANN top-k: candidates restricted to the buckets the query lands in
+    * across `nTables` independent tables, then exact cosine rank over
+    * the deduplicated candidate set. Same schema as bruteForceTopK
+    * (rank is within the probed candidates).
     */
   def lshTopK(vectors: DataFrame, queries: DataFrame, dim: Int,
-              nPlanes: Int = 8, k: Int = 10): DataFrame = {
-    val bucketed = vectors.withColumn("bucket",
-      lshBucket(col("embedding"), dim, nPlanes))
-    val q = queries.withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes))
-      .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = bucketed.select(col("bucket"), col("vec_id").as("cand_id"),
-      col("embedding").as("c_emb"))
+              nPlanes: Int = 8, k: Int = 10, nTables: Int = 2): DataFrame = {
+    val c = bucketedAll(
+      vectors.select(col("vec_id").as("cand_id"), col("embedding")),
+      dim, nPlanes, nTables)
+      .select(col("tbl"), col("bucket"), col("cand_id"), col("embedding").as("c_emb"))
+    val q = bucketedAll(
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      dim, nPlanes, nTables)
+      .select(col("tbl"), col("bucket"), col("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
-    c.join(q, Seq("bucket"))
+    c.join(q, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
+      // a pair co-bucketing in several tables must score once: dedup
+      // with ONE shuffle (groupBy carrying the embeddings as first())
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(first(col("q_emb")).as("q_emb"), first(col("c_emb")).as("c_emb"))
       .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -83,15 +103,28 @@ object Knn {
   }
 
   /** IVF coarse quantizer: `nCentroids` deterministically hash-sampled
-    * corpus vectors (xxhash64 order — seedless and executor-stable).
-    * Real systems refine with Lloyd iterations; the partition/probe
-    * plumbing is identical.
+    * corpus vectors (xxhash64 order — seedless and executor-stable),
+    * refined by `lloydIters` Lloyd iterations (assign to nearest, move
+    * centroid to the member mean). One iteration costs one broadcast
+    * assignment pass + one (cid, dim)-keyed shuffle of the exploded
+    * coordinates — the standard k-means step, distributed.
     */
-  def ivfCentroids(vectors: DataFrame, nCentroids: Int): DataFrame =
-    vectors.orderBy(xxhash64(col("vec_id")))
+  def ivfCentroids(vectors: DataFrame, nCentroids: Int,
+                   lloydIters: Int = 1): DataFrame = {
+    val seeds = vectors.orderBy(xxhash64(col("vec_id")))
       .limit(nCentroids)
       .select(monotonically_increasing_id().as("cid"),
-        col("embedding").as("c_emb"))
+        transform(col("embedding"), _.cast("double")).as("c_emb"))
+    (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
+      val assigned = ivfAssign(vectors, cents)
+      assigned.select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("s"))
+        .select(col("cid"), transform(col("s"), x => x.getField("m")).as("c_emb"))
+    }
+  }
 
   /** Assign every vector to its nearest centroid (broadcast nested
     * loop over the tiny centroid set — corpus never shuffles).
@@ -111,8 +144,9 @@ object Knn {
     * instead of |Q|×|C| comparisons; recall comes from nProbe.
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame,
-              nCentroids: Int = 16, nProbe: Int = 4, k: Int = 10): DataFrame = {
-    val centroids = ivfCentroids(vectors, nCentroids).cache()
+              nCentroids: Int = 16, nProbe: Int = 4, k: Int = 10,
+              lloydIters: Int = 1): DataFrame = {
+    val centroids = ivfCentroids(vectors, nCentroids, lloydIters).localCheckpoint()
     val assigned = ivfAssign(vectors, centroids)
       .select(col("cid"), col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     val probeW = Window.partitionBy(col("query_id"))
@@ -134,14 +168,43 @@ object Knn {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold — the
-    * semantic-dedup primitive. Broadcast one side when it fits;
-    * callers at scale pre-bucket with lshBucket and join on it.
+  /** Embedding-cosine near-duplicate pairs above a threshold, exact
+    * all-pairs form: O(n²) comparisons — the oracle/verification
+    * baseline ONLY. Production callers use
+    * [[cosineNearDupPairsBlocked]].
     */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
     val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("e_a"), col("e_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked: candidates are
+    * pairs co-bucketed in ANY of `nTables` independent sign-bit LSH
+    * tables (one posexplode pass + one self-equi-join on (tbl,
+    * bucket)), verified with exact cosine. No cross join anywhere —
+    * cost is bounded by in-bucket pair counts, and recall at high
+    * thresholds comes from the table count: a pair at angle θ
+    * co-buckets per table with prob (1 − θ/π)^nPlanes, and misses all
+    * tables with the nTables-th power of the complement.
+    */
+  def cosineNearDupPairsBlocked(
+      vectors: DataFrame, dim: Int, threshold: Double,
+      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val bucketed = bucketedAll(
+      vectors.select(col("vec_id"), col("embedding")), dim, nPlanes, nTables)
+      .select(col("tbl"), col("bucket"), col("vec_id"))
+    val l = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+    val r = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
+    val cands = l.join(r, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    cands.join(a, "id_a").join(b, "id_b")
       .withColumn("sim", cosine(col("e_a"), col("e_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
