@@ -24,6 +24,7 @@ object SparkEntry {
     registry.SimilarityQueries,
     registry.MmStreamQueries,
     registry.OpsQueries,
+    registry.SourceQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

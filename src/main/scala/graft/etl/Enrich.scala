@@ -23,15 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Enrich {
 
-  case class CompanyKey(id: String, normalized_name: String, filing_count: Long)
+  /** `dockets` is the company's distinct docket list — the aggregation
+    * context the reference folds into the LLM prompt
+    * (`code/enrich_data.py:170-173`, the A6 set feeding the effect).
+    */
+  case class CompanyKey(
+      id: String, normalized_name: String, filing_count: Long,
+      dockets: Seq[String])
   case class Enriched(
       id: String, normalized_name: String, filing_count: Long,
       is_active: Boolean, activity_signal: String, industry_segment: String,
-      product_summary: String, market_position: String)
+      product_summary: String, market_position: String, docket_context: String)
 
   /** Deterministic offline stand-in for the LLM call: labels derived
     * from md5(normalized_name) nibbles (ascii mod), so any engine can
-    * reproduce them.
+    * reproduce them. The docket context flows into the output the way
+    * the reference's prompt consumes its docket list — sorted/distinct
+    * so the result is partitioning-independent.
     */
   def stub(key: CompanyKey): Enriched = {
     val md = MessageDigest.getInstance("MD5")
@@ -39,13 +47,16 @@ object Enrich {
       .map("%02x".format(_)).mkString
     val seg = IpesSchemas.IndustrySegments(hex.charAt(0).toInt % IpesSchemas.IndustrySegments.length)
     val pos = IpesSchemas.MarketPositions(hex.charAt(1).toInt % IpesSchemas.MarketPositions.length)
+    val dockets = key.dockets.distinct.sorted
     Enriched(
       key.id, key.normalized_name, key.filing_count,
       is_active = hex.charAt(2).toInt % 2 == 0,
-      activity_signal = s"${key.filing_count} filings on record",
+      activity_signal =
+        s"${key.filing_count} filings on record across ${dockets.size} dockets",
       industry_segment = seg,
       product_summary = s"Provider of ${key.normalized_name} services",
-      market_position = pos)
+      market_position = pos,
+      docket_context = dockets.mkString("; "))
   }
 
   /** Enrich all companies through the mapPartitions effect stage.
@@ -93,6 +104,9 @@ object Enrich {
 
   /** J2: cache probe → enrich only the misses → union write-back shape.
     * Returns the enriched frame plus the updated cache contents.
+    * `companies` must carry a `dockets` array column (the A6 context);
+    * cache rows store the full enrichment output including the
+    * docket-derived fields, so hits never recompute context.
     */
   def enrichWithCache(
       spark: SparkSession,
@@ -102,13 +116,15 @@ object Enrich {
     val hits = companies.join(broadcast(cache), Seq("normalized_name"), "inner")
     val misses = companies.join(broadcast(cache.select("normalized_name")),
         Seq("normalized_name"), "left_anti")
-      .select(col("id"), col("normalized_name"), col("filing_count"))
+      .select(col("id"), col("normalized_name"), col("filing_count"),
+        col("dockets"))
       .as[CompanyKey]
     val fresh = enrichAll(misses).toDF()
     val all = hits.select(fresh.columns.map(col).toSeq: _*).unionByName(fresh)
     val newCache = cache.unionByName(
       fresh.select("normalized_name", "is_active", "activity_signal",
-        "industry_segment", "product_summary", "market_position"))
+        "industry_segment", "product_summary", "market_position",
+        "docket_context"))
     (all, newCache)
   }
 }

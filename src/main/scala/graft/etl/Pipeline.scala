@@ -57,11 +57,23 @@ object Pipeline {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL(
             "normalized_name STRING, is_active BOOLEAN, activity_signal STRING, " +
-              "industry_segment STRING, product_summary STRING, market_position STRING"))
+              "industry_segment STRING, product_summary STRING, market_position STRING, " +
+              "docket_context STRING"))
       }
     val cacheHits = companies.join(cache0.select("normalized_name"),
       Seq("normalized_name"), "left_semi").count()
-    val (enriched, cache1) = Enrich.enrichWithCache(spark, companies, cache0)
+    // A6 context: the distinct docket set per company feeds the
+    // enrichment effect (the reference folds it into the LLM prompt).
+    val companyDockets = filings
+      .groupBy(col("company_id"))
+      .agg(array_sort(collect_set(col("docket_number"))).as("dockets"))
+    val companiesWithContext = companies
+      .join(companyDockets, companies("id") === companyDockets("company_id"), "left")
+      .drop("company_id")
+      .withColumn("dockets",
+        coalesce(col("dockets"), array().cast("array<string>")))
+    val (enriched, cache1) =
+      Enrich.enrichWithCache(spark, companiesWithContext, cache0)
     enriched.write.mode("overwrite").parquet(s"${conf.outDir}/enriched")
     // materialize before swapping the cache dir: every frame above
     // still holds a lazy plan over the OLD cache files

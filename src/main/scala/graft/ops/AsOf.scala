@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * sides, one window sorted by (ts, side) per key carrying the last
   * seen right payload forward, then keep left rows. Cost: ONE shuffle
   * on the key (same as any join) + an in-partition sort — no range
-  * explosion, no per-row probing. Right rows must be unique per
-  * (key, ts); dedupe upstream if not.
+  * explosion, no per-row probing.
+  *
+  * Right rows colliding on (key, ts) are resolved DETERMINISTICALLY
+  * before the union: one aggregation keeps the max payload struct per
+  * (key, ts). Without this, "the last seen snapshot" at a collision
+  * would depend on sort-tie order — i.e. on partitioning.
   */
 object AsOf {
 
@@ -27,12 +31,20 @@ object AsOf {
       left: DataFrame, right: DataFrame,
       key: String, tsCol: String,
       payloadCols: Seq[String]): DataFrame = {
+    // enforce the unique-(key, ts) precondition: max payload struct per
+    // snapshot instant (struct comparison = lexicographic over fields,
+    // so the pick is total and partitioning-independent)
+    val rightUnique = right
+      .groupBy(col(key), col(tsCol))
+      .agg(max(struct(payloadCols.map(col): _*)).as("_p"))
+      .select(Seq(col(key), col(tsCol)) ++
+        payloadCols.map(c => col(s"_p.$c").as(c)): _*)
     val leftTagged = left
       .withColumn("_side", lit(1))
       .select(Seq(col(key), col(tsCol), col("_side")) ++
         left.columns.filterNot(c => c == key || c == tsCol).map(col) ++
         payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_p_$c")): _*)
-    val rightTagged = right
+    val rightTagged = rightUnique
       .withColumn("_side", lit(0))
       .select(Seq(col(key), col(tsCol), col("_side")) ++
         left.columns.filterNot(c => c == key || c == tsCol)

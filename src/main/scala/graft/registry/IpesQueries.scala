@@ -84,15 +84,20 @@ object IpesQueries extends QueryRegistry {
 
     "enrich_stub" -> ((s, dir) => {
       import s.implicits._
-      val comps = IpesPipeline.structure(bronzeFromOrders(s, dir),
-        ratioThreshold = 2.0, withId = false).companies
-      val keys = comps.select(
-        col("normalized_name").as("id"), col("normalized_name"),
-        col("filing_count")).as[Enrich.CompanyKey]
+      val st = IpesPipeline.structure(bronzeFromOrders(s, dir),
+        ratioThreshold = 2.0, withId = false)
+      // A6 context into the effect: distinct dockets per company, the
+      // aggregation the reference feeds its LLM prompt.
+      val dockets = st.filings.groupBy(col("company_id"))
+        .agg(array_sort(collect_set(col("docket_number"))).as("dockets"))
+      val keys = st.companies
+        .join(dockets, st.companies("normalized_name") === dockets("company_id"))
+        .select(col("normalized_name").as("id"), col("normalized_name"),
+          col("filing_count"), col("dockets")).as[Enrich.CompanyKey]
       Enrich.enrichAll(keys).toDF()
         .select("normalized_name", "filing_count", "is_active",
           "activity_signal", "industry_segment", "product_summary",
-          "market_position")
+          "market_position", "docket_context")
     }),
   )
 
@@ -195,16 +200,25 @@ object IpesQueries extends QueryRegistry {
       |  string_split(w.document_urls, '; ')[1] AS primary_doc_url
       |FROM wc w JOIN gated g ON w.normalized_name = g.normalized_name""".stripMargin,
 
-    "enrich_stub" -> s"""$structuredCte
-      |SELECT normalized_name, filing_count,
-      |  ascii(substr(md5(normalized_name), 3, 1)) % 2 = 0 AS is_active,
-      |  filing_count || ' filings on record' AS activity_signal,
+    "enrich_stub" -> s"""$structuredCte,
+      |dockets AS (
+      |  SELECT g.normalized_name,
+      |    COUNT(DISTINCT w.docket_number) AS n_dockets,
+      |    string_agg(DISTINCT w.docket_number, '; ' ORDER BY w.docket_number)
+      |      AS docket_context
+      |  FROM wc w JOIN gated g ON w.normalized_name = g.normalized_name
+      |  GROUP BY g.normalized_name)
+      |SELECT g.normalized_name, g.filing_count,
+      |  ascii(substr(md5(g.normalized_name), 3, 1)) % 2 = 0 AS is_active,
+      |  g.filing_count || ' filings on record across ' || d.n_dockets || ' dockets'
+      |    AS activity_signal,
       |  (['UCaaS','CCaaS','CPaaS','Carrier','Reseller','Enterprise IT','Healthcare',
       |    'Financial Services','Government','Consulting/Legal','Unknown'])[
-      |    ascii(substr(md5(normalized_name), 1, 1)) % 11 + 1] AS industry_segment,
-      |  'Provider of ' || normalized_name || ' services' AS product_summary,
+      |    ascii(substr(md5(g.normalized_name), 1, 1)) % 11 + 1] AS industry_segment,
+      |  'Provider of ' || g.normalized_name || ' services' AS product_summary,
       |  (['Enterprise','Mid-Market','SMB','Startup','Unknown'])[
-      |    ascii(substr(md5(normalized_name), 2, 1)) % 5 + 1] AS market_position
-      |FROM gated""".stripMargin,
+      |    ascii(substr(md5(g.normalized_name), 2, 1)) % 5 + 1] AS market_position,
+      |  d.docket_context
+      |FROM gated g JOIN dockets d ON g.normalized_name = d.normalized_name""".stripMargin,
   )
 }

@@ -1,0 +1,103 @@
+package graft.registry
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Tables
+import graft.functions.OracleSafe._
+import graft.sources.{Readers, Writers}
+
+/** S-family sources/sinks under the driver's oracle gate: write through
+  * the engine's writers into a fresh temp dir, read back through the
+  * schema-explicit readers, and compare against the identity oracle —
+  * the round-trip IS the assertion that serialization is lossless.
+  * `s8_run_stats_trend` additionally replays the reference Monitoring
+  * page's read-back analytics over the append-history sink
+  * (`dashboard/pages/2_📊_Monitoring.py:24-100`: per-run status table +
+  * valid/invalid metrics, newest first).
+  */
+object SourceQueries extends QueryRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S6 write (JSON lines) -> S3-family schema-explicit tolerant read.
+    "s6_s3_json_roundtrip" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_json_rt").toString + "/docs"
+      Writers.json(Tables.documents(s, dir), out)
+      Readers.jsonLines(s,
+        StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"),
+        out)
+        .drop("_corrupt_record")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
+    // S7 column-ordered CSV write -> S4 headered schema-explicit read.
+    // The write order is deliberately non-natural (DictWriter-fieldnames
+    // semantics); the read schema matches the file order, the final
+    // select restores natural order for the oracle.
+    "s7_s4_csv_roundtrip" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_csv_rt").toString + "/cust"
+      Writers.csvOrdered(Tables.customer(s, dir),
+        Seq("c_mktsegment", "c_custkey", "c_name", "c_acctbal", "c_nationkey"), out)
+      Readers.csv(s,
+        StructType.fromDDL(
+          "c_mktsegment STRING, c_custkey BIGINT, c_name STRING, " +
+            "c_acctbal DOUBLE, c_nationkey INT"),
+        out)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    }),
+
+    // S8 append-history sink + Monitoring read-back: three runs sliced
+    // deterministically from events, appended as run_ts partitions,
+    // then the success-rate/trend table newest-run-first.
+    "s8_run_stats_trend" -> ((s, dir) => {
+      val sink = Files.createTempDirectory("graft_run_history").toString + "/run_stats"
+      val e = Tables.events(s, dir)
+      (0 until 3).foreach { r =>
+        val stats = e.filter(col("event_id") % 3 === r).agg(
+          count(lit(1)).as("total_processed"),
+          sum(when(col("event_type") =!= "error", 1).otherwise(0)).as("valid_records"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("invalid_records"),
+          decSum(col("value")).as("duration_proxy"))
+        Writers.appendHistory(stats, sink, s"run_${r + 1}")
+      }
+      // run history is one row per run — a single-partition window over
+      // it is the correct scale shape (|runs|, not |events|).
+      val w = Window.orderBy(col("run_ts"))
+      s.read.parquet(sink)
+        .withColumn("success_rate",
+          round(col("valid_records").cast("double") / col("total_processed"), 6))
+        .withColumn("valid_delta",
+          col("valid_records") - lag(col("valid_records"), 1).over(w))
+        .select(col("run_ts").cast("string").as("run_ts"),
+          col("total_processed"), col("valid_records"), col("invalid_records"),
+          col("duration_proxy"), col("success_rate"), col("valid_delta"))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "s6_s3_json_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "s7_s4_csv_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+
+    "s8_run_stats_trend" -> """
+      |WITH runs AS (
+      |  SELECT 'run_' || (event_id % 3 + 1) AS run_ts,
+      |    COUNT(*) AS total_processed,
+      |    CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS valid_records,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS invalid_records,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS duration_proxy
+      |  FROM events GROUP BY 1)
+      |SELECT run_ts, total_processed, valid_records, invalid_records,
+      |  duration_proxy,
+      |  round(CAST(valid_records AS DOUBLE) / total_processed, 6) AS success_rate,
+      |  valid_records - lag(valid_records) OVER (ORDER BY run_ts) AS valid_delta
+      |FROM runs""".stripMargin,
+  )
+}

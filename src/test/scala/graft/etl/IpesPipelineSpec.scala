@@ -107,21 +107,37 @@ class IpesPipelineSpec extends AnyFunSuite {
     assert(m("n_invalid") === 0L)
   }
 
+  private def withDockets(companies: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val dockets = out.filings.groupBy(col("company_id"))
+      .agg(array_sort(collect_set(col("docket_number"))).as("dockets"))
+    companies.join(dockets, companies("id") === dockets("company_id"), "left")
+      .drop("company_id")
+      .withColumn("dockets", coalesce(col("dockets"), array().cast("array<string>")))
+  }
+
   test("enrichment stub is deterministic and cache path short-circuits") {
     import spark.implicits._
-    val keys = out.companies
-      .select($"id", $"normalized_name", $"filing_count").as[Enrich.CompanyKey]
+    val keys = withDockets(out.companies)
+      .select($"id", $"normalized_name", $"filing_count", $"dockets")
+      .as[Enrich.CompanyKey]
     val first = Enrich.enrichAll(keys).collect().sortBy(_.normalized_name)
     val second = Enrich.enrichAll(keys).collect().sortBy(_.normalized_name)
     assert(first.toSeq === second.toSeq)
     assert(first.forall(e => IpesSchemas.IndustrySegments.contains(e.industry_segment)))
+    // the A6 docket context reaches the stub output
+    assert(first.forall(_.docket_context === "INBOX-52.15"))
+    assert(first.forall(_.activity_signal.endsWith("across 1 dockets")))
     // cache with one pre-enriched row: that row must come back unchanged
-    val cache = Seq(("test telecom", false, "cached", "Unknown", "cached summary", "SMB"))
+    val cache = Seq(("test telecom", false, "cached", "Unknown", "cached summary",
+        "SMB", "CACHED-DOCKET"))
       .toDF("normalized_name", "is_active", "activity_signal",
-        "industry_segment", "product_summary", "market_position")
-    val (all, newCache) = Enrich.enrichWithCache(spark, out.companies, cache)
+        "industry_segment", "product_summary", "market_position", "docket_context")
+    val (all, newCache) =
+      Enrich.enrichWithCache(spark, withDockets(out.companies), cache)
     val tt = all.filter($"normalized_name" === "test telecom").collect()(0)
     assert(tt.getAs[String]("activity_signal") === "cached")
+    assert(tt.getAs[String]("docket_context") === "CACHED-DOCKET")
     assert(all.count() === 3)
     assert(newCache.count() === 3) // cache grew by the two misses
   }

@@ -29,4 +29,23 @@ class AsOfSpec extends AnyFunSuite {
       4L -> Some(3.0),   // superseded by the later snapshot
       5L -> None))       // other key has no snapshots
   }
+
+  test("colliding right timestamps resolve deterministically to the max payload") {
+    val events = Seq((1L, 10L, 250L), (2L, 10L, 350L))
+      .toDF("event_id", "user_id", "us")
+    // three snapshots at the SAME (user, ts): any partitioning must
+    // yield the max payload struct, never an arbitrary survivor
+    val snaps = Seq(
+      (10L, 200L, 5.0), (10L, 200L, 9.0), (10L, 200L, 7.0),
+      (10L, 300L, 1.0))
+      .toDF("user_id", "us", "snap_value")
+      .repartition(4) // scramble row order across partitions
+    val got = AsOf.asofJoin(events, snaps, "user_id", "us", Seq("snap_value"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("snap_value"))
+      .toMap
+    assert(got === Map(
+      1L -> 9.0,  // max of the colliding 200-ts snapshots
+      2L -> 1.0)) // later snapshot supersedes regardless
+  }
 }

@@ -32,6 +32,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.select("company_name").collect()(0).getString(0) === "Acme LLC")
   }
 
+  test("S3 jsonArray ingests the reference's real monitoring artifacts") {
+    // the reference ships whole-file JSON arrays with nested structs
+    // (run_stats.json: validation_report + outputs map) — the actual
+    // artifact its Monitoring page loads, not a synthetic fixture.
+    import org.apache.spark.sql.types._
+    val runSchema = StructType(Seq(
+      StructField("status", StringType),
+      StructField("timestamp", StringType),
+      StructField("total_duration_seconds", DoubleType),
+      StructField("validation_report", StructType(Seq(
+        StructField("timestamp", StringType),
+        StructField("total_processed", LongType),
+        StructField("valid_records", LongType),
+        StructField("invalid_records", LongType),
+        StructField("error_samples", ArrayType(StringType))))),
+      StructField("outputs", MapType(StringType, StringType))))
+    val runs = Readers.jsonArray(spark,
+      runSchema, "/root/reference/data/monitoring/run_stats.json").cache()
+    assert(runs.count() === 6)
+    assert(runs.filter(col("_corrupt_record").isNotNull).count() === 0)
+    // nested fields parse: every run validated 178 records, 0 invalid
+    val reports = runs.select("validation_report.total_processed",
+      "validation_report.invalid_records").collect()
+    assert(reports.forall(r => r.getLong(0) === 178L && r.getLong(1) === 0L))
+    // W5 read-back: latest run by timestamp is a success
+    val latest = runs.orderBy(col("timestamp").desc).limit(1).collect()(0)
+    assert(latest.getAs[String]("status") === "success")
+
+    val valSchema = StructType(Seq(
+      StructField("timestamp", StringType),
+      StructField("total_processed", LongType),
+      StructField("valid_records", LongType),
+      StructField("invalid_records", LongType),
+      StructField("error_samples", ArrayType(StringType))))
+    val vals = Readers.jsonArray(spark,
+      valSchema, "/root/reference/data/monitoring/validation_stats.json").cache()
+    assert(vals.count() > 0)
+    assert(vals.filter(col("_corrupt_record").isNotNull).count() === 0)
+  }
+
   test("S6/S7 roundtrip: csv with fixed column order, json lines") {
     val dir = tmp("rt")
     val df = Seq(("a", 1L, "2024-01-01"), ("b", 2L, "2024-02-01"))
