@@ -28,6 +28,7 @@ object Bench {
     "ipes_companies_full",
     "dedup_ngram_jaccard_capped",
     "dedup_corpus_composed",
+    "corpus_prep",
     "dedup_minhash",
     "emb_cosine_topk",
     "emb_near_dup",

@@ -201,13 +201,28 @@ object ScaleDedup {
     val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
     val cands = minhashCandidatesFromIndex(idx, k, bands)
     val verified = verifyJaccardPairs(cands, idx, threshold)
+    assignCanonical(df.select(col(idCol).as("id")), verified, driverCcThreshold)
+  }
+
+  /** Component-canonical assignment shared by every near-dup family:
+    * connected components over (id_a, id_b) duplicate pairs, canonical
+    * = numeric min per component, singletons map to themselves.
+    * Duplicate edges are tiny relative to corpus rows, so up to
+    * `driverCcThreshold` of them run driver union-find (one bounded
+    * collect); overflow falls back to distributed min-label
+    * propagation, whose mapping is NOT broadcast (it can exceed driver
+    * memory by construction).
+    */
+  def assignCanonical(
+      ids: DataFrame, pairs: DataFrame,
+      driverCcThreshold: Int = 1000000): DataFrame = {
     // zero-pad ids: the CC machinery canonicalizes by MIN STRING, and
     // lexicographic order must equal numeric order
-    val edges = verified.select(
+    val edges = pairs.select(
       format_string("%020d", col("id_a")).as("src"),
       format_string("%020d", col("id_b")).as("dst"))
     val sample = edges.limit(driverCcThreshold + 1).collect()
-    val spark = df.sparkSession
+    val spark = ids.sparkSession
     import spark.implicits._
     val cc =
       if (sample.length <= driverCcThreshold) {
@@ -216,10 +231,38 @@ object ScaleDedup {
             .toSeq.toDF("cid", "component"))
       } else FuzzyDedup.connectedComponents(edges)
         .withColumnRenamed("id", "cid")
-    df.select(col(idCol).as("id"))
-      .join(cc, format_string("%020d", col("id")) === col("cid"), "left")
+    ids.join(cc, format_string("%020d", col("id")) === col("cid"), "left")
       .select(col("id"),
         coalesce(col("component").cast("long"), col("id")).as("canonical_id"))
+  }
+
+  /** The end-to-end training-corpus preparation chain — what a 100 TB
+    * pipeline actually runs before tokenization:
+    *
+    *   quality + language gate  (pure column predicates, inside the
+    *                             scan's codegen — no shuffle)
+    *   → exact dedup            (keep min id per content fingerprint —
+    *                             one hash shuffle)
+    *   → near-dup dedup         (LSH → candidate-bounded verify → CC —
+    *                             [[nearDupDedup]]'s shuffle budget)
+    *
+    * Returns the ids of the surviving documents. Stage order is the
+    * cost order: each stage shrinks the corpus the next (more
+    * expensive) stage sees.
+    */
+  def prepareCorpus(
+      df: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.5, lang: String = "en",
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val gated = df.filter(
+      TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        TextAnalysis.langId(col(textCol)) === lang)
+    val fp = gated.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+    val keep = fp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    val exactKept = fp.join(keep, Seq("_fp", idCol), "left_semi").drop("_fp")
+    nearDupDedup(exactKept, idCol, textCol, n, threshold)
+      .filter(col("id") === col("canonical_id"))
+      .select(col("id").as("doc_id"))
   }
 
   /** Hamming distance between two simhash fingerprints. */

@@ -70,6 +70,12 @@ object ScaleDedupQueries extends QueryRegistry {
     "dedup_corpus_composed" -> ((s, dir) =>
       ScaleDedup.nearDupDedup(withNearDups(s, dir), "doc_id", "text",
         n = 3, threshold = 0.6)),
+
+    // the whole training-corpus prep chain: quality/language gate ->
+    // exact dedup -> near-dup dedup -> surviving doc ids.
+    "corpus_prep" -> ((s, dir) =>
+      ScaleDedup.prepareCorpus(withNearDups(s, dir), "doc_id", "text",
+        minQuality = 0.5, lang = "en", n = 3, threshold = 0.6)),
   )
 
   private val exactDupsSql =
@@ -84,15 +90,18 @@ object ScaleDedupQueries extends QueryRegistry {
 
   /** Shared oracle scaffolding: shingle sets, sizes, pairwise
     * intersections (optionally doc-frequency-capped), Jaccard pairs.
+    * `src` names the (doc_id, text) relation the pairs are computed
+    * over.
     */
-  private def jaccardPairsSql(threshold: Double, maxDocFreq: Long): String = {
+  private def jaccardPairsSql(
+      threshold: Double, maxDocFreq: Long, src: String = "docs"): String = {
     val interFrom =
       if (maxDocFreq > 0)
         s"""FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            |  JOIN freq f ON f.shingle = a.shingle AND f.dfreq <= $maxDocFreq""".stripMargin
       else
         "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id"
-    s"""tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM docs),
+    s"""tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM $src),
        |sh AS (
        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
        |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
@@ -142,5 +151,42 @@ object ScaleDedupQueries extends QueryRegistry {
       |  UNION
       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
       |SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
+
+    // full prep chain: quality+lang gate -> exact dedup (min id per
+    // fingerprint) -> near-dup transitive closure -> surviving ids.
+    "corpus_prep" -> s"""
+      |WITH RECURSIVE docs AS ($nearDupsSql),
+      |q AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS ntok,
+      |      CAST(length(text) AS DOUBLE) AS nchars,
+      |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+      |      CAST(${TextQueries.hits("en")} AS DOUBLE) AS h
+      |    FROM docs)
+      |  WHERE round(
+      |      least(ntok / 100.0, 1.0) * 0.3 +
+      |      (CASE WHEN nchars / greatest(ntok, 1.0) BETWEEN 3.0 AND 10.0
+      |            THEN 1.0 ELSE 0.3 END) * 0.2 +
+      |      alpha / greatest(nchars, 1.0) * 0.3 +
+      |      least(h / 3.0, 1.0) * 0.2, 6) >= 0.5
+      |    AND ${TextQueries.langCase} = 'en'),
+      |fpd AS (SELECT doc_id, text,
+      |  md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')) AS f
+      |  FROM q),
+      |keepx AS (SELECT f, MIN(doc_id) AS doc_id FROM fpd GROUP BY f),
+      |ek AS (SELECT fpd.doc_id, fpd.text FROM fpd JOIN keepx USING (f, doc_id)),
+      |${jaccardPairsSql(0.6, 0, src = "ek")},
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION
+      |  SELECT id_b AS a, id_a AS b FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM ek
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      |SELECT id AS doc_id FROM (
+      |  SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+      |WHERE id = c""".stripMargin,
   )
 }

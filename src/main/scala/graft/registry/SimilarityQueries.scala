@@ -45,6 +45,12 @@ object SimilarityQueries extends QueryRegistry {
     "ann_ivf_topk" -> ((s, dir) =>
       Knn.ivfTopK(Tables.embeddings(s, dir), queriesDf(s, dir),
         nCentroids = 16, nProbe = 4, k = 5, lloydIters = 1)),
+
+    // semantic dedup composition: blocked cosine pairs -> connected
+    // components -> canonical per vector.
+    "emb_semantic_dedup" -> ((s, dir) =>
+      Knn.semanticDedup(withPerturbed(s, dir), dim = 64, threshold = 0.99,
+        nPlanes = 8, nTables = 4)),
   )
 
   private val dotSql =
@@ -80,5 +86,27 @@ object SimilarityQueries extends QueryRegistry {
       |  ${cosineSql("a.e", "b.e")} AS sim
       |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
       |WHERE ${cosineSql("a.e", "b.e")} >= 0.99""".stripMargin,
+
+    // transitive closure over the >= 0.99 cosine pairs; canonical =
+    // numeric min per component, singletons map to themselves.
+    "emb_semantic_dedup" -> s"""
+      |WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |pert AS (SELECT vec_id + 100000 AS vec_id,
+      |           list_transform(e, x -> x * 1.0001 + 0.001) AS e
+      |         FROM base WHERE vec_id % 9 = 0),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+      |  WHERE ${cosineSql("a.e", "b.e")} >= 0.99),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION
+      |  SELECT id_b AS a, id_a AS b FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT vec_id, vec_id FROM allv
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      |SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
   )
 }

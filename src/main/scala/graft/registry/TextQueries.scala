@@ -49,13 +49,16 @@ object TextQueries extends QueryRegistry {
     }),
   )
 
-  private def hits(lang: String): String = {
+  // shared with ScaleDedupQueries' corpus_prep oracle — both SQL twins
+  // must express the same quality/langid spec, so they reference one
+  // fragment.
+  private[registry] def hits(lang: String): String = {
     val words = TextAnalysis.LangStopwords.toMap.apply(lang)
       .map(w => s"'$w'").mkString(",")
     s"len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'), [$words]))"
   }
 
-  private val langCase: String = {
+  private[registry] val langCase: String = {
     val langs = TextAnalysis.LangStopwords.map(_._1)
     val branches = langs.map { l =>
       val geqAll = langs.filter(_ != l)

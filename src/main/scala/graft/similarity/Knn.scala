@@ -43,21 +43,30 @@ object Knn {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for
-    * (table, plane, dim): xxhash64 scaled into [-0.5, 0.5). Seeded by
-    * constants only, so every executor regenerates identical planes —
-    * no driver state to ship. `table` selects an independent plane set
-    * (multi-table LSH probing).
+  /** Deterministic pseudo-random hyperplane for (table, plane):
+    * splitmix64 of the (table, plane, dim) triple scaled into
+    * [-0.5, 0.5), computed ONCE on the driver and shipped as a literal
+    * array. The per-row cost at scan time is one multiply-add per
+    * dimension inside codegen — not a hash call per (row, plane, dim),
+    * which at 100 TB × 32 planes × 64 dims would dominate the scan.
+    * `table` selects an independent plane set (multi-table probing).
     */
-  private def planeComponent(table: Int, plane: Int, d: Column): Column =
-    (pmod(xxhash64(lit(table), lit(plane), d), lit(100000L)).cast("double") / 100000.0) - 0.5
+  private def planeVector(table: Int, plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      var z = table.toLong * 0x9E3779B97F4A7C15L +
+        plane.toLong * 0xBF58476D1CE4E5B9L + d.toLong
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (java.lang.Math.floorMod(z, 100000L).toDouble / 100000.0) - 0.5
+    }
 
   /** Sign-bit bucket id from `nPlanes` hyperplanes of table `table`. */
   def lshBucket(emb: Column, dim: Int, nPlanes: Int, table: Int = 0): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
-        zip_with(emb, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") * planeComponent(table, p, i)),
+        zip_with(emb, typedLit(planeVector(table, p, dim)),
+          (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
@@ -191,6 +200,23 @@ object Knn {
     * co-buckets per table with prob (1 − θ/π)^nPlanes, and misses all
     * tables with the nTables-th power of the complement.
     */
+  /** Embedding-space semantic dedup: blocked cosine near-dup pairs →
+    * connected components → canonical (min id) per duplicate cluster.
+    * Returns (id, canonical_id) for every vector; `filter(id ===
+    * canonical_id)` is the semantically-deduplicated corpus. The same
+    * composition as [[graft.dedup.ScaleDedup.nearDupDedup]] with the
+    * candidate stage swapped from MinHash to sign-bit LSH — the
+    * near-dup primitive an embedding-based training pipeline runs.
+    */
+  def semanticDedup(
+      vectors: DataFrame, dim: Int, threshold: Double,
+      nPlanes: Int = 8, nTables: Int = 4,
+      driverCcThreshold: Int = 1000000): DataFrame = {
+    val pairs = cosineNearDupPairsBlocked(vectors, dim, threshold, nPlanes, nTables)
+    graft.dedup.ScaleDedup.assignCanonical(
+      vectors.select(col("vec_id").as("id")), pairs, driverCcThreshold)
+  }
+
   def cosineNearDupPairsBlocked(
       vectors: DataFrame, dim: Int, threshold: Double,
       nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
