@@ -22,4 +22,11 @@ object GraftFunctions {
   def roSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(RatcliffObershelp(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `dot_product(a, b)` — codegen'd numeric-array dot product, the
+    * similarity hot loop.
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

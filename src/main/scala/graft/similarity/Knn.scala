@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
 object Knn {
 
   /** Dot product of two float-array columns in double precision
-    * (index order, so bit-deterministic).
+    * (index order, so bit-deterministic). Backed by the codegen'd
+    * [[graft.functions.DotProduct]] expression — a primitive loop in
+    * whole-stage codegen instead of a per-element interpreted lambda.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -64,10 +65,7 @@ object Knn {
   /** Sign-bit bucket id from `nPlanes` hyperplanes of table `table`. */
   def lshBucket(emb: Column, dim: Int, nPlanes: Int, table: Int = 0): Column =
     (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, typedLit(planeVector(table, p, dim)),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(emb, typedLit(planeVector(table, p, dim)))
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
