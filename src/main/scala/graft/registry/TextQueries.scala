@@ -35,6 +35,40 @@ object TextQueries extends QueryRegistry {
         col("doc_id"),
         size(TextAnalysis.winnowFingerprints(col("text"))).as("n_fingerprints"))),
 
+    // winnowing with md5 rolling hashes — the oracle-checkable twin of
+    // text_winnow_fingerprint (lexicographic min = numeric min on hex).
+    "text_winnow_md5" -> ((s, dir) => {
+      val fps = TextAnalysis.winnowFingerprintsMd5(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(fps).as("n_fingerprints"),
+        try_element_at(fps, lit(1)).as("min_fp"),
+        try_element_at(fps, size(fps)).as("max_fp"))
+    }),
+
+    // reproducible hash-range train/val split (~90% train).
+    "split_train_val" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.hashSplit(col("doc_id")).as("split"))),
+
+    // corpus reporting: per-language doc counts, token volume, mean
+    // quality — the dataset card a training pipeline emits. Sums go
+    // through decimal casts so the stats are partitioning-independent.
+    "corpus_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      Tables.documents(s, dir)
+        .select(
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.tokenCount(col("text")).as("ntok"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .groupBy(col("lang_pred"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("total_tokens"),
+          round(sum(col("q").cast(DecimalType(18, 6))).cast(DoubleType) /
+            count(lit(1)), 6).as("mean_quality"))
+    }),
+
     // A12 composition at scale: top terms per source via explode +
     // count + per-group window rank.
     "text_top_terms" -> ((s, dir) => {
@@ -97,6 +131,51 @@ object TextQueries extends QueryRegistry {
       |SELECT doc_id,
       |  md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fp
       |FROM documents""".stripMargin,
+
+    "text_winnow_md5" -> """
+      |WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_transform(generate_series(1, len(t) - 2),
+      |                i -> md5(array_to_string(t[i:i+2], ' '))) END AS hs
+      |  FROM tok),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) < 4 THEN list_sort(list_distinct(hs))
+      |         ELSE list_sort(list_distinct(list_transform(
+      |                generate_series(1, len(hs) - 3),
+      |                i -> list_min(hs[i:i+3])))) END AS fps
+      |  FROM h)
+      |SELECT doc_id, len(fps) AS n_fingerprints,
+      |  fps[1] AS min_fp, fps[len(fps)] AS max_fp
+      |FROM fp""".stripMargin,
+
+    "split_train_val" -> """
+      |SELECT doc_id,
+      |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666'
+      |       THEN 'train' ELSE 'val' END AS split
+      |FROM documents""".stripMargin,
+
+    "corpus_stats" -> s"""
+      |WITH scored AS (
+      |  SELECT $langCase AS lang_pred,
+      |    len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok,
+      |    (SELECT round(
+      |      least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3 +
+      |      (CASE WHEN CAST(length(text) AS DOUBLE) /
+      |              greatest(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 1.0)
+      |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.2 +
+      |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+      |        greatest(CAST(length(text) AS DOUBLE), 1.0) * 0.3 +
+      |      least(CAST(${hits("en")} AS DOUBLE) / 3.0, 1.0) * 0.2, 6)) AS q
+      |  FROM documents)
+      |SELECT lang_pred, COUNT(*) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+      |  round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality
+      |FROM scored GROUP BY lang_pred""".stripMargin,
 
     "text_top_terms" -> """
       |WITH tok AS (

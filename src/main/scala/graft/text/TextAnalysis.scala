@@ -86,6 +86,30 @@ object TextAnalysis {
           i => array_min(slice(hashes, i + 1, lit(w)))))))
   }
 
+  /** Oracle-checkable winnowing variant: md5 hex strings as the rolling
+    * hashes, lexicographic min per window (hex order = numeric order
+    * for same-length lowercase hex). Same substring-sharing guarantee
+    * as [[winnowFingerprints]]; the xxhash64 form is the scale path
+    * (8-byte vs 32-byte fingerprints).
+    */
+  def winnowFingerprintsMd5(c: Column, n: Int = 3, w: Int = 4): Column = {
+    val hashes = transform(shingles(c, n), s => md5(s))
+    when(size(hashes) < w, array_sort(array_distinct(hashes)))
+      .otherwise(array_sort(array_distinct(
+        transform(sequence(lit(0), size(hashes) - w),
+          i => array_min(slice(hashes, i + 1, lit(w)))))))
+  }
+
+  /** Deterministic reproducible train/validation split: hash-range on
+    * md5 of the id — stable under any partitioning, any engine, and
+    * re-runs over a growing corpus (a doc's split never changes). The
+    * hex threshold sets the fraction ('e6666666' ≈ 0xe6/256 ≈ 90%
+    * train). No shuffle, no sampling state.
+    */
+  def hashSplit(id: Column, hexThreshold: String = "e6666666"): Column =
+    when(md5(id.cast("string").cast("binary")) < hexThreshold, "train")
+      .otherwise("val")
+
   /** Word n-gram shingles (empty below n tokens). */
   def shingles(c: Column, n: Int): Column = {
     val t = tokens(c)
