@@ -55,6 +55,30 @@ object Multimodal {
     }
   }
 
+  case class Embedded(doc_id: Long, embedding: Seq[Double])
+
+  /** STUB feature extraction — a deterministic `dim`-component vector
+    * from md5 hex nibbles, through the same mapPartitions codec seam as
+    * [[decodeImages]] (a real implementation runs the vision encoder
+    * here, batched per partition). Downstream similarity/ANN operators
+    * consume the output exactly as they consume text embeddings — this
+    * is the decode → feature-extract → index chain of a multimodal
+    * training pipeline.
+    */
+  def embedStub(ds: Dataset[BinDoc], dim: Int = 8): Dataset[Embedded] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // real impl: load the encoder once per partition here
+      val md = MessageDigest.getInstance("MD5")
+      it.map { d =>
+        md.reset()
+        val hex = md.digest(d.content).map("%02x".format(_)).mkString
+        Embedded(d.doc_id,
+          (0 until dim).map(i => (hex.charAt(i).toInt % 16) / 15.0 - 0.5))
+      }
+    }
+  }
+
   /** Resize plan: target dims preserving the stub's aspect ratio —
     * column math over decoded metadata (the real resize is per-binary
     * work behind the same decode seam).

@@ -44,6 +44,16 @@ object MmStreamQueries extends QueryRegistry {
         stride = 5)
     }),
 
+    // decode -> feature-extract -> similarity: the multimodal chain
+    // ending in the same top-k operator text embeddings use.
+    "mm_embed_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Multimodal.embedStub(binDocs(s, dir).as[Multimodal.BinDoc])
+        .toDF().withColumnRenamed("doc_id", "vec_id")
+      graft.similarity.Knn.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, k = 3)
+    }),
+
     "stream_tumbling_hourly" -> ((s, dir) =>
       EventStreams.tumblingCounts(Tables.events(s, dir), "1 hour")),
 
@@ -79,6 +89,24 @@ object MmStreamQueries extends QueryRegistry {
       |           FROM documents)
       |SELECT doc_id, unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx
       |FROM h""".stripMargin,
+
+    "mm_embed_topk" -> s"""
+      |WITH h AS (SELECT doc_id AS vec_id, md5($contentSql) AS hx FROM documents),
+      |v AS (SELECT vec_id,
+      |        list_transform(generate_series(1, 8),
+      |          i -> (ascii(substr(hx, i, 1)) % 16) / 15.0 - 0.5) AS e
+      |      FROM h),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT query_id, v.vec_id AS cand_id,
+      |    round(list_sum(list_transform(list_zip(qe, v.e), x -> x[1] * x[2])) /
+      |      (sqrt(list_sum(list_transform(list_zip(qe, qe), x -> x[1] * x[2]))) *
+      |       sqrt(list_sum(list_transform(list_zip(v.e, v.e), x -> x[1] * x[2])))), 6) AS sim
+      |  FROM v, q WHERE query_id <> v.vec_id),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+      |      FROM scored)
+      |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 3""".stripMargin,
 
     "stream_tumbling_hourly" -> """
       |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
