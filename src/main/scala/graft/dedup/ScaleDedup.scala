@@ -257,9 +257,19 @@ object ScaleDedup {
     val gated = df.filter(
       TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
         TextAnalysis.langId(col(textCol)) === lang)
-    val fp = gated.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
-    val keep = fp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
-    val exactKept = fp.join(keep, Seq("_fp", idCol), "left_semi").drop("_fp")
+    // exact dedup as ONE window pass (min id per fingerprint == first
+    // row_number ordered by id): a groupBy+semi-join would evaluate the
+    // regex-heavy gate chain on both join sides. The survivors are
+    // materialized once (localCheckpoint) because the near-dup stage
+    // consumes them three times (shingle index, signature scan, final
+    // id assignment) — without it each consumer re-runs scan+gate+md5.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_fp")).orderBy(col(idCol))
+    val exactKept = gated
+      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_fp")
+      .localCheckpoint()
     nearDupDedup(exactKept, idCol, textCol, n, threshold)
       .filter(col("id") === col("canonical_id"))
       .select(col("id").as("doc_id"))
