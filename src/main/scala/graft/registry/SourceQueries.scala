@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.Tables
+import graft.etl.{Normalize, Validate}
 import graft.functions.OracleSafe._
-import graft.sources.{Readers, Writers}
+import graft.sources.{DownloadSink, Readers, Writers}
 
 /** S-family sources/sinks under the driver's oracle gate: write through
   * the engine's writers into a fresh temp dir, read back through the
@@ -51,6 +52,37 @@ object SourceQueries extends QueryRegistry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     }),
 
+    // A13: the validation-tally row the run-stats sink records, over an
+    // engineered companies frame with empty-id / null-name / negative-
+    // count violations.
+    "a13_validation_stats" -> ((s, dir) => {
+      val companies = Tables.customer(s, dir).select(
+        when(col("c_custkey") % 11 === 0, lit(""))
+          .otherwise(col("c_custkey").cast("string")).as("id"),
+        when(col("c_custkey") % 13 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("entity_name"),
+        when(col("c_custkey") % 7 === 0, lit(-1L))
+          .otherwise(col("c_custkey") % 100).as("filing_count"))
+      Validate.stats(Validate.split(companies, Validate.companyConstraint))
+    }),
+
+    // S10+S11+F14 composition: the download queue build — endpoint
+    // rewrite, sanitized filename, manifest anti-join (every 5th doc
+    // already downloaded).
+    "s10_queue_build" -> ((s, dir) => {
+      val docs = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("string").as("doc_id"),
+        concat(lit("Vendor "), col("o_custkey") % 40, lit(" <Networks>"))
+          .as("entity_name"),
+        concat(lit("https://www.fcc.gov/ecfs/document/"), col("o_orderkey"),
+          lit("/1")).as("url"))
+      val manifest = docs.filter(col("doc_id").cast("long") % 5 === 0)
+        .select(concat(Normalize.sanitizeFilename(col("entity_name")),
+          lit("_"), col("doc_id")).as("filename"))
+      DownloadSink.buildQueue(docs, manifest)
+        .select("doc_id", "entity_name", "url", "filename")
+    }),
+
     // S8 append-history sink + Monitoring read-back: three runs sliced
     // deterministically from events, appended as run_ts partitions,
     // then the success-rate/trend table newest-run-first.
@@ -85,6 +117,47 @@ object SourceQueries extends QueryRegistry {
 
     "s7_s4_csv_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+
+    "a13_validation_stats" -> """
+      |WITH c AS (
+      |  SELECT
+      |    CASE WHEN c_custkey % 11 = 0 THEN '' ELSE CAST(c_custkey AS VARCHAR) END AS id,
+      |    CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_name END AS entity_name,
+      |    CASE WHEN c_custkey % 7 = 0 THEN -1 ELSE c_custkey % 100 END AS filing_count
+      |  FROM customer),
+      |f AS (
+      |  SELECT (filing_count >= 0 AND id IS NOT NULL AND id <> ''
+      |          AND entity_name IS NOT NULL AND entity_name <> '') AS ok
+      |  FROM c)
+      |SELECT
+      |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS valid_records,
+      |  CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS invalid_records,
+      |  COUNT(*) AS total_records
+      |FROM f""".stripMargin,
+
+    "s10_queue_build" -> """
+      |WITH docs AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+      |    'Vendor ' || (o_custkey % 40) || ' <Networks>' AS entity_name,
+      |    'https://www.fcc.gov/ecfs/document/' || o_orderkey || '/1' AS url
+      |  FROM orders),
+      |named AS (
+      |  SELECT doc_id, entity_name,
+      |    regexp_replace(url, '/document/', '/documents/', 'g') AS url,
+      |    regexp_replace(
+      |      substring(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(entity_name, '[<>:"/\\|?*]', '_', 'g'),
+      |            '\s+', '_', 'g'),
+      |          '_+', '_', 'g'),
+      |        1, 80),
+      |      '^_+|_+$', '', 'g') || '_' || doc_id AS filename
+      |  FROM docs),
+      |manifest AS (
+      |  SELECT filename FROM named WHERE CAST(doc_id AS BIGINT) % 5 = 0)
+      |SELECT doc_id, entity_name, url, filename FROM named
+      |WHERE filename NOT IN (SELECT filename FROM manifest)""".stripMargin,
 
     "s8_run_stats_trend" -> """
       |WITH runs AS (
