@@ -25,6 +25,7 @@ object Bench {
     "j1_star_join",
     "a11_monthly_trend",
     "w1_latest_per_group",
+    "w1_latest_native",
     "ipes_companies_full",
     "dedup_ngram_jaccard_capped",
     "dedup_corpus_composed",
@@ -32,6 +33,7 @@ object Bench {
     "dedup_minhash",
     "emb_cosine_topk",
     "emb_near_dup",
+    "emb_semantic_dedup",
     "text_quality",
     "stream_tumbling_hourly")
 

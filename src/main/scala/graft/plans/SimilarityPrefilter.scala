@@ -72,6 +72,7 @@ object SimilarityPrefilterRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SimilarityPrefilterRule)
+    e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("uuid5"),
         new ExpressionInfo("graft.functions.Uuid5", "uuid5"),

@@ -105,6 +105,17 @@ object AggQueries extends QueryRegistry {
           col("o_orderdate").cast("date").as("latest_date"))
     }),
 
+    // W1 via the native partial/final top-k operator (custom
+    // LogicalPlan + SparkStrategy + SparkPlan pair): identical result,
+    // but only <=1 row per key per input partition reaches the
+    // exchange instead of every row.
+    "w1_latest_native" -> ((s, dir) =>
+      graft.plans.TopK.perKey(Tables.orders(s, dir),
+          Seq(col("o_custkey")),
+          Seq(col("o_orderdate").desc, col("o_orderkey").desc), k = 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("latest_date"))),
+
     // W2: first element of an in-group sorted array (array path kept
     // deliberately: exercises sort_array + element_at nest semantics).
     "w2_first_after_sort" -> ((s, dir) =>
@@ -211,6 +222,12 @@ object AggQueries extends QueryRegistry {
         |GROUP BY event_type ORDER BY COUNT(*) DESC, event_type LIMIT 1""".stripMargin,
 
     "w1_latest_per_group" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
+    "w1_latest_native" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)

@@ -83,6 +83,19 @@ object SourceQueries extends QueryRegistry {
         .select("doc_id", "entity_name", "url", "filename")
     }),
 
+    // Output-layout control at scale: hive-partitioned parquet write
+    // (one dir per lang, repartitioned so each partition writes one
+    // file instead of |tasks| small files) -> partition-pruned read
+    // back. The small-files problem is a first-class 100 TB concern.
+    "s6_partitioned_write" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_part_write").toString + "/docs"
+      Tables.documents(s, dir)
+        .repartition(col("lang"))
+        .write.option("maxRecordsPerFile", 100000)
+        .partitionBy("lang").parquet(out)
+      s.read.parquet(out).select("doc_id", "lang", "n_chars")
+    }),
+
     // S8 append-history sink + Monitoring read-back: three runs sliced
     // deterministically from events, appended as run_ts partitions,
     // then the success-rate/trend table newest-run-first.
@@ -158,6 +171,9 @@ object SourceQueries extends QueryRegistry {
       |  SELECT filename FROM named WHERE CAST(doc_id AS BIGINT) % 5 = 0)
       |SELECT doc_id, entity_name, url, filename FROM named
       |WHERE filename NOT IN (SELECT filename FROM manifest)""".stripMargin,
+
+    "s6_partitioned_write" ->
+      "SELECT doc_id, lang, n_chars FROM documents",
 
     "s8_run_stats_trend" -> """
       |WITH runs AS (
