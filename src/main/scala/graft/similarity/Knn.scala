@@ -30,6 +30,15 @@ object Knn {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
+  /** Rank scored candidates per query through the native partial/final
+    * top-k operator: at most k rows per query per input partition reach
+    * the exchange — the window form would shuffle every scored pair.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.perKey(scored,
+      Seq(col("query_id")), Seq(col("sim").desc, col("cand_id").asc), k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+
   /** Exact top-k neighbors for each query vector (excluding self). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -37,11 +46,7 @@ object Knn {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane for (table, plane):
@@ -95,18 +100,14 @@ object Knn {
       queries.select(col("vec_id").as("query_id"), col("embedding")),
       dim, nPlanes, nTables)
       .select(col("tbl"), col("bucket"), col("query_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id").asc)
-    c.join(q, Seq("tbl", "bucket"))
+    val scored = c.join(q, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       // a pair co-bucketing in several tables must score once: dedup
       // with ONE shuffle (groupBy carrying the embeddings as first())
       .groupBy(col("query_id"), col("cand_id"))
       .agg(first(col("q_emb")).as("q_emb"), first(col("c_emb")).as("c_emb"))
       .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** IVF coarse quantizer: `nCentroids` deterministically hash-sampled
@@ -137,12 +138,10 @@ object Knn {
     * loop over the tiny centroid set — corpus never shuffles).
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid").asc)
-    vectors.crossJoin(broadcast(centroids))
+    val scored = vectors.crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("embedding"), col("c_emb")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
+    graft.plans.TopK.perKey(scored,
+      Seq(col("vec_id")), Seq(col("csim").desc, col("cid").asc), 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 
@@ -156,23 +155,17 @@ object Knn {
     val centroids = ivfCentroids(vectors, nCentroids, lloydIters).localCheckpoint()
     val assigned = ivfAssign(vectors, centroids)
       .select(col("cid"), col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cid").asc)
-    val probes = queries
+    val probeScored = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("q_emb"), col("c_emb")))
-      .withColumn("crank", row_number().over(probeW))
-      .filter(col("crank") <= nProbe)
+    val probes = graft.plans.TopK.perKey(probeScored,
+      Seq(col("query_id")), Seq(col("csim").desc, col("cid").asc), nProbe)
       .select(col("cid"), col("query_id"), col("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id").asc)
-    assigned.join(probes, Seq("cid"))
+    val scored = assigned.join(probes, Seq("cid"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, exact
