@@ -29,4 +29,11 @@ object GraftFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `sample_k(c, k)` — deterministic bottom-k-by-md5 hash sample
+    * aggregate (order/partitioning-independent distributed sampling).
+    */
+  def sampleK(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      HashSampleK(ColumnBridge.expression(c), k).toAggregateExpression())
 }

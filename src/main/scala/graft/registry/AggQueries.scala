@@ -85,6 +85,16 @@ object AggQueries extends QueryRegistry {
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))),
 
+    // Deterministic distributed sampling: bottom-k-by-md5 per group via
+    // the custom HashSampleK aggregate (§2.8 UDAF surface) — the
+    // reproducible per-group sample a dataset card/debug view needs.
+    "a16_sample_k" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(concat_ws(",",
+          graft.functions.GraftFunctions.sampleK(col("c_name"), 5))
+          .as("sample_names"))),
+
     // A9: global mode with deterministic tie-break.
     "a9_mode" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -216,6 +226,14 @@ object AggQueries extends QueryRegistry {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a16_sample_k" ->
+      """SELECT c_mktsegment,
+        |  array_to_string(
+        |    list_transform(
+        |      list_slice(list_sort(list({'h': md5(c_name), 'v': c_name})), 1, 5),
+        |      x -> x.v), ',') AS sample_names
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "a9_mode" ->
       """SELECT event_type AS top_event_type FROM events

@@ -70,16 +70,16 @@ object TextQueries extends QueryRegistry {
     }),
 
     // A12 composition at scale: top terms per source via explode +
-    // count + per-group window rank.
+    // count + the native partial/final top-k (only <=5 term rows per
+    // source per partition reach the final exchange).
     "text_top_terms" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("cnt").desc, col("term").asc)
-      Tables.documents(s, dir)
+      val counts = Tables.documents(s, dir)
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy(col("source"), col("term"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+      graft.plans.TopK.perKey(counts,
+          Seq(col("source")), Seq(col("cnt").desc, col("term").asc), k = 5)
+        .withColumnRenamed("rank", "rnk")
     }),
   )
 
