@@ -35,6 +35,32 @@ object TextQueries extends QueryRegistry {
         col("doc_id"),
         size(TextAnalysis.winnowFingerprints(col("text"))).as("n_fingerprints"))),
 
+    // context-window chunking: one row per (doc, chunk), 64-token
+    // windows advancing by 56 (8-token overlap).
+    "corpus_chunk" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), maxTokens = 64, overlap = 8)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          col("col.token_start").cast("long").as("token_start"),
+          col("col.n_tokens").cast("long").as("n_tokens"),
+          col("col.chunk_text").as("chunk_text"))),
+
+    // greedy sequence packing: per-language prefix-sum bins of an
+    // 8192-token budget — the batch-construction step before
+    // tokenization. One window shuffle on (lang), cumulative sum
+    // inside the partition.
+    "corpus_pack_bins" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("bin_id",
+          floor((sum(col("ntok")).over(w) - col("ntok")) / 8192).cast("long"))
+    }),
+
     // winnowing with md5 rolling hashes — the oracle-checkable twin of
     // text_winnow_fingerprint (lexicographic min = numeric min on hex).
     "text_winnow_md5" -> ((s, dir) => {
@@ -130,6 +156,29 @@ object TextQueries extends QueryRegistry {
     "text_fingerprint" -> """
       |SELECT doc_id,
       |  md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fp
+      |FROM documents""".stripMargin,
+
+    "corpus_chunk" -> """
+      |WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, t,
+      |    greatest(CAST(ceil((len(t) - 8) / 56.0) AS INT), 1) AS nchunks
+      |  FROM tok)
+      |SELECT doc_id,
+      |  i AS chunk_id,
+      |  i * 56 AS token_start,
+      |  least(64, len(t) - i * 56) AS n_tokens,
+      |  array_to_string(list_slice(t, i * 56 + 1, i * 56 + 64), ' ') AS chunk_text
+      |FROM n, unnest(generate_series(0, nchunks - 1)) AS u(i)""".stripMargin,
+
+    "corpus_pack_bins" -> """
+      |SELECT doc_id, lang,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+      |  CAST(FLOOR((SUM(len(string_split_regex(lower(trim(text)), '\s+')))
+      |      OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    - len(string_split_regex(lower(trim(text)), '\s+'))) / 8192) AS BIGINT) AS bin_id
       |FROM documents""".stripMargin,
 
     "text_winnow_md5" -> """

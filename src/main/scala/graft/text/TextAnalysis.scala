@@ -110,6 +110,24 @@ object TextAnalysis {
     when(md5(id.cast("string").cast("binary")) < hexThreshold, "train")
       .otherwise("val")
 
+  /** Context-window chunking: overlapping token windows of
+    * `maxTokens`, advancing by `maxTokens - overlap` — the split a
+    * training pipeline applies to documents longer than the model's
+    * context. Returns an array of (token_start, n_tokens, chunk_text)
+    * structs; pure column math, so chunking runs inside the scan.
+    */
+  def chunks(c: Column, maxTokens: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val t = tokens(c)
+    val nChunks = greatest(
+      ceil((size(t) - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1), i => struct(
+      (i * stride).as("token_start"),
+      least(lit(maxTokens), size(t) - i * stride).as("n_tokens"),
+      concat_ws(" ", slice(t, i * stride + 1, lit(maxTokens))).as("chunk_text")))
+  }
+
   /** Word n-gram shingles (empty below n tokens). */
   def shingles(c: Column, n: Int): Column = {
     val t = tokens(c)
