@@ -48,8 +48,12 @@ object TextQueries extends QueryRegistry {
 
     // greedy sequence packing: per-language prefix-sum bins of an
     // 8192-token budget — the batch-construction step before
-    // tokenization. One window shuffle on (lang), cumulative sum
-    // inside the partition.
+    // tokenization. The running sum is sequential per lang BY
+    // SEMANTICS (each bin depends on every earlier doc), so the window
+    // puts one lang in one task; at corpus scale, pack within
+    // (lang, doc_id-range shard) instead — bins never span shards, the
+    // same window runs shard-parallel, and the only cost is at most
+    // one underfilled bin per shard.
     "corpus_pack_bins" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("doc_id"))
