@@ -113,7 +113,7 @@ case class HashSampleK(
 }
 
 object HashSampleK {
-  private[functions] def md5Hex(s: String): String =
+  private[graft] def md5Hex(s: String): String =
     MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString

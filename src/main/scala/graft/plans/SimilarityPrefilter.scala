@@ -81,5 +81,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("ro_similarity"),
         new ExpressionInfo("graft.functions.RatcliffObershelp", "ro_similarity"),
         (exprs: Seq[Expression]) => RatcliffObershelp(exprs.head, exprs(1))))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+        new ExpressionInfo("graft.functions.DotProduct", "dot_product"),
+        (exprs: Seq[Expression]) =>
+          graft.functions.DotProduct(exprs.head, exprs(1))))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("sample_k"),
+        new ExpressionInfo("graft.functions.HashSampleK", "sample_k"),
+        (exprs: Seq[Expression]) => {
+          val k = exprs(1) match {
+            case Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"sample_k(col, k) needs a literal int k, got $other")
+          }
+          graft.functions.HashSampleK(exprs.head, k)
+        }))
   }
 }

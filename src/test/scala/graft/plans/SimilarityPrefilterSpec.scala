@@ -63,6 +63,15 @@ class SimilarityPrefilterSpec extends AnyFunSuite {
       val r = s2.sql("SELECT uuid5('6ba7b810-9dad-11d1-80b4-00c04fd430c8', 'broadband dynamics') AS id")
         .collect()(0).getString(0)
       assert(r === "869d9876-ec7b-5fab-ba2a-ccb08f70571f")
+      val d = s2.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect()(0).getDouble(0)
+      assert(d === 11.0)
+      val sk = s2.sql(
+        "SELECT sample_k(v, 2) AS s FROM VALUES ('a'), ('b'), ('c') AS t(v)")
+        .collect()(0).getSeq[String](0)
+      assert(sk.length === 2)
+      assert(sk === Seq("a", "b", "c")
+        .map(v => (graft.functions.HashSampleK.md5Hex(v), v)).sorted.take(2).map(_._2))
     }
   }
 }
