@@ -80,6 +80,47 @@ class PropertiesSpec extends AnyFunSuite {
     assert(fwd.sameElements(bwd))
   }
 
+  test("chunks cover every token exactly at stride offsets, under any doc length") {
+    import graft.text.TextAnalysis
+    val textGen: Gen[String] = for {
+      n <- Gen.choose(0, 200)
+      ws <- Gen.listOfN(n, Gen.alphaLowerStr.map(w => if (w.isEmpty) "w" else w.take(6)))
+    } yield ws.mkString(" ")
+    val texts = samples(textGen, 120).distinct
+    val rows = texts.toDF("t")
+      .select(col("t"),
+        size(TextAnalysis.tokens(col("t"))).as("ntok"),
+        TextAnalysis.chunks(col("t"), maxTokens = 16, overlap = 4).as("cs"))
+      .selectExpr("ntok",
+        "transform(cs, c -> c.token_start) AS starts",
+        "transform(cs, c -> c.n_tokens) AS lens")
+      .collect()
+    rows.foreach { r =>
+      val ntok = r.getInt(0)
+      val starts = r.getSeq[Int](1)
+      val lens = r.getSeq[Int](2)
+      // starts advance by exactly maxTokens - overlap from zero
+      assert(starts === starts.indices.map(_ * 12), s"ntok=$ntok starts=$starts")
+      // every token index is covered by at least one chunk window
+      val covered = starts.zip(lens).flatMap { case (s, l) => s until (s + l) }.toSet
+      assert((0 until ntok).forall(covered), s"gap at ntok=$ntok")
+      // final chunk reaches the last token; no chunk starts past the end
+      if (ntok > 0) assert(starts.last < ntok && starts.last + lens.last == ntok)
+    }
+  }
+
+  test("hashSplit is stable per id and ~90/10 on a numeric range") {
+    import graft.text.TextAnalysis
+    val df = (1L to 2000L).toDF("id")
+      .select(col("id"), TextAnalysis.hashSplit(col("id")).as("s"))
+    val again = (1L to 2000L).toDF("id")
+      .select(col("id"), TextAnalysis.hashSplit(col("id")).as("s"))
+    assert(df.collect().toSeq.sortBy(_.getLong(0)).map(_.getString(1)) ===
+      again.collect().toSeq.sortBy(_.getLong(0)).map(_.getString(1)))
+    val train = df.filter(col("s") === "train").count().toDouble / 2000
+    assert(train > 0.85 && train < 0.95, s"train fraction $train")
+  }
+
   test("interpreted and codegen uuid5 agree on unicode") {
     import org.apache.spark.unsafe.types.UTF8String
     val strs = Seq("héllo wörld", "日本語テキスト", "\u0000weird", "emoji 🎯 test")

@@ -65,6 +65,36 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((2.0, 1L, false), (4.0, 2L, false), (6.0, 3L, true)))
   }
 
+  test("streaming corpus ingest dedups on content fingerprint across micro-batches") {
+    // the training-ingest shape: documents arrive as a stream, exact
+    // dedup keys on the content fingerprint (whitespace/case-canonical
+    // md5), and the dedup state survives micro-batch boundaries.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val input = mem.toDF().toDF("doc_id", "ts", "text")
+      .withColumn("fp", graft.text.TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("fp")
+    val q = input.writeStream.outputMode("append")
+      .format("memory").queryName("corpus_dedup_out").start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), "the quick brown fox"),
+      (2L, ts("2024-01-01 10:00:30"), "THE  quick   Brown fox"), // same canonical
+      (3L, ts("2024-01-01 10:01:00"), "something else"))
+    q.processAllAvailable()
+    mem.addData(
+      (4L, ts("2024-01-01 10:02:00"), "the quick brown fox"), // dup from batch 1
+      (5L, ts("2024-01-01 10:03:00"), "genuinely new text"))
+    q.processAllAvailable()
+    val out = spark.table("corpus_dedup_out").collect().map(_.getLong(0)).sorted
+    q.stop()
+    // one survivor per canonical content, across batches
+    assert(out.length === 3)
+    assert(out.contains(3L) && out.contains(5L))
+    assert(out.count(id => Seq(1L, 2L, 4L).contains(id)) === 1)
+  }
+
   test("streaming dedup drops the duplicate event_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
