@@ -56,10 +56,16 @@ object DownloadSink {
 
   /** Run the sink. `fetch` is the injected effect (url → bytes or
     * failure); files land at `outDir/<filename><sniffed-ext>`.
+    * `maxAttempts` bounds per-URL retries (the reference attempts once
+    * and paces; transient-failure retry is the operational knob a real
+    * fetcher needs) — pacing applies before every attempt so retries
+    * never burst.
     */
   def run(queue: DataFrame, outDir: String,
           fetch: String => Either[String, Array[Byte]],
-          rateLimitMs: Long = 0, maxConcurrency: Int = 4): Summary = {
+          rateLimitMs: Long = 0, maxConcurrency: Int = 4,
+          maxAttempts: Int = 1): Summary = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val sc = queue.sparkSession.sparkContext
     val ok: LongAccumulator = sc.longAccumulator("downloads_succeeded")
     val bad: LongAccumulator = sc.longAccumulator("downloads_failed")
@@ -68,8 +74,14 @@ object DownloadSink {
       .coalesce(maxConcurrency)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         it.foreach { row =>
-          if (rateLimitMs > 0) Thread.sleep(rateLimitMs)
-          fetch(row.getString(0)) match {
+          var attempt = 0
+          var result: Either[String, Array[Byte]] = Left("not attempted")
+          while (attempt < maxAttempts && result.isLeft) {
+            if (rateLimitMs > 0) Thread.sleep(rateLimitMs)
+            result = fetch(row.getString(0))
+            attempt += 1
+          }
+          result match {
             case Right(bytes) =>
               val ext = extensionFor(bytes)
               Files.write(Paths.get(outDir, row.getString(1) + ext), bytes)

@@ -38,6 +38,32 @@ class DownloadSinkSpec extends AnyFunSuite {
     assert(files === Array("Acme_Telecom_LLC_1.pdf", "Stratus_Networks_2.docx"))
   }
 
+  test("bounded retry: transient failures succeed on the second attempt") {
+    // fetcher fails the first call per URL within a task, succeeds
+    // after — a transient-error simulation. The per-task map travels
+    // inside the closure; the accumulator counts total fetch calls
+    // back on the driver.
+    val calls = spark.sparkContext.longAccumulator("fetch_calls")
+    val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val flaky: String => Either[String, Array[Byte]] = url => {
+      calls.add(1)
+      val n = attempts.merge(url, 1, (a, b) => a + b)
+      if (n < 2) Left("HTTP 503") else Right("%PDF-1.7 ok".getBytes)
+    }
+    val queue = DownloadSink.buildQueue(
+      docs.filter(col("doc_id") < 3), Seq.empty[String].toDF("filename"))
+    val once = DownloadSink.run(queue,
+      Files.createTempDirectory("graft-retry1").toString, flaky, maxConcurrency = 1)
+    assert(once === DownloadSink.Summary(0, 2)) // single attempt: all transient-fail
+    assert(calls.value === 2)
+    calls.reset()
+    val retried = DownloadSink.run(queue,
+      Files.createTempDirectory("graft-retry2").toString, flaky,
+      maxConcurrency = 1, maxAttempts = 3)
+    assert(retried === DownloadSink.Summary(2, 0))
+    assert(calls.value === 4) // 2 urls x (1 fail + 1 success), no over-retry
+  }
+
   test("S11 skip-existing: manifest anti-join shrinks the queue") {
     val manifest = Seq("Acme_Telecom_LLC_1").toDF("filename")
     val q = DownloadSink.buildQueue(docs, manifest)
