@@ -77,13 +77,22 @@ object AggQueries extends QueryRegistry {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"))),
 
     // Percentiles: exact continuous interpolation (same formula as
-    // DuckDB quantile_cont); approx_percentile is the 100 TB path.
+    // DuckDB quantile_cont); approx_percentile is the 100 TB path
+    // (mergeable t-digest-style sketch, no full sort of the column) —
+    // rows-only here, tolerance pinned by spec.
     "a15_percentiles" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))),
+
+    "a15_percentiles_approx" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("median_approx"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_approx"))),
 
     // Deterministic distributed sampling: bottom-k-by-md5 per group via
     // the custom HashSampleK aggregate (§2.8 UDAF surface) — the

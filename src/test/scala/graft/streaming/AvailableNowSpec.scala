@@ -55,4 +55,19 @@ class AvailableNowSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.1,
       s"approx=$approx exact=$exact")
   }
+
+  test("approx_percentile tracks exact percentiles within 2%") {
+    val li = graft.Tables.lineitem(spark, TestSpark.SfDir)
+    val rows = li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_med"),
+      expr("percentile(l_extendedprice, 0.9)").as("exact_p90"),
+      expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("approx_p90"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(1)) / r.getDouble(1) < 0.02, r)
+      assert(math.abs(r.getDouble(4) - r.getDouble(3)) / r.getDouble(3) < 0.02, r)
+    }
+  }
 }
