@@ -99,6 +99,26 @@ object TextQueries extends QueryRegistry {
             count(lit(1)), 6).as("mean_quality"))
     }),
 
+    // the dataset card: per-source counts, token volume, mean quality,
+    // and a deterministic id sample (HashSampleK) — what a curator
+    // publishes next to a training corpus.
+    "corpus_report" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("total_tokens"),
+          round(sum(col("q").cast(DecimalType(18, 6))).cast(DoubleType) /
+            count(lit(1)), 6).as("mean_quality"),
+          concat_ws(",",
+            graft.functions.GraftFunctions.sampleK(col("doc_id").cast("string"), 3))
+            .as("sample_doc_ids"))
+    }),
+
     // A12 composition at scale: top terms per source via explode +
     // count + the native partial/final top-k (only <=5 term rows per
     // source per partition reach the final exchange).
@@ -229,6 +249,29 @@ object TextQueries extends QueryRegistry {
       |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
       |  round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality
       |FROM scored GROUP BY lang_pred""".stripMargin,
+
+    "corpus_report" -> s"""
+      |WITH scored AS (
+      |  SELECT source, doc_id,
+      |    len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok,
+      |    round(
+      |      least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3 +
+      |      (CASE WHEN CAST(length(text) AS DOUBLE) /
+      |              greatest(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 1.0)
+      |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.2 +
+      |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+      |        greatest(CAST(length(text) AS DOUBLE), 1.0) * 0.3 +
+      |      least(CAST(${hits("en")} AS DOUBLE) / 3.0, 1.0) * 0.2, 6) AS q
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+      |  round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality,
+      |  array_to_string(
+      |    list_transform(
+      |      list_slice(list_sort(list({'h': md5(CAST(doc_id AS VARCHAR)),
+      |                                 'v': CAST(doc_id AS VARCHAR)})), 1, 3),
+      |      x -> x.v), ',') AS sample_doc_ids
+      |FROM scored GROUP BY source""".stripMargin,
 
     "text_top_terms" -> """
       |WITH tok AS (
