@@ -97,6 +97,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(latest.getAs[Long]("valid_records") === 5L)
   }
 
+  test("partitioned layout: partition-column filters prune at the scan") {
+    val dir = tmp("prune") + "/docs"
+    Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "de", "c"), (4L, "fr", "d"))
+      .toDF("doc_id", "lang", "text")
+      .repartition(col("lang"))
+      .write.partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+    // the lang predicate must resolve against the directory layout, not
+    // row data: the scan's partition filters carry it and the data
+    // filters stay empty
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"), scan)
+    assert(q.count() === 2)
+    // only the en=... directory is listed in the scan's selected files
+    assert(q.select("doc_id").collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+  }
+
   test("packList/unpackList edge serialization roundtrip") {
     val df = Seq(Seq("u1", "u2"), Seq("solo"), Seq.empty[String])
       .toDF("urls")
