@@ -213,14 +213,31 @@ object ScaleDedup {
     * propagation, whose mapping is NOT broadcast (it can exceed driver
     * memory by construction).
     */
+  /** Order-preserving string encoding of a signed long id: flip the
+    * sign bit (maps signed order onto unsigned order) and render as
+    * fixed-width hex. The CC machinery canonicalizes by MIN STRING, so
+    * lexicographic order must equal numeric order for ALL ids —
+    * `format_string("%020d", id)` breaks on negatives ('-' prefixed,
+    * magnitude-ordered backwards), this does not.
+    */
+  private[dedup] def encodeId(c: Column): Column =
+    lpad(hex(c.bitwiseXOR(lit(Long.MinValue))), 16, "0")
+
+  /** Inverse of [[encodeId]]: parse the two 32-bit hex halves (each
+    * fits a long), recombine with a wrapping shift, un-flip the sign
+    * bit.
+    */
+  private[dedup] def decodeId(c: Column): Column =
+    shiftleft(conv(substring(c, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(c, 9, 8), 16, 10).cast("long"))
+      .bitwiseXOR(lit(Long.MinValue))
+
   def assignCanonical(
       ids: DataFrame, pairs: DataFrame,
       driverCcThreshold: Int = 1000000): DataFrame = {
-    // zero-pad ids: the CC machinery canonicalizes by MIN STRING, and
-    // lexicographic order must equal numeric order
     val edges = pairs.select(
-      format_string("%020d", col("id_a")).as("src"),
-      format_string("%020d", col("id_b")).as("dst"))
+      encodeId(col("id_a")).as("src"),
+      encodeId(col("id_b")).as("dst"))
     val sample = edges.limit(driverCcThreshold + 1).collect()
     val spark = ids.sparkSession
     import spark.implicits._
@@ -231,9 +248,9 @@ object ScaleDedup {
             .toSeq.toDF("cid", "component"))
       } else FuzzyDedup.connectedComponents(edges)
         .withColumnRenamed("id", "cid")
-    ids.join(cc, format_string("%020d", col("id")) === col("cid"), "left")
+    ids.join(cc, encodeId(col("id")) === col("cid"), "left")
       .select(col("id"),
-        coalesce(col("component").cast("long"), col("id")).as("canonical_id"))
+        coalesce(decodeId(col("component")), col("id")).as("canonical_id"))
   }
 
   /** The end-to-end training-corpus preparation chain — what a 100 TB

@@ -49,11 +49,9 @@ object TextQueries extends QueryRegistry {
     // greedy sequence packing: per-language prefix-sum bins of an
     // 8192-token budget — the batch-construction step before
     // tokenization. The running sum is sequential per lang BY
-    // SEMANTICS (each bin depends on every earlier doc), so the window
-    // puts one lang in one task; at corpus scale, pack within
-    // (lang, doc_id-range shard) instead — bins never span shards, the
-    // same window runs shard-parallel, and the only cost is at most
-    // one underfilled bin per shard.
+    // SEMANTICS (each bin depends on every earlier doc), so this form
+    // puts one lang in one task — kept as the exact small-corpus twin;
+    // corpus_pack_sharded below is the scale path.
     "corpus_pack_bins" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("doc_id"))
@@ -64,6 +62,14 @@ object TextQueries extends QueryRegistry {
         .withColumn("bin_id",
           floor((sum(col("ntok")).over(w) - col("ntok")) / 8192).cast("long"))
     }),
+
+    // sharded packing — the 100 TB form: the window partitions by
+    // (lang, doc_id-range shard) so packing runs one task per SHARD,
+    // not per language; bins never span shards (≤1 underfilled bin
+    // per shard is the entire cost).
+    "corpus_pack_sharded" -> ((s, dir) =>
+      TextAnalysis.packBinsSharded(Tables.documents(s, dir),
+        "doc_id", "lang", "text", tokenBudget = 8192, shardRows = 100)),
 
     // winnowing with md5 rolling hashes — the oracle-checkable twin of
     // text_winnow_fingerprint (lexicographic min = numeric min on hex).
@@ -202,6 +208,16 @@ object TextQueries extends QueryRegistry {
       |  len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
       |  CAST(FLOOR((SUM(len(string_split_regex(lower(trim(text)), '\s+')))
       |      OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    - len(string_split_regex(lower(trim(text)), '\s+'))) / 8192) AS BIGINT) AS bin_id
+      |FROM documents""".stripMargin,
+
+    "corpus_pack_sharded" -> """
+      |SELECT doc_id, lang,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+      |  CAST(FLOOR(doc_id / 100) AS BIGINT) AS shard,
+      |  CAST(FLOOR((SUM(len(string_split_regex(lower(trim(text)), '\s+')))
+      |      OVER (PARTITION BY lang, FLOOR(doc_id / 100)
+      |            ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
       |    - len(string_split_regex(lower(trim(text)), '\s+'))) / 8192) AS BIGINT) AS bin_id
       |FROM documents""".stripMargin,
 

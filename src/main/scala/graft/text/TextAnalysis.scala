@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: language ID,
@@ -126,6 +127,32 @@ object TextAnalysis {
       (i * stride).as("token_start"),
       least(lit(maxTokens), size(t) - i * stride).as("n_tokens"),
       concat_ws(" ", slice(t, i * stride + 1, lit(maxTokens))).as("chunk_text")))
+  }
+
+  /** Sharded greedy sequence packing — the batch-construction step
+    * before tokenization. Greedy prefix-sum packing is sequential per
+    * group BY SEMANTICS (every bin depends on all earlier docs), so a
+    * bare per-language window is one task per language — at corpus
+    * scale the `en` partition IS the corpus. Sharding restores
+    * parallelism: bins never span a `(lang, floor(id / shardRows))`
+    * shard, the same window runs one task PER SHARD, and the only cost
+    * is at most one underfilled bin per shard (bounded waste:
+    * ≤ tokenBudget-1 tokens per shard).
+    *
+    * Returns (idCol, langCol, ntok, shard, bin_id); `bin_id` is the
+    * greedy bin ordinal within its (lang, shard).
+    */
+  def packBinsSharded(
+      df: DataFrame, idCol: String, langCol: String, textCol: String,
+      tokenBudget: Int, shardRows: Long): DataFrame = {
+    require(tokenBudget > 0 && shardRows > 0, "need positive budget and shard size")
+    val w = Window.partitionBy(col(langCol), col("shard"))
+      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, 0)
+    df.select(col(idCol), col(langCol),
+        tokenCount(col(textCol)).cast("long").as("ntok"))
+      .withColumn("shard", floor(col(idCol) / shardRows).cast("long"))
+      .withColumn("bin_id",
+        floor((sum(col("ntok")).over(w) - col("ntok")) / tokenBudget).cast("long"))
   }
 
   /** Word n-gram shingles (empty below n tokens). */

@@ -66,6 +66,15 @@ class ScaleDedupSpec extends AnyFunSuite {
     assert(mapping.count { case (id, c) => id == c } >= canonicals.size)
   }
 
+  private lazy val ccReplayExpected: Map[Long, Long] = {
+    val pairs = ScaleDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.6, maxDocFreq = 0)
+      .collect().map(r => (f"${r.getLong(0)}%020d", f"${r.getLong(1)}%020d"))
+    val cc = FuzzyDedup.unionFind(pairs)
+    docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => id -> cc.get(f"$id%020d").map(_.toLong).getOrElse(id)).toMap
+  }
+
   test("composed nearDupDedup equals CC over the full exact-Jaccard pairs") {
     // the LSH candidate stage must be lossless at the 0.6 threshold
     // (k=64/bands=32 -> miss odds < 1e-6 per pair), so the composed
@@ -73,13 +82,31 @@ class ScaleDedupSpec extends AnyFunSuite {
     // unpruned exact pair set — the property the DuckDB oracle relies on.
     val got = ScaleDedup.nearDupDedup(docs, "doc_id", "text", threshold = 0.6)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val pairs = ScaleDedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.6, maxDocFreq = 0)
-      .collect().map(r => (f"${r.getLong(0)}%020d", f"${r.getLong(1)}%020d"))
-    val cc = FuzzyDedup.unionFind(pairs)
-    val expected = docs.select(col("doc_id")).collect().map(_.getLong(0))
-      .map(id => id -> cc.get(f"$id%020d").map(_.toLong).getOrElse(id)).toMap
-    assert(got === expected)
+    assert(got === ccReplayExpected)
+  }
+
+  test("nearDupDedup through the distributed-CC fallback equals the driver path") {
+    // driverCcThreshold = 0 forces the connectedComponents branch —
+    // the fallback wiring (non-broadcast mapping, left join, coalesce
+    // to self) must yield the exact same oracle answer end-to-end.
+    val got = ScaleDedup.nearDupDedup(docs, "doc_id", "text", threshold = 0.6,
+      driverCcThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ccReplayExpected)
+  }
+
+  test("assignCanonical handles negative ids (min-id canonical, both branches)") {
+    import spark.implicits._
+    // components: {-5, -3, 2, 7} via chain, {11} singleton, {-9} singleton
+    val ids = Seq(-9L, -5L, -3L, 2L, 7L, 11L).toDF("id")
+    val pairs = Seq((-3L, 2L), (2L, 7L), (-5L, -3L)).toDF("id_a", "id_b")
+    val expected = Map(-9L -> -9L, -5L -> -5L, -3L -> -5L, 2L -> -5L,
+      7L -> -5L, 11L -> 11L)
+    for (threshold <- Seq(1000000, 0)) {
+      val got = ScaleDedup.assignCanonical(ids, pairs, threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"driverCcThreshold=$threshold")
+    }
   }
 
   test("verifyJaccardPairs is candidate-bounded: output is a subset of candidates") {

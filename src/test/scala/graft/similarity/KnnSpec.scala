@@ -120,6 +120,19 @@ class KnnSpec extends AnyFunSuite {
     assert(r1 * 100 >= brute.size * 85, s"refined recall $r1/${brute.size} < 0.85")
   }
 
+  test("semanticDedup through the distributed-CC fallback equals the driver path") {
+    import graft.registry.SimilarityQueries
+    val vecs = SimilarityQueries.withPerturbed(spark, TestSpark.SfDir)
+    val driver = Knn.semanticDedup(vecs, dim = 64, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fallback = Knn.semanticDedup(vecs, dim = 64, threshold = 0.99,
+      driverCcThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fallback === driver)
+    // sanity: every perturbed copy collapsed onto its original
+    assert(driver.filter(_._1 >= 100000).forall { case (id, c) => c == id - 100000 })
+  }
+
   test("cosine of identical vectors is 1.0") {
     val one = Knn.cosineNearDupPairs(
       emb.filter(col("vec_id") < 2)

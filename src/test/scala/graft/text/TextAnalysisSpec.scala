@@ -52,4 +52,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     rows.foreach(s => assert(s >= 0.0 && s <= 1.0))
     assert(rows(0) > rows(1))
   }
+
+  test("sharded packing: window partitions by the shard key and replays per-shard greedy") {
+    val docs = graft.Tables.documents(spark, TestSpark.SfDir)
+    val packed = TextAnalysis.packBinsSharded(docs, "doc_id", "lang", "text",
+      tokenBudget = 500, shardRows = 50)
+    // the plan must partition the window by BOTH lang and shard — one
+    // task per shard is the whole point (a bare-lang partition is the
+    // scale-killer this operator replaces)
+    val plan = packed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(lang"), plan)
+    assert(plan.replaceAll("\\s", "").contains("lang#") &&
+      plan.contains("shard"), s"window not partitioned by (lang, shard):\n$plan")
+
+    val rows = packed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // bins never span shards: replay the greedy prefix sum per
+    // (lang, shard) group on the driver and require exact agreement
+    rows.groupBy(t => (t._2, t._4)).foreach { case ((lang, shard), grp) =>
+      var cum = 0L
+      grp.sortBy(_._1).foreach { case (id, _, ntok, _, bin) =>
+        assert(bin === cum / 500, s"doc $id in ($lang, $shard)")
+        cum += ntok
+      }
+    }
+    // shard assignment is the id-range rule
+    rows.foreach { case (id, _, _, shard, _) => assert(shard === id / 50) }
+  }
 }
