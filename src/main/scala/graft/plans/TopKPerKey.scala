@@ -28,10 +28,11 @@ import org.apache.spark.sql.types.IntegerType
   * the same partial/final contract hash aggregation uses, applied to
   * ranking.
   *
-  * Memory: the partial heap map is bounded by (distinct keys in the
-  * partition) × k rows — the hash-aggregate footprint; inputs with
-  * huge per-partition key cardinality should pre-partition, exactly as
-  * they would for aggregation.
+  * Memory: the partial heap map is bounded by
+  * min(distinct keys in the partition, `spark.graft.topk.maxBufferedKeys`)
+  * × k rows; past the cap the partial stage emits-and-resets (see
+  * [[PartialTopKExec]]), so pathological key cardinality degrades to
+  * extra exchange rows instead of an OOM.
   */
 case class TopKPerKey(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int,
@@ -55,9 +56,25 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+object PartialTopKExec {
+  /** Session conf key bounding the per-partition heap map; past this
+    * many distinct keys the stage emits its buffer and resets.
+    */
+  val MaxBufferedKeysConf = "spark.graft.topk.maxBufferedKeys"
+  val MaxBufferedKeysDefault = 65536
+}
+
 /** Map-side stage: per input partition, keep at most the k first rows
   * (per `order`) of every key in a bounded max-heap — no shuffle, no
   * sort of the input.
+  *
+  * Memory guard: the heap map holds (distinct keys) × k rows. Unlike
+  * hash aggregate it cannot spill, so past `maxBufferedKeys` distinct
+  * keys it EMITS the whole buffer and resets (flush). Correctness is
+  * free — [[FinalTopKExec]] re-reduces after the exchange — the only
+  * cost is more than k rows per key crossing the wire on
+  * pathological-cardinality partitions, which is still bounded by
+  * k × flushes, never the raw input.
   */
 case class PartialTopKExec(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: SparkPlan)
@@ -70,22 +87,51 @@ case class PartialTopKExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val (keyExprs, ord, kk) = (keys, order, k)
+    val maxKeys = conf.getConfString(PartialTopKExec.MaxBufferedKeysConf,
+      PartialTopKExec.MaxBufferedKeysDefault.toString).toInt
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrd: Ordering[InternalRow] =
         GenerateOrdering.generate(ord, childOutput).asInstanceOf[Ordering[InternalRow]]
       // max-heap per key: head is the worst retained row; a new row
-      // replaces it when it sorts strictly earlier.
+      // replaces it when it sorts strictly earlier. Keys are probed
+      // with the projection's reused buffer and copied only on first
+      // insert — no per-row allocation on the hot (existing-key) path.
       val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
-      it.foreach { r =>
-        val heap = heaps.getOrElseUpdate(keyProj(r).copy(),
-          mutable.PriorityQueue.empty[InternalRow](rowOrd))
-        if (heap.size < kk) heap.enqueue(r.copy())
-        else if (rowOrd.compare(r, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(r.copy())
-        }
+      def drain(): Iterator[InternalRow] = {
+        val snapshot = heaps.values.toArray
+        heaps.clear()
+        snapshot.iterator.flatMap(_.iterator)
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var inputDone = false
+        private def refill(): Unit = {
+          while (!out.hasNext && !inputDone) {
+            var flushed: Iterator[InternalRow] = null
+            while (flushed == null && it.hasNext) {
+              val r = it.next()
+              val key = keyProj(r)
+              heaps.get(key) match {
+                case Some(heap) =>
+                  if (heap.size < kk) heap.enqueue(r.copy())
+                  else if (rowOrd.compare(r, heap.head) < 0) {
+                    heap.dequeue(); heap.enqueue(r.copy())
+                  }
+                case None =>
+                  if (heaps.size >= maxKeys) flushed = drain()
+                  val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+                  h.enqueue(r.copy())
+                  heaps.put(key.copy(), h)
+              }
+            }
+            if (flushed != null) out = flushed
+            else { inputDone = true; out = drain() }
+          }
+        }
+        override def hasNext: Boolean = { refill(); out.hasNext }
+        override def next(): InternalRow = { refill(); out.next() }
+      }
     }, preservesPartitioning = true)
   }
 }
@@ -140,9 +186,17 @@ case class FinalTopKExec(
 object TopK {
   def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // Planner strategies include both extension-injected and
+    // experimental ones, so this skips self-registration when
+    // GraftExtensions already wired the strategy; the synchronized
+    // re-check makes concurrent callers on one session append at most
+    // once.
+    if (!spark.sessionState.planner.strategies.contains(TopKStrategy))
+      spark.experimental.synchronized {
+        if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+          spark.experimental.extraStrategies =
+            spark.experimental.extraStrategies :+ TopKStrategy
+      }
     val keyExprs = keys.map(ColumnBridge.expressionEager(spark, _))
     val orderExprs = order.map(c => ColumnBridge.expressionEager(spark, c) match {
       case s: SortOrder => s

@@ -60,6 +60,22 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got === Map(1L -> 11L, -1L -> 20L, 2L -> 30L))
   }
 
+  test("flush guard: key cardinality far above the buffer cap still matches the window form") {
+    // orders has ~1500 distinct custkeys per partition-set at sf0.001;
+    // cap the partial map at 16 keys so every partition flushes dozens
+    // of times — the emit-and-reset path must be invisible in the result.
+    spark.conf.set(PartialTopKExec.MaxBufferedKeysConf, "16")
+    try {
+      for (k <- Seq(1, 3)) {
+        val expected = windowTopK(k).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val got = nativeTopK(k).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(got === expected, s"k=$k under flush pressure")
+      }
+    } finally spark.conf.unset(PartialTopKExec.MaxBufferedKeysConf)
+  }
+
   test("k larger than group size returns whole groups ranked") {
     val df = Seq((1L, 1L), (1L, 2L), (2L, 5L)).toDF("k", "v")
     val got = TopK.perKey(df, Seq(col("k")), Seq(col("v").asc), 10)
