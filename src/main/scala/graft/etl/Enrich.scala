@@ -108,11 +108,28 @@ object Enrich {
     * cache rows store the full enrichment output including the
     * docket-derived fields, so hits never recompute context.
     */
+  /** Columns the current cache layout carries beyond the key; caches
+    * written by earlier layouts load with null defaults (layout
+    * migration — an incremental run against an old cache dir must not
+    * fail on select/unionByName).
+    */
+  private val CacheValueColumns = Seq(
+    "is_active" -> "boolean", "activity_signal" -> "string",
+    "industry_segment" -> "string", "product_summary" -> "string",
+    "market_position" -> "string", "docket_context" -> "string")
+
+  private def migrateCache(cache: DataFrame): DataFrame =
+    CacheValueColumns.foldLeft(cache) { case (df, (name, typ)) =>
+      if (df.columns.contains(name)) df
+      else df.withColumn(name, lit(null).cast(typ))
+    }
+
   def enrichWithCache(
       spark: SparkSession,
       companies: DataFrame,
-      cache: DataFrame): (DataFrame, DataFrame) = {
+      cache0: DataFrame): (DataFrame, DataFrame) = {
     import spark.implicits._
+    val cache = migrateCache(cache0)
     val hits = companies.join(broadcast(cache), Seq("normalized_name"), "inner")
     val misses = companies.join(broadcast(cache.select("normalized_name")),
         Seq("normalized_name"), "left_anti")

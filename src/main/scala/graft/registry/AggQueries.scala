@@ -63,9 +63,12 @@ object AggQueries extends QueryRegistry {
         .agg(concat_ws(",", array_sort(collect_set(col("c_mktsegment"))))
           .as("segments"))),
 
-    // A8 at scale: exact distinct (oracle) vs HLL sketch (rows-only;
-    // tolerance pinned by spec). Exact countDistinct is a full shuffle
-    // of the key domain — the approx form is the 100 TB default.
+    // A8 at scale: exact distinct (full shuffle of the key domain) vs
+    // the HLL sketch (mergeable, the 100 TB default). The approx query
+    // is FULLY oracled: it emits the exact count plus a boolean
+    // tolerance check on the sketch (|approx − exact| ≤ 5%·exact,
+    // ~2.5σ at rsd 0.02 and deterministic — the sketch is hash-based),
+    // which DuckDB asserts as literal TRUE.
     "a8_distinct_exact" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
@@ -74,12 +77,18 @@ object AggQueries extends QueryRegistry {
     "a8_distinct_approx" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"))),
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("apx"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("apx") - col("n_parts")) <= col("n_parts") * 0.05)
+            .as("within_tol"))),
 
     // Percentiles: exact continuous interpolation (same formula as
     // DuckDB quantile_cont); approx_percentile is the 100 TB path
-    // (mergeable t-digest-style sketch, no full sort of the column) —
-    // rows-only here, tolerance pinned by spec.
+    // (mergeable sketch, no full sort of the column). The approx query
+    // carries the exact values plus boolean 5%-tolerance checks the
+    // oracle asserts as literal TRUE.
     "a15_percentiles" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
@@ -91,8 +100,15 @@ object AggQueries extends QueryRegistry {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("median_approx"),
-          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_approx"))),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("m_apx"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p_apx"))
+        .select(col("l_returnflag"), col("median_price"), col("p90_price"),
+          (abs(col("m_apx") - col("median_price")) <= col("median_price") * 0.05)
+            .as("median_within_tol"),
+          (abs(col("p_apx") - col("p90_price")) <= col("p90_price") * 0.05)
+            .as("p90_within_tol"))),
 
     // Deterministic distributed sampling: bottom-k-by-md5 per group via
     // the custom HashSampleK aggregate (§2.8 UDAF surface) — the
@@ -228,6 +244,18 @@ object AggQueries extends QueryRegistry {
 
     "a8_distinct_exact" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a8_distinct_approx" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a15_percentiles_approx" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  TRUE AS median_within_tol, TRUE AS p90_within_tol
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "a15_percentiles" ->

@@ -59,6 +59,23 @@ object MmStreamQueries extends QueryRegistry {
 
     "stream_sessionize" -> ((s, dir) =>
       EventStreams.sessionCounts(Tables.events(s, dir), "30 minutes")),
+
+    // S5's streaming corpus-ingest twin: batch form of the cross-batch
+    // fingerprint dedup EventStreamsSpec drives on a MemoryStream
+    // (originals arrive, then exact copies) — min-id survivor per
+    // canonical content, which is exactly what first-arrival
+    // dropDuplicates("fp") yields when copies arrive after originals.
+    // The spec asserts stream output == this query on the same fixture.
+    "stream_corpus_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val arriving = docs.unionByName(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      arriving
+        .withColumn("fp", graft.text.TextAnalysis.fingerprint(col("text")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_seen"))
+    }),
   )
 
   private val contentSql =
@@ -107,6 +124,15 @@ object MmStreamQueries extends QueryRegistry {
       |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
       |      FROM scored)
       |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "stream_corpus_ingest" -> """
+      |WITH arriving AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)
+      |SELECT md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fp,
+      |  MIN(doc_id) AS doc_id, COUNT(*) AS n_seen
+      |FROM arriving GROUP BY 1""".stripMargin,
 
     "stream_tumbling_hourly" -> """
       |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,

@@ -31,9 +31,16 @@ object SimilarityQueries extends QueryRegistry {
       Knn.bruteForceTopK(queriesDf(s, dir), Tables.embeddings(s, dir), k = 5)),
 
     // blocked (multi-table LSH + exact verify) but oracle-checked
-    // against the full all-pairs SQL: 4 tables × 8 planes makes the
-    // candidate stage lossless at the 0.99 threshold (pair angle
-    // ≤ 8.1°, miss odds < 1e-3 per table to the 4th power).
+    // against the full all-pairs SQL. Candidate recall at cosine c is
+    // 1 − (1 − (1 − θ/π)^nPlanes)^nTables with θ = arccos(c): at 8
+    // planes × 4 tables that is a ~1.6e−6 miss for pairs at c≈0.9999
+    // but ~0.9% AT the 0.99 boundary — so the stage is lossless only
+    // for pairs well above threshold. The full-oracle match holds on
+    // this fixture because every true pair is a perturbed copy at
+    // cos≈0.9999, and random 64-dim pairs concentrate at |cos| ≈
+    // N(0, 1/64) (0.99 is ~8σ — no boundary mass exists). A corpus
+    // with pairs near the threshold needs more tables: the miss
+    // probability shrinks with the nTables-th power.
     "emb_near_dup" -> ((s, dir) =>
       Knn.cosineNearDupPairsBlocked(withPerturbed(s, dir), dim = 64,
         threshold = 0.99, nPlanes = 8, nTables = 4)),

@@ -96,6 +96,32 @@ object SourceQueries extends QueryRegistry {
       s.read.parquet(out).select("doc_id", "lang", "n_chars")
     }),
 
+    // S9 readback: real files on disk through Spark's binaryFile
+    // source — the §1.1 document-repository row over engine-written
+    // binaries, not synthetic in-memory bytes. Deterministic content
+    // (magic prefix by doc_id class + utf8 text) goes down via
+    // Writers.binaryDocs, comes back as (path, length, content),
+    // is F13-classified and measured; the oracle recomputes all of it
+    // from `documents`.
+    "s9_binary_readback" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_bin_repo").toString
+      val bin = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(
+          concat(lit("doc_"), col("doc_id")).as("filename"),
+          concat(
+            when(col("doc_id") % 3 === 0, lit("%PDF-1.7 "))
+              .when(col("doc_id") % 3 === 1, lit("PK archive "))
+              .otherwise(lit("")),
+            col("text")).cast("binary").as("content"))
+      Writers.binaryDocs(bin, out)
+      s.read.format("binaryFile").load(out)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          coalesce(Normalize.classifyFileType(col("content")), lit("bin"))
+            .as("file_type"))
+    }),
+
     // S8 append-history sink + Monitoring read-back: three runs sliced
     // deterministically from events, appended as run_ts partitions,
     // then the success-rate/trend table newest-run-first.
@@ -174,6 +200,20 @@ object SourceQueries extends QueryRegistry {
 
     "s6_partitioned_write" ->
       "SELECT doc_id, lang, n_chars FROM documents",
+
+    "s9_binary_readback" -> """
+      |WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN '%PDF-1.7 '
+      |         WHEN doc_id % 3 = 1 THEN 'PK archive '
+      |         ELSE '' END || text AS content
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT doc_id,
+      |  CAST(octet_length(encode(content)) AS BIGINT) AS n_bytes,
+      |  CASE WHEN left(content, 4) = '%PDF' THEN 'pdf'
+      |       WHEN left(content, 2) = 'PK' THEN 'docx'
+      |       ELSE 'bin' END AS file_type
+      |FROM b""".stripMargin,
 
     "s8_run_stats_trend" -> """
       |WITH runs AS (

@@ -186,10 +186,13 @@ object Knn {
     * pairs co-bucketed in ANY of `nTables` independent sign-bit LSH
     * tables (one posexplode pass + one self-equi-join on (tbl,
     * bucket)), verified with exact cosine. No cross join anywhere —
-    * cost is bounded by in-bucket pair counts, and recall at high
-    * thresholds comes from the table count: a pair at angle θ
-    * co-buckets per table with prob (1 − θ/π)^nPlanes, and misses all
-    * tables with the nTables-th power of the complement.
+    * cost is bounded by in-bucket pair counts. Recall: a pair at
+    * angle θ co-buckets per table with prob (1 − θ/π)^nPlanes and is
+    * missed with the nTables-th power of the complement — at the 8×4
+    * default that is ~1.6e−6 for cos≈0.9999 pairs but ~0.9% for pairs
+    * AT a 0.99 threshold (θ/π ≈ 0.045 → per-table co-bucket ≈ 0.69).
+    * The stage is effectively lossless only for pairs well above the
+    * threshold; corpora with boundary-pair mass should raise nTables.
     */
   /** Embedding-space semantic dedup: blocked cosine near-dup pairs →
     * connected components → canonical (min id) per duplicate cluster.

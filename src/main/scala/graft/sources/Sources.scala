@@ -61,6 +61,24 @@ object Writers {
     df.withColumn("run_ts", lit(runTs))
       .write.mode("append").partitionBy("run_ts").parquet(path)
 
+  /** Binary document-repository writer: one file per (`filename`,
+    * `content` binary) row under `path` — the write half of the §1.1
+    * document repository; `spark.read.format("binaryFile")` is the
+    * read half. One row per file is the contract: documents are whole
+    * artifacts, not splittable records, so parallelism comes from the
+    * file count (exactly how a distributed fetch lays them down).
+    */
+  def binaryDocs(df: DataFrame, path: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    df.select(col("filename"), col("content"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, r.getString(0)), r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
   /** Edge serialization for "; "-packed multi-value strings (F2):
     * arrays live as ArrayType inside the engine, packed only at the
     * CSV boundary.

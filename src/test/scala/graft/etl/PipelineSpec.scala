@@ -30,6 +30,27 @@ class PipelineSpec extends AnyFunSuite {
     s"$dir/bronze"
   }
 
+  test("enrichment cache from an older layout (no docket_context) still loads") {
+    // caches written before docket_context existed must migrate with a
+    // null default instead of failing the hits select / unionByName.
+    val oldCache = Seq(("stratus network", true, "sig", "seg", "sum", "pos"))
+      .toDF("normalized_name", "is_active", "activity_signal",
+        "industry_segment", "product_summary", "market_position")
+    val companies = Seq(
+      ("c1", "stratus network", 2L, Seq("INBOX-52.15")),
+      ("c2", "test telecom llc", 1L, Seq.empty[String]))
+      .toDF("id", "normalized_name", "filing_count", "dockets")
+    val (enriched, newCache) = Enrich.enrichWithCache(spark, companies, oldCache)
+    val byName = enriched.collect()
+      .map(r => r.getAs[String]("normalized_name") -> r).toMap
+    // the hit passes through with a migrated (null) context; the miss
+    // computes a fresh context from its dockets
+    assert(byName("stratus network").getAs[String]("docket_context") === null)
+    assert(byName("test telecom llc").getAs[String]("docket_context") === "")
+    assert(newCache.columns.contains("docket_context"))
+    assert(newCache.count() === 2)
+  }
+
   test("two pipeline runs: second is fully incremental") {
     val dir = Files.createTempDirectory("pipeline").toString
     val bronzePath = writeBronze(dir)

@@ -81,4 +81,27 @@ class DownloadSinkSpec extends AnyFunSuite {
     assert(DownloadSink.extensionFor("hello".getBytes) === ".bin")
     assert(DownloadSink.extensionFor(Array(0xD0, 0xCF, 0x11, 0xE0, 1).map(_.toByte)) === ".doc")
   }
+
+  test("sink-written repository reads back through binaryFile into F13 + multimodal") {
+    // close the document-repository loop: the files the sink just
+    // downloaded come back as a Spark binary frame, re-classify to the
+    // same types the sink sniffed, and feed the multimodal metadata op.
+    val out = Files.createTempDirectory("dl_readback").toString
+    DownloadSink.run(
+      DownloadSink.buildQueue(docs, Seq.empty[String].toDF("filename")),
+      out, fakeFetch)
+    val repo = spark.read.format("binaryFile").load(out)
+    val classified = repo.select(
+      element_at(split(col("path"), "/"), -1).as("name"),
+      graft.etl.Normalize.classifyFileType(col("content")).as("file_type"),
+      col("length"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(classified("Acme_Telecom_LLC_1.pdf")._1 === "pdf")
+    assert(classified("Stratus_Networks_2.docx")._1 === "docx")
+    assert(classified.values.forall(_._2 > 0))
+    val meta = graft.multimodal.Multimodal.withMetadata(repo, "content")
+      .select("size_bytes", "file_type").collect()
+    assert(meta.length === 2)
+    assert(meta.map(_.getString(1)).sorted === Array("docx", "pdf"))
+  }
 }

@@ -95,6 +95,36 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.count(id => Seq(1L, 2L, 4L).contains(id)) === 1)
   }
 
+  test("streaming corpus ingest equals the registered batch twin on real documents") {
+    // same fixture as the registered stream_corpus_ingest query:
+    // originals arrive in batch 1, exact copies (+100000) in batch 2 —
+    // first-arrival dropDuplicates must keep exactly the batch twin's
+    // min-id survivors.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = graft.TestSpark.SfDir
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val copies = docs.filter(_._1 % 3 == 0).map { case (id, t) => (id + 100000, t) }
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .withColumn("fp", graft.text.TextAnalysis.fingerprint(col("text")))
+      .dropDuplicates("fp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_parity_out").start()
+    mem.addData(docs.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(copies.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ingest_parity_out")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    q.stop()
+    val batch = graft.registry.MmStreamQueries.queries("stream_corpus_ingest")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(streamed === batch)
+  }
+
   test("streaming dedup drops the duplicate event_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
