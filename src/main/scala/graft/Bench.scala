@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Round benchmark: headline queries at SPARK_GRAFT_SF_DIR, one JSON
   * line on stdout.
@@ -36,6 +37,47 @@ object Bench {
     "emb_semantic_dedup",
     "text_quality",
     "stream_tumbling_hourly")
+
+  /** The 10× scaling checkpoint: a subset chosen to answer the two
+    * empirical questions a 100 TB plan review asks — where the
+    * composed LSH dedup crosses over the capped exact-Jaccard form,
+    * and how the native top-k gap vs the window form grows with data.
+    */
+  private val Sf1Headline = Seq(
+    "q1_agg", "w1_latest_per_group", "w1_latest_native",
+    "dedup_ngram_jaccard_capped", "dedup_corpus_composed", "corpus_prep",
+    "text_quality")
+
+  /** Build a deterministic 10× replica of the sf0.1 tables the sf1
+    * subset reads, once, under target/ (reused via _DONE marker).
+    * Replicas are DISTINCT documents — alternate tokens carry a
+    * replica tag, so no cross-replica shingle survives and the dedup
+    * workload scales like 10× more corpus, not like a duplicate
+    * explosion; keys in lineitem/orders shift so group counts scale
+    * with the data.
+    */
+  private def ensureSf1(spark: SparkSession, baseDir: String, sf1Dir: String): Unit = {
+    if (new java.io.File(s"$sf1Dir/_DONE").exists()) return
+    val reps = 10
+    def write(name: String, make: Int => DataFrame): Unit =
+      (0 until reps).map(make).reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$sf1Dir/$name.parquet")
+    write("lineitem", i => Tables.lineitem(spark, baseDir)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+    write("orders", i => Tables.orders(spark, baseDir)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
+    write("documents", i => {
+      val d = Tables.documents(spark, baseDir)
+      if (i == 0) d
+      else d
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), "\\s+"),
+            (t, idx) => when(idx % 2 === 0, concat(t, lit(s"_r$i"))).otherwise(t))))
+    })
+    new java.io.File(s"$sf1Dir/_DONE").createNewFile()
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,10 +127,40 @@ object Bench {
       }
     }
 
+    // sf1 (10×) scaling run — SPARK_GRAFT_SF1=0 disables; failures are
+    // recorded in sf1_errors without failing the main bench contract.
+    val sf1Errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val sf1Results: Seq[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "1") Seq.empty
+      else {
+        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+          new java.io.File("target/sf1").getAbsolutePath)
+        try {
+          ensureSf1(spark, sfDir, sf1Dir)
+          Sf1Headline.flatMap { name =>
+            val t0 = System.nanoTime()
+            try SparkEntry.queries(name)(spark, sf1Dir)
+              .write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              sf1Errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+              System.err.println(s"[bench] sf1 $name FAILED: ${e.getMessage}")
+            }
+            Some(name -> (System.nanoTime() - t0) / 1e9)
+          }
+        } catch { case e: Throwable =>
+          sf1Errors("_generate") = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          Seq.empty
+        }
+      }
+
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val sf1Qs = sf1Results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val sf1Errs = sf1Errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","sf1_queries":$sf1Qs,"sf1_errors":$sf1Errs}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

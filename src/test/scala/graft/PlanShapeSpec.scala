@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression net over EVERY registered query's physical plan: no
+  * all-pairs join shape (CartesianProduct / BroadcastNestedLoopJoin)
+  * may appear outside the declared exactness baselines. An edit that
+  * silently reintroduces an O(n²) plan fails here, not at 100 TB.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Declared brute-force baselines / broadcast-tiny-side shapes:
+    *  - emb_cosine_topk, mm_embed_topk: exact cosine top-k (the oracle
+    *    baseline — queries broadcast, corpus streams, never shuffles);
+    *  - ann_ivf_topk: centroid assignment is a broadcast nested loop
+    *    over the tiny centroid set by design (corpus never shuffles);
+    *  - a7_headline_metrics: attaches a LIMIT-1 mode row to a global
+    *    single-row aggregate with an on-true LEFT join — both sides
+    *    are one row by construction, the "join" is a row concat.
+    * Everything else — every dedup, join, window, ANN-LSH, pipeline
+    * query — must plan equi-joins/aggregations only.
+    */
+  private val allowed =
+    Set("emb_cosine_topk", "mm_embed_topk", "ann_ivf_topk", "a7_headline_metrics")
+
+  test("no registered query plans an all-pairs join outside the declared baselines") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if allowed(name) => None
+      case (name, fn) =>
+        val plan =
+          try fn(spark, TestSpark.SfDir).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        if (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin")) Some(name)
+        else None
+    }
+    assert(offenders.isEmpty, s"all-pairs plans found in: $offenders")
+  }
+}
