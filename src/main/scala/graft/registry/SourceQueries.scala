@@ -96,6 +96,33 @@ object SourceQueries extends QueryRegistry {
       s.read.parquet(out).select("doc_id", "lang", "n_chars")
     }),
 
+    // Bucketed co-located join: both sides are written pre-shuffled on
+    // the join key (8 buckets + in-bucket sort), so the sort-merge join
+    // plans with NO runtime Exchange on either input — the shuffle
+    // happens once at write time and every subsequent join of these
+    // tables rides it. At 100 TB this is THE join strategy for
+    // repeatedly-joined fact tables; the spec asserts the exchange-free
+    // plan. (merge hints keep the demonstration honest — without them
+    // the small side would broadcast and hide the bucketing.)
+    "bucketed_colocated_join" -> ((s, dir) => {
+      val p = Files.createTempDirectory("graft_bucketed").toString
+      s.sql("DROP TABLE IF EXISTS graft_b_orders")
+      s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$p/orders").saveAsTable("graft_b_orders")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$p/lineitem").saveAsTable("graft_b_lineitem")
+      s.table("graft_b_lineitem").hint("merge")
+        .join(s.table("graft_b_orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), decSum(col("l_extendedprice")).as("revenue"))
+    }),
+
     // S9 readback: real files on disk through Spark's binaryFile
     // source — the §1.1 document-repository row over engine-written
     // binaries, not synthetic in-memory bytes. Deterministic content
@@ -200,6 +227,12 @@ object SourceQueries extends QueryRegistry {
 
     "s6_partitioned_write" ->
       "SELECT doc_id, lang, n_chars FROM documents",
+
+    "bucketed_colocated_join" -> """
+      |SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1""".stripMargin,
 
     "s9_binary_readback" -> """
       |WITH b AS (

@@ -125,6 +125,93 @@ object TextQueries extends QueryRegistry {
             .as("sample_doc_ids"))
     }),
 
+    // tf-idf per (source, term): one explode + two hash aggregations +
+    // one equi-join on term. The corpus-wide source count is a driver
+    // scalar (two-phase: tiny stats job → literal), NOT a 1-row join —
+    // a scalar-subquery shape would plan a nested loop.
+    "text_tfidf" -> ((s, dir) => {
+      val nSources = Tables.documents(s, dir)
+        .select(col("source")).distinct().count()
+      val tf = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.filter(col("tf") >= 3)
+        .join(docFreq, "term")
+        .select(col("source"), col("term"), col("tf"), col("df"),
+          round(col("tf") * log(lit(nSources.toDouble) / col("df")), 5).as("tfidf"))
+    }),
+
+    // boilerplate/repetition signal (Gopher-style): share of repeated
+    // 3-gram shingles per doc. Pure column math in the scan.
+    "text_repetition" -> ((s, dir) => {
+      val sh = TextAnalysis.shingles(col("text"), 3)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(sh).cast("long").as("n_shingles"),
+        size(array_distinct(sh)).cast("long").as("n_distinct"))
+        .withColumn("repetition",
+          round(lit(1.0) -
+            col("n_distinct") / greatest(col("n_shingles").cast("double"), lit(1.0)),
+            6))
+    }),
+
+    // PII scrubbing — the redaction pass a training pipeline runs
+    // before tokenization. PII is seeded deterministically (every 5th
+    // doc gains an email/URL/phone) so the scrub is observable; counts
+    // are measured on the seeded text, replacements run in the scan.
+    "text_scrub_pii" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val urlRe = "https?://[^\\s]+"
+      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val seeded = when(col("doc_id") % 5 === 0,
+        concat(col("text"),
+          lit(" reach user"), col("doc_id"), lit("@example.com"),
+          lit(" via https://ex.example/"), col("doc_id"),
+          lit(" or 555-123-4567"))).otherwise(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(seeded,
+          emailRe, "<EMAIL>"), urlRe, "<URL>"), phoneRe, "<PHONE>")
+          .as("text_scrubbed"),
+        regexp_count(seeded, lit(emailRe)).as("n_email"),
+        regexp_count(seeded, lit(urlRe)).as("n_url"),
+        regexp_count(seeded, lit(phoneRe)).as("n_phone"))
+    }),
+
+    // quantile-based quality gate, shard-parallel like the packer:
+    // keep the top half by quality within each (lang, doc_id-range
+    // shard) — percent_rank is pure integer arithmetic (deterministic
+    // across engines, unlike interpolated medians), and the shard key
+    // keeps the window one-task-per-shard at corpus scale (a per-shard
+    // median approximates the language median with bounded shards).
+    "corpus_quality_filter" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("shard"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .withColumn("shard", floor(col("doc_id") / 100).cast("long"))
+        .withColumn("q_rank", round(percent_rank().over(w), 6))
+        .filter(col("q_rank") <= 0.5)
+    }),
+
+    // stratified source rebalancing: deterministic hash sampling with a
+    // per-source fraction (even sources keep ~50%, odd ~25%) — the
+    // downweight-overrepresented-sources step of corpus assembly. No
+    // shuffle, no sampling state; a doc's fate never changes on re-run.
+    "corpus_sample_stratified" -> ((s, dir) => {
+      val thr = when(
+        regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 2 === 0,
+        lit("7fffffff")).otherwise(lit("3fffffff"))
+      Tables.documents(s, dir)
+        .filter(md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))
+          .cast("binary")) < thr)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // A12 composition at scale: top terms per source via explode +
     // count + the native partial/final top-k (only <=5 term rows per
     // source per partition reach the final exchange).
@@ -288,6 +375,77 @@ object TextQueries extends QueryRegistry {
       |                                 'v': CAST(doc_id AS VARCHAR)})), 1, 3),
       |      x -> x.v), ',') AS sample_doc_ids
       |FROM scored GROUP BY source""".stripMargin,
+
+    "text_tfidf" -> """
+      |WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n FROM documents)
+      |SELECT source, term, tf, df,
+      |  round(tf * ln((SELECT n FROM n) / df), 5) AS tfidf
+      |FROM tf JOIN df USING (term) WHERE tf >= 3""".stripMargin,
+
+    "text_repetition" -> """
+      |WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_transform(generate_series(1, len(tk) - 2),
+      |                i -> array_to_string(tk[i:i+2], ' ')) END AS sh
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(len(sh) AS BIGINT) AS n_shingles,
+      |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+      |  round(1.0 - len(list_distinct(sh)) / greatest(CAST(len(sh) AS DOUBLE), 1.0), 6)
+      |    AS repetition
+      |FROM s""".stripMargin,
+
+    "text_scrub_pii" -> """
+      |WITH seeded AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN text || ' reach user' || doc_id || '@example.com' ||
+      |              ' via https://ex.example/' || doc_id || ' or 555-123-4567'
+      |         ELSE text END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    'https?://[^\s]+', '<URL>', 'g'),
+      |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text_scrubbed,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |  len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_url,
+      |  len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
+      |FROM seeded""".stripMargin,
+
+    "corpus_quality_filter" -> s"""
+      |WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    round(
+      |      least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3 +
+      |      (CASE WHEN CAST(length(text) AS DOUBLE) /
+      |              greatest(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 1.0)
+      |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.2 +
+      |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+      |        greatest(CAST(length(text) AS DOUBLE), 1.0) * 0.3 +
+      |      least(CAST(${hits("en")} AS DOUBLE) / 3.0, 1.0) * 0.2, 6) AS quality,
+      |    CAST(FLOOR(doc_id / 100) AS BIGINT) AS shard
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, round(percent_rank() OVER (
+      |    PARTITION BY lang, shard ORDER BY quality DESC, doc_id), 6) AS q_rank
+      |  FROM scored)
+      |SELECT doc_id, lang, quality, shard, q_rank FROM r WHERE q_rank <= 0.5""".stripMargin,
+
+    "corpus_sample_stratified" -> """
+      |SELECT doc_id, source FROM documents
+      |WHERE md5(source || ':' || CAST(doc_id AS VARCHAR)) <
+      |  CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 2 = 0
+      |       THEN '7fffffff' ELSE '3fffffff' END""".stripMargin,
 
     "text_top_terms" -> """
       |WITH tok AS (

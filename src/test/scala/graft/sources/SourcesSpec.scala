@@ -126,4 +126,28 @@ class SourcesSpec extends AnyFunSuite {
       assert(r.getSeq[String](0) === r.getSeq[String](2))
     }
   }
+
+  test("bucketed tables sort-merge join without any runtime exchange") {
+    val p = tmp("bucket")
+    spark.sql("DROP TABLE IF EXISTS spec_b_orders")
+    spark.sql("DROP TABLE IF EXISTS spec_b_lineitem")
+    graft.Tables.orders(spark, TestSpark.SfDir)
+      .select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$p/o").saveAsTable("spec_b_orders")
+    graft.Tables.lineitem(spark, TestSpark.SfDir)
+      .select("l_orderkey", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$p/l").saveAsTable("spec_b_lineitem")
+    val joined = spark.table("spec_b_lineitem").hint("merge")
+      .join(spark.table("spec_b_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the whole point of bucketing: the write pre-shuffled both sides,
+    // so the join itself plans exchange-free
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() ===
+      graft.Tables.lineitem(spark, TestSpark.SfDir).count())
+  }
 }
