@@ -206,6 +206,26 @@ object AggQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_lines"))
     }),
 
+    // CDC merge/upsert: apply a change batch (updates + deletes) to a
+    // base table, latest sequence wins per key. Runs through the
+    // native top-k operator (k=1 by seq desc) so only one candidate
+    // row per key per partition reaches the exchange — the incremental
+    // maintenance shape for a 100 TB dimension table.
+    "merge_upsert" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val base = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit(0L).as("seq"), lit("U").as("op"))
+      val changes = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") + 1000.0, 2).as("c_acctbal"),
+          lit(1L).as("seq"),
+          when(col("c_custkey") % 20 === 0, "D").otherwise("U").as("op"))
+      graft.plans.TopK.perKey(base.unionByName(changes),
+          Seq(col("c_custkey")), Seq(col("seq").desc), k = 1)
+        .filter(col("op") =!= "D")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
     // J5: nest → re-flatten roundtrip (collect_list then explode); the
     // oracle is the identity projection, which is the point.
     "j5_explode_roundtrip" -> ((s, dir) =>
@@ -326,5 +346,17 @@ object AggQueries extends QueryRegistry {
 
     "j5_explode_roundtrip" ->
       "SELECT l_orderkey, l_linenumber AS ln FROM lineitem",
+
+    "merge_upsert" -> """
+      |WITH base AS (
+      |  SELECT c_custkey, c_name, c_acctbal, 0 AS seq, 'U' AS op FROM customer),
+      |chg AS (
+      |  SELECT c_custkey, c_name, round(c_acctbal + 1000.0, 2) AS c_acctbal,
+      |    1 AS seq, CASE WHEN c_custkey % 20 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM u)
+      |SELECT c_custkey, c_name, c_acctbal FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
   )
 }

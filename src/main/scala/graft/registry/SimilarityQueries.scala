@@ -58,6 +58,29 @@ object SimilarityQueries extends QueryRegistry {
     "emb_semantic_dedup" -> ((s, dir) =>
       Knn.semanticDedup(withPerturbed(s, dir), dim = 64, threshold = 0.99,
         nPlanes = 8, nTables = 4)),
+
+    // chunk → embed → mean-pool: roll per-chunk vectors into one
+    // document vector — the embedding-aggregation step between
+    // chunking and ANN indexing. Chunk embedding is the deterministic
+    // md5-nibble stub (the codec seam); pooling is distributed the
+    // scale way: explode to (doc, dim), decimal-exact mean per cell,
+    // re-assemble — never a collect_list of whole vectors per doc.
+    "emb_chunk_mean_pool" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val cells = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.text.TextAnalysis.chunks(col("text"), 64, 8)).as("ch"))
+        .select(col("doc_id"), md5(col("ch.chunk_text").cast("binary")).as("hx"))
+        .select(col("doc_id"), posexplode(array((0 until 4).map(i =>
+          (ascii(substring(col("hx"), i + 1, 1)) % 16).cast("double") / 15.0 - 0.5): _*)))
+      cells.groupBy(col("doc_id"), col("pos"))
+        .agg(round(sum(col("col").cast(DecimalType(18, 9))).cast(DoubleType) /
+          count(lit(1)), 6).as("m"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("s"))
+        .select(col("doc_id") +:
+          (0 until 4).map(i => col("s").getItem(i).getField("m").as(s"e$i")): _*)
+    }),
   )
 
   private val dotSql =
@@ -93,6 +116,33 @@ object SimilarityQueries extends QueryRegistry {
       |  ${cosineSql("a.e", "b.e")} AS sim
       |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
       |WHERE ${cosineSql("a.e", "b.e")} >= 0.99""".stripMargin,
+
+    "emb_chunk_mean_pool" -> """
+      |WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, t,
+      |    greatest(CAST(ceil((len(t) - 8) / 56.0) AS INT), 1) AS nchunks
+      |  FROM tok),
+      |ch AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_slice(t, i * 56 + 1, i * 56 + 64), ' ')) AS hx
+      |  FROM n, unnest(generate_series(0, nchunks - 1)) AS u(i)),
+      |cells AS (
+      |  SELECT doc_id, d.pos,
+      |    (ascii(substr(hx, d.pos + 1, 1)) % 16) / 15.0 - 0.5 AS v
+      |  FROM ch, (SELECT unnest(generate_series(0, 3)) AS pos) d),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    round(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS m
+      |  FROM cells GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  MAX(CASE WHEN pos = 0 THEN m END) AS e0,
+      |  MAX(CASE WHEN pos = 1 THEN m END) AS e1,
+      |  MAX(CASE WHEN pos = 2 THEN m END) AS e2,
+      |  MAX(CASE WHEN pos = 3 THEN m END) AS e3
+      |FROM m GROUP BY doc_id""".stripMargin,
 
     // transitive closure over the >= 0.99 cosine pairs; canonical =
     // numeric min per component, singletons map to themselves.
