@@ -35,12 +35,18 @@ object ScaleDedup {
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_docs"))
 
-  /** (id, shingle) inverted-index rows — distinct so Jaccard is over
-    * shingle SETS.
+  /** (id, sh) inverted-index rows, `sh` = xxhash64 of the n-gram
+    * shingle — distinct so Jaccard is over shingle SETS. Hashing at
+    * the index boundary (not downstream) means every consumer —
+    * distinct, signatures, set intersections — works on 8-byte longs
+    * instead of ~n-word strings: the index shuffles/checkpoints at a
+    * fraction of the bytes and the 64-slot MinHash rehashes a long,
+    * not a string. Collision odds ~|shingles|²/2^65 — immaterial.
     */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
       explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
       .distinct()
 
   /** Pairwise n-gram Jaccard ≥ threshold via the inverted index: join
@@ -58,13 +64,10 @@ object ScaleDedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       maxDocFreq: Long = 1000): DataFrame = {
-    // 8-byte shingle hashes (collision odds ~|shingles|²/2^65), then
-    // ONE shuffle on the hash and in-group pair expansion — measured
-    // ~3× faster than the index self-join, which shuffles the index
-    // twice.
-    val idx = shingleIndex(df, idCol, textCol, n)
-      .withColumn("sh", xxhash64(col("shingle"))).drop("shingle")
-      .localCheckpoint()
+    // ONE shuffle on the 8-byte shingle hash and in-group pair
+    // expansion — measured ~3× faster than the index self-join, which
+    // shuffles the index twice.
+    val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val grouped = idx.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -91,8 +94,7 @@ object ScaleDedup {
     * candidate-bounded exact Jaccard.
     */
   def shingleSets(index: DataFrame): DataFrame =
-    index.withColumn("sh", xxhash64(col("shingle"))).drop("shingle")
-      .groupBy(col("id"))
+    index.groupBy(col("id"))
       .agg(collect_set(col("sh")).as("shs"))
 
   /** Exact Jaccard evaluated ONLY for the given candidate pairs: two
@@ -116,12 +118,14 @@ object ScaleDedup {
   }
 
   /** MinHash signature: k independent permutations simulated as
-    * xxhash64 with per-slot salts; one aggregation produces all slots.
+    * xxhash64 with per-slot salts over the 8-byte shingle hash (an
+    * equally valid permutation family, at long-rehash cost instead of
+    * string-rehash); one aggregation produces all slots.
     */
   def minhashSignatures(index: DataFrame, k: Int = 16): DataFrame =
     index.groupBy(col("id"))
       .agg(array((0 until k).map(i =>
-        min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
+        min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
 
   /** LSH candidate pairs from a prebuilt (id, shingle) index: band the
     * signature (bands × rowsPerBand = k), hash each band, join docs
