@@ -174,6 +174,28 @@ object ScaleDedup {
       .select(col("id"), col("simhash"))
   }
 
+  /** Oracle-checkable SimHash twin: per-token 64-bit hash taken from
+    * the first 16 hex chars of md5 (so any engine can replay it), bit
+    * votes identical to [[simhash]], fingerprint emitted as a 64-char
+    * bit string (bit 63 first — no signed-integer-width pitfalls at
+    * the SQL boundary). The xxhash64 form is the scale path (one
+    * 8-byte hash per token instead of md5 + hex slicing); this twin
+    * pins its semantics under an exact cross-engine oracle.
+    */
+  def simhashMd5Bits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .withColumn("hx", substring(md5(col("token").cast("binary")), 1, 16))
+    val votes = (0 until 64).map { j =>
+      val nib = conv(substring(col("hx"), 16 - j / 4, 1), 16, 10).cast("int")
+      sum(when(shiftright(nib, j % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        concat((63 to 0 by -1).map(j =>
+          when(col(s"v$j") > 0, "1").otherwise("0")): _*).as("simhash_bits"))
+  }
+
   /** The composed corpus-dedup operation: MinHash-LSH candidates →
     * exact-Jaccard verification OF THE CANDIDATES ONLY → connected
     * components → canonical (min id) per duplicate cluster. Returns

@@ -65,6 +65,12 @@ object ScaleDedupQueries extends QueryRegistry {
         ScaleDedup.simhash(withNearDups(s, dir), "doc_id", "text"),
         maxHamming = 3)),
 
+    // the md5-hash simhash twin under a FULL oracle (bit-exact
+    // cross-engine fingerprints) — pins the bit-vote semantics the
+    // xxhash64 scale form implements.
+    "dedup_simhash_md5" -> ((s, dir) =>
+      ScaleDedup.simhashMd5Bits(withNearDups(s, dir), "doc_id", "text")),
+
     // the flagship composition: LSH candidates -> candidate-bounded
     // Jaccard verify -> connected components -> canonical id per doc.
     "dedup_corpus_composed" -> ((s, dir) =>
@@ -76,6 +82,24 @@ object ScaleDedupQueries extends QueryRegistry {
     "corpus_prep" -> ((s, dir) =>
       ScaleDedup.prepareCorpus(withNearDups(s, dir), "doc_id", "text",
         minQuality = 0.5, lang = "en", n = 3, threshold = 0.6)),
+
+    // eval-set decontamination: an eval doc (id % 10 == 0) is
+    // contaminated to the degree it shares n-gram shingles with the
+    // train side — the overlap check run before publishing a held-out
+    // set. One equi-join on the hashed shingle (the same inverted
+    // index every dedup path uses), distinct-count per eval doc; never
+    // a doc×doc comparison.
+    "corpus_decontaminate" -> ((s, dir) => {
+      val idx = ScaleDedup.shingleIndex(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", 3)
+      val evalSide = idx.filter(col("id") % 10 === 0)
+      val trainSh = idx.filter(col("id") % 10 =!= 0).select(col("sh")).distinct()
+      evalSide.join(trainSh, "sh")
+        .groupBy(col("id"))
+        .agg(countDistinct(col("sh")).as("n_shared"))
+        .select(col("id").as("doc_id"), col("n_shared"))
+    }),
   )
 
   private val exactDupsSql =
@@ -151,6 +175,42 @@ object ScaleDedupQueries extends QueryRegistry {
       |  UNION
       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
       |SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
+
+    "dedup_simhash_md5" -> {
+      val votes = (0 until 64).map { j =>
+        val pos = 16 - j / 4
+        val bit = j % 4
+        s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(hx, $pos, 1)) - 1) >> $bit) & 1) = 1 THEN 1 ELSE -1 END) AS v$j"
+      }.mkString(",\n|    ")
+      val bits = (63 to 0 by -1)
+        .map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""
+      |WITH docs AS ($nearDupsSql),
+      |tok AS (
+      |  SELECT doc_id AS id,
+      |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      |  FROM docs),
+      |h AS (SELECT id, substr(md5(token), 1, 16) AS hx FROM tok),
+      |v AS (
+      |  SELECT id,
+      |    $votes
+      |  FROM h GROUP BY id)
+      |SELECT id, $bits AS simhash_bits FROM v""".stripMargin
+    },
+
+    "corpus_decontaminate" -> """
+      |WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+      |tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0)
+      |SELECT ev.doc_id, COUNT(DISTINCT ev.s) AS n_shared
+      |FROM ev JOIN tr ON ev.s = tr.s
+      |GROUP BY 1""".stripMargin,
 
     // full prep chain: quality+lang gate -> exact dedup (min id per
     // fingerprint) -> near-dup transitive closure -> surviving ids.

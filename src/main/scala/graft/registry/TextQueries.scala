@@ -71,6 +71,30 @@ object TextQueries extends QueryRegistry {
       TextAnalysis.packBinsSharded(Tables.documents(s, dir),
         "doc_id", "lang", "text", tokenBudget = 8192, shardRows = 100)),
 
+    // the materialized pack: one row per (lang, shard, bin) with the
+    // concatenated training sequence (as a digest — payloads are
+    // opaque blobs downstream), doc count and token total. Group-local
+    // sort inside the agg, deterministic by doc_id.
+    "corpus_pack_payload" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("shard", floor(col("doc_id") / 100).cast("long"))
+        .withColumn("bin_id",
+          floor((sum(col("ntok")).over(w) - col("ntok")) / 8192).cast("long"))
+        .groupBy(col("lang"), col("shard"), col("bin_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("total_tokens"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text"))).cast("binary")).as("payload_md5"))
+    }),
+
     // winnowing with md5 rolling hashes — the oracle-checkable twin of
     // text_winnow_fingerprint (lexicographic min = numeric min on hex).
     "text_winnow_md5" -> ((s, dir) => {
@@ -307,6 +331,21 @@ object TextQueries extends QueryRegistry {
       |            ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
       |    - len(string_split_regex(lower(trim(text)), '\s+'))) / 8192) AS BIGINT) AS bin_id
       |FROM documents""".stripMargin,
+
+    "corpus_pack_payload" -> """
+      |WITH b AS (
+      |  SELECT doc_id, lang, text,
+      |    len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+      |    CAST(FLOOR(doc_id / 100) AS BIGINT) AS shard,
+      |    CAST(FLOOR((SUM(len(string_split_regex(lower(trim(text)), '\s+')))
+      |        OVER (PARTITION BY lang, FLOOR(doc_id / 100)
+      |              ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |      - len(string_split_regex(lower(trim(text)), '\s+'))) / 8192) AS BIGINT) AS bin_id
+      |  FROM documents)
+      |SELECT lang, shard, bin_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+      |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS payload_md5
+      |FROM b GROUP BY 1, 2, 3""".stripMargin,
 
     "text_winnow_md5" -> """
       |WITH tok AS (
