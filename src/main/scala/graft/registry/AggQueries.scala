@@ -206,6 +206,70 @@ object AggQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_lines"))
     }),
 
+    // A17: rolling 7-day mean of daily totals. The outer window is a
+    // single ordered run over |days| rows — the correct scale shape
+    // (the heavy reduction to daily grain happened in the shuffle agg).
+    "a17_rolling_avg" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(decSum(col("value")).as("daily_total"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily.withColumn("rolling_avg", round(avg(col("daily_total")).over(w), 6))
+        .select(col("day").cast("string").as("day"),
+          col("daily_total"), col("rolling_avg"))
+    }),
+
+    // J6: full-outer reconciliation audit — the source-vs-sink count
+    // check every incremental pipeline runs (rows only-left /
+    // only-right / both), as one join + one aggregate.
+    "j6_full_outer_audit" -> ((s, dir) => {
+      val a = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"))
+      val b = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
+        .select(col("o_orderkey").as("k"))
+      a.join(b, col("o_orderkey") === col("k"), "full_outer")
+        .agg(
+          sum(when(col("k").isNull, 1).otherwise(0)).cast("long").as("only_open"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).cast("long").as("only_big"),
+          sum(when(col("o_orderkey").isNotNull && col("k").isNotNull, 1).otherwise(0))
+            .cast("long").as("n_both"))
+    }),
+
+    // A18: unpivot (wide metrics → long) via the stack generator — the
+    // melt every metrics exporter needs.
+    "a18_unpivot" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          decSum(col("o_totalprice")).as("revenue"))
+        .select(col("o_orderpriority"),
+          expr("stack(2, 'n_orders', n_orders, 'revenue', revenue) AS (metric, value)"))),
+
+    // A19: pivot (long → wide) with explicit values (no extra
+    // distinct-values job) — counts per (nation, segment) as columns.
+    "a19_pivot" -> ((s, dir) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment", segs)
+        .agg(count(lit(1)))
+        .select(col("c_nationkey") +:
+          segs.map(x => coalesce(col(x), lit(0L)).as(x)): _*)
+    }),
+
+    // stream-static enrichment join: the batch twin of a readStream
+    // joined to a broadcast dimension (the plan is identical on a
+    // stream — Spark's unified-engine contract; EventStreamsSpec
+    // drives the streaming execution).
+    "stream_enrich_join" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Tables.events(s, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+    }),
+
     // CDC merge/upsert: apply a change batch (updates + deletes) to a
     // base table, latest sequence wins per key. Runs through the
     // native top-k operator (k=1 by seq desc) so only one candidate
@@ -346,6 +410,51 @@ object AggQueries extends QueryRegistry {
 
     "j5_explode_roundtrip" ->
       "SELECT l_orderkey, l_linenumber AS ln FROM lineitem",
+
+    "a17_rolling_avg" -> """
+      |WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_total
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(day AS VARCHAR) AS day, daily_total,
+      |  round(AVG(daily_total) OVER (
+      |    ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
+      |FROM daily""".stripMargin,
+
+    "j6_full_outer_audit" -> """
+      |SELECT
+      |  CAST(SUM(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_open,
+      |  CAST(SUM(CASE WHEN a.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_big,
+      |  CAST(SUM(CASE WHEN a.o_orderkey IS NOT NULL AND b.k IS NOT NULL
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      |FROM (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O') a
+      |FULL OUTER JOIN (SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 100000) b
+      |ON a.o_orderkey = b.k""".stripMargin,
+
+    "a18_unpivot" -> """
+      |WITH m AS (
+      |  SELECT o_orderpriority,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM m
+      |UNION ALL
+      |SELECT o_orderpriority, 'revenue' AS metric, revenue AS value FROM m""".stripMargin,
+
+    "a19_pivot" -> """
+      |SELECT c_nationkey,
+      |  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+      |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+      |  CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+      |  CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+      |  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+      |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "stream_enrich_join" -> """
+      |SELECT c_mktsegment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1""".stripMargin,
 
     "merge_upsert" -> """
       |WITH base AS (

@@ -125,6 +125,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-static broadcast enrichment join matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = graft.TestSpark.SfDir
+    val dim = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val evRows = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("user_id", "value")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.OracleSafe.decSum(col("value")).as("total_value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_join_out").start()
+    mem.addData(evRows.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("enrich_join_out").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    q.stop()
+    val batch = graft.registry.AggQueries.queries("stream_enrich_join")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming dedup drops the duplicate event_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
