@@ -36,7 +36,10 @@ object Bench {
     "emb_near_dup",
     "emb_semantic_dedup",
     "text_quality",
-    "stream_tumbling_hourly")
+    "stream_tumbling_hourly",
+    "corpus_pack_sharded",
+    "corpus_decontaminate",
+    "merge_upsert")
 
   /** The 10× scaling checkpoint: a subset chosen to answer the two
     * empirical questions a 100 TB plan review asks — where the
