@@ -96,6 +96,36 @@ object SourceQueries extends QueryRegistry {
       s.read.parquet(out).select("doc_id", "lang", "n_chars")
     }),
 
+    // Schema evolution on read: batch 2 added a column after batch 1
+    // shipped — mergeSchema unions the file schemas and null-backfills
+    // the old files, the append-only evolution contract a long-lived
+    // 100 TB table needs (no rewrite of history).
+    "s14_schema_evolution" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_schema_evo").toString
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"))
+        .write.parquet(s"$out/batch1")
+      Tables.documents(s, dir).filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .write.parquet(s"$out/batch2")
+      s.read.option("mergeSchema", true)
+        .parquet(s"$out/batch1", s"$out/batch2")
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
+    // Range-partitioned sorted layout: repartitionByRange + in-partition
+    // sort gives non-overlapping sorted files — the layout that lets
+    // downstream consumers merge-scan or min/max-prune on the sort key.
+    // SourcesSpec proves the file ranges don't overlap.
+    "s15_range_partitioned_write" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_range_write").toString + "/orders"
+      Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.parquet(out)
+      s.read.parquet(out).select("o_orderkey", "o_totalprice")
+    }),
+
     // Bucketed co-located join: both sides are written pre-shuffled on
     // the join key (8 buckets + in-bucket sort), so the sort-merge join
     // plans with NO runtime Exchange on either input — the shuffle
@@ -227,6 +257,14 @@ object SourceQueries extends QueryRegistry {
 
     "s6_partitioned_write" ->
       "SELECT doc_id, lang, n_chars FROM documents",
+
+    "s14_schema_evolution" -> """
+      |SELECT doc_id, source,
+      |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang
+      |FROM documents""".stripMargin,
+
+    "s15_range_partitioned_write" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
 
     "bucketed_colocated_join" -> """
       |SELECT o_orderpriority, COUNT(*) AS n_lines,

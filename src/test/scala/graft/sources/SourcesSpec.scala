@@ -127,6 +127,27 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("range-partitioned write yields non-overlapping sorted files") {
+    val out = tmp("range") + "/orders"
+    graft.Tables.orders(spark, TestSpark.SfDir)
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1, "need multiple files to prove range layout")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file key ranges overlap: $ranges")
+      case _ =>
+    }
+  }
+
   test("bucketed tables sort-merge join without any runtime exchange") {
     val p = tmp("bucket")
     spark.sql("DROP TABLE IF EXISTS spec_b_orders")
