@@ -246,14 +246,14 @@ object ScaleDedup {
     * `format_string("%020d", id)` breaks on negatives ('-' prefixed,
     * magnitude-ordered backwards), this does not.
     */
-  private[dedup] def encodeId(c: Column): Column =
+  private[graft] def encodeId(c: Column): Column =
     lpad(hex(c.bitwiseXOR(lit(Long.MinValue))), 16, "0")
 
   /** Inverse of [[encodeId]]: parse the two 32-bit hex halves (each
     * fits a long), recombine with a wrapping shift, un-flip the sign
     * bit.
     */
-  private[dedup] def decodeId(c: Column): Column =
+  private[graft] def decodeId(c: Column): Column =
     shiftleft(conv(substring(c, 1, 8), 16, 10).cast("long"), 32)
       .bitwiseOR(conv(substring(c, 9, 8), 16, 10).cast("long"))
       .bitwiseXOR(lit(Long.MinValue))
