@@ -270,6 +270,14 @@ object AggQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
     }),
 
+    // A20: fixed-width histogram via width_bucket — one map-side
+    // bucket assignment + one hash agg, the profile/monitoring shape.
+    "a20_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(width_bucket(col("value"), lit(0.0), lit(500.0), lit(10)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
     // CDC merge/upsert: apply a change batch (updates + deletes) to a
     // base table, latest sequence wins per key. Runs through the
     // native top-k operator (k=1 by seq desc) so only one candidate
@@ -455,6 +463,14 @@ object AggQueries extends QueryRegistry {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1""".stripMargin,
+
+    // DuckDB 1.0 has no width_bucket; replay PG semantics for in-range
+    // values with identical fp steps (width = (500-0)/10 = 50.0 exact,
+    // then floor((v - 0)/50) + 1 — the same division Spark computes).
+    "a20_histogram" -> """
+      |SELECT CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT) + 1 AS bucket,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1""".stripMargin,
 
     "merge_upsert" -> """
       |WITH base AS (

@@ -149,6 +149,25 @@ object TextQueries extends QueryRegistry {
             .as("sample_doc_ids"))
     }),
 
+    // vocabulary build + OOV rate: vocab = 100 most frequent terms
+    // (count desc, term asc — deterministic), OOV per doc = share of
+    // token occurrences outside it — the tokenizer-coverage number a
+    // vocab build reports. Vocab is tiny by construction → broadcast
+    // join against the token stream.
+    "text_vocab_oov" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(100)
+        .select(col("term"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1).otherwise(0)).cast("long").as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov") / col("n_tokens").cast("double"), 6))
+    }),
+
     // tf-idf per (source, term): one explode + two hash aggregations +
     // one equi-join on term. The corpus-wide source count is a driver
     // scalar (two-phase: tiny stats job → literal), NOT a 1-row join —
@@ -414,6 +433,19 @@ object TextQueries extends QueryRegistry {
       |                                 'v': CAST(doc_id AS VARCHAR)})), 1, 3),
       |      x -> x.v), ',') AS sample_doc_ids
       |FROM scored GROUP BY source""".stripMargin,
+
+    "text_vocab_oov" -> """
+      |WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |v AS (
+      |  SELECT term FROM (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1)
+      |  ORDER BY cnt DESC, term LIMIT 100)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN term IN (SELECT term FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+      |  round(CAST(SUM(CASE WHEN term IN (SELECT term FROM v) THEN 0 ELSE 1 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS oov_rate
+      |FROM tok GROUP BY doc_id""".stripMargin,
 
     "text_tfidf" -> """
       |WITH tok AS (
