@@ -464,11 +464,15 @@ object AggQueries extends QueryRegistry {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1""".stripMargin,
 
-    // DuckDB 1.0 has no width_bucket; replay PG semantics for in-range
-    // values with identical fp steps (width = (500-0)/10 = 50.0 exact,
-    // then floor((v - 0)/50) + 1 — the same division Spark computes).
+    // DuckDB 1.0 has no width_bucket; replay PG semantics with
+    // identical fp steps (width = (500-0)/10 = 50.0 exact, then
+    // floor((v - 0)/50) + 1 — the same division Spark computes),
+    // INCLUDING the out-of-range clamps: v < lo → 0, v ≥ hi → n+1
+    // (sf0.1 has values past 500, which caught an unclamped oracle).
     "a20_histogram" -> """
-      |SELECT CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT) + 1 AS bucket,
+      |SELECT CASE WHEN value < 0.0 THEN 0
+      |            WHEN value >= 500.0 THEN 11
+      |            ELSE CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT) + 1 END AS bucket,
       |  COUNT(*) AS n
       |FROM events GROUP BY 1""".stripMargin,
 
