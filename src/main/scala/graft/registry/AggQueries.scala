@@ -270,6 +270,29 @@ object AggQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
     }),
 
+    // A21: rollup (grouping sets) — subtotals per (status, priority),
+    // per status, and grand total in ONE aggregation pass (Spark
+    // expands the grouping sets map-side; no re-scan per level).
+    "a21_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue"))),
+
+    // set operations: the audit forms of EXCEPT/INTERSECT over derived
+    // key sets (both plan as hash aggregates + joins — no sort).
+    "s16_set_ops" -> ((s, dir) => {
+      val open = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey"))
+      open.intersect(big).withColumn("set_kind", lit("both"))
+        .unionByName(open.except(big).withColumn("set_kind", lit("open_only")))
+    }),
+
     // A20: fixed-width histogram via width_bucket — one map-side
     // bucket assignment + one hash agg, the profile/monitoring shape.
     "a20_histogram" -> ((s, dir) =>
@@ -463,6 +486,22 @@ object AggQueries extends QueryRegistry {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1""".stripMargin,
+
+    "a21_rollup" -> """
+      |SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "s16_set_ops" -> """
+      |WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+      |SELECT o_custkey, 'both' AS set_kind FROM (
+      |  SELECT o_custkey FROM open INTERSECT SELECT o_custkey FROM big)
+      |UNION ALL
+      |SELECT o_custkey, 'open_only' AS set_kind FROM (
+      |  SELECT o_custkey FROM open EXCEPT SELECT o_custkey FROM big)""".stripMargin,
 
     // DuckDB 1.0 has no width_bucket; replay PG semantics with
     // identical fp steps (width = (500-0)/10 = 50.0 exact, then
