@@ -62,6 +62,18 @@ object Bench {
   private def ensureSf1(spark: SparkSession, baseDir: String, sf1Dir: String): Unit = {
     if (new java.io.File(s"$sf1Dir/_DONE").exists()) return
     val reps = 10
+    // Replica key offsets assume the base id ranges below; a silently
+    // grown fixture would make replicas collide and turn the scaling
+    // run into a duplicate-heavy corpus — fail generation loudly.
+    def assertStride(df: DataFrame, keyCol: String, stride: Long): Unit = {
+      val mx = df.agg(max(col(keyCol))).head.getLong(0)
+      require(mx < stride,
+        s"sf1 replica stride violated: max($keyCol)=$mx >= $stride")
+    }
+    assertStride(Tables.lineitem(spark, baseDir), "l_orderkey", 100000000L)
+    assertStride(Tables.orders(spark, baseDir), "o_orderkey", 100000000L)
+    assertStride(Tables.orders(spark, baseDir), "o_custkey", 10000000L)
+    assertStride(Tables.documents(spark, baseDir), "doc_id", 1000000L)
     def write(name: String, make: Int => DataFrame): Unit =
       (0 until reps).map(make).reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$sf1Dir/$name.parquet")
@@ -112,6 +124,18 @@ object Bench {
       }
     }
 
+    // Between-query isolation, OUTSIDE the timed span: drop cached
+    // plans and nudge GC so the ContextCleaner frees orphaned
+    // localCheckpoint blocks. Stale blocks from earlier queries
+    // otherwise sit in storage memory until a (rare, at this heap
+    // size) full GC, and later queries pay their eviction churn —
+    // round-3 forensics measured up to 4× inflation on the late heavy
+    // queries from exactly this cross-query pollution.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = Headline.flatMap { name =>
       SparkEntry.queries.get(name) match {
@@ -123,7 +147,9 @@ object Bench {
               .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           }
-          Some(name -> (System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          isolate()
+          Some(name -> dt)
         case None =>
           errors(name) = "query not registered"
           None
@@ -140,6 +166,7 @@ object Bench {
           new java.io.File("target/sf1").getAbsolutePath)
         try {
           ensureSf1(spark, sfDir, sf1Dir)
+          isolate() // generation garbage must not bill to the first sf1 query
           Sf1Headline.flatMap { name =>
             val t0 = System.nanoTime()
             try SparkEntry.queries(name)(spark, sf1Dir)
@@ -149,7 +176,9 @@ object Bench {
                 .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
               System.err.println(s"[bench] sf1 $name FAILED: ${e.getMessage}")
             }
-            Some(name -> (System.nanoTime() - t0) / 1e9)
+            val dt = (System.nanoTime() - t0) / 1e9
+            isolate()
+            Some(name -> dt)
           }
         } catch { case e: Throwable =>
           sf1Errors("_generate") = Option(e.getMessage).getOrElse(e.getClass.getName)

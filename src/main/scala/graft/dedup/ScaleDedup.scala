@@ -63,10 +63,25 @@ object ScaleDedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
+      maxDocFreq: Long = 1000): DataFrame =
+    ngramJaccardPairsSelfJoin(df, idCol, textCol, n, threshold, maxDocFreq)
+
+  /** The grouped-expansion alternative to the self-join plan: ONE
+    * shuffle on the 8-byte shingle hash, then every in-group pair is
+    * expanded inside the group row (`transform`/`slice` over the
+    * sorted id list). The failure mode that demoted it from default:
+    * a shingle of m docs builds ~m²/2 structs in a SINGLE row with no
+    * partial aggregation — at the 1000-doc default cap that is ~500k
+    * structs in one task's lap, a memory spike the self-join plan
+    * never takes (its pair stream is never held per-group). A/B at
+    * warm sessions (ScaleProbe `ab`, 2026-08-12): grouped 2.4 s
+    * (sf0.1) / 7.3–9.9 s (sf1) vs self-join 1.8 s / 7.2–8.2 s — the
+    * self-join wins at both scales AND has the safer worst case.
+    */
+  def ngramJaccardPairsGrouped(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6,
       maxDocFreq: Long = 1000): DataFrame = {
-    // ONE shuffle on the 8-byte shingle hash and in-group pair
-    // expansion — measured ~3× faster than the index self-join, which
-    // shuffles the index twice.
     val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val grouped = idx.groupBy(col("sh"))
@@ -78,6 +93,43 @@ object ScaleDedup {
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The production Jaccard-pairs plan: pair counts from
+    * `idx ⋈ idx ON sh` — two shuffles of 8-byte (sh, id) rows, then a
+    * map-side-combinable partial count per pair. The doc-frequency cap
+    * is an anti-join against the hot-shingle list, so no group is ever
+    * materialized in one row; per-task memory is flat no matter how
+    * hot a shingle runs. Won the A/B vs the grouped expansion at both
+    * measured scales (see [[ngramJaccardPairsGrouped]]).
+    */
+  def ngramJaccardPairsSelfJoin(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6,
+      maxDocFreq: Long = 1000): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
+    // sizes come from the FULL index — the cap drops hot shingles from
+    // intersection counting only, exactly like ngramJaccardPairs.
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val capped = if (maxDocFreq > 0) {
+      val hot = idx.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
+        .select(col("sh"))
+      idx.join(hot, Seq("sh"), "left_anti")
+    } else idx
+    val inter = capped.select(col("sh"), col("id").as("id_a"))
+      .join(capped.select(col("sh"), col("id").as("id_b")), "sh")
+      .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter

@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.ScaleDedup
+import graft.registry.ScaleDedupQueries
+
+/** Per-stage scaling forensics for the composed near-dup dedup: row
+  * counts and wall time of every stage of
+  * [[graft.dedup.ScaleDedup.nearDupDedup]] at a given SF dir, so a
+  * scaling regression names the stage that bent the curve instead of
+  * the whole query. Run with
+  * `sbt "runMain graft.tools.ScaleProbe <sfDir> [<sfDir2> ...]"`.
+  */
+object ScaleProbe {
+
+  private def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe]   $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  private def probe(spark: SparkSession, dir: String): Unit = {
+    println(s"[probe] === $dir ===")
+    val docs = ScaleDedupQueries.withNearDups(spark, dir)
+    val nDocs = timed("docs.count")(docs.count())
+    val idx = timed("shingleIndex materialize") {
+      val i = ScaleDedup.shingleIndex(docs, "doc_id", "text", 3).localCheckpoint()
+      i.count()
+      i
+    }
+    val nIdx = idx.count()
+    val cands = timed("lsh candidates materialize") {
+      val c = ScaleDedup.minhashCandidatesFromIndex(idx, 64, 32).localCheckpoint()
+      c.count()
+      c
+    }
+    val nCands = cands.count()
+    val verified = timed("verify materialize") {
+      val v = ScaleDedup.verifyJaccardPairs(cands, idx, 0.6).localCheckpoint()
+      v.count()
+      v
+    }
+    val nVer = verified.count()
+    timed("assignCanonical") {
+      ScaleDedup.assignCanonical(docs.select(col("doc_id").as("id")), verified)
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(s"[probe]   rows: docs=$nDocs idx=$nIdx cands=$nCands verified=$nVer " +
+      f"cands/doc=${nCands.toDouble / nDocs}%.2f")
+    timed("composed query (as benched)") {
+      graft.SparkEntry.queries("dedup_corpus_composed")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+  }
+
+  /** Replay a bench-style sequence (queries back to back in one
+    * session, no cleanup between) to expose cross-query interference —
+    * accumulated checkpoint blocks, storage-memory eviction churn —
+    * that per-stage isolation hides. args: `seq <dir> <q1> <q2> ...`.
+    */
+  private def benchSeq(spark: SparkSession, dir: String, names: Seq[String]): Unit = {
+    println(s"[probe] === bench-seq $dir ===")
+    names.foreach { name =>
+      timed(name) {
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+  }
+
+  /** A/B the two ngram-Jaccard physical plans (grouped in-group
+    * expansion vs index self-join) on the benched workload. args:
+    * `ab <dir> [<dir2> ...]`.
+    */
+  private def abJaccard(spark: SparkSession, dir: String): Unit = {
+    println(s"[probe] === jaccard A/B $dir ===")
+    val docs = ScaleDedupQueries.withNearDups(spark, dir)
+    Seq(
+      "grouped" -> (() => ScaleDedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 64)),
+      "selfjoin" -> (() => ScaleDedup.ngramJaccardPairsSelfJoin(
+        docs, "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 64)),
+    ).foreach { case (name, mk) =>
+      timed(name)(mk().write.format("noop").mode("overwrite").save())
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("seq")) benchSeq(spark, args(1), args.drop(2).toSeq)
+    else if (args.headOption.contains("ab")) args.drop(1).foreach(abJaccard(spark, _))
+    else dirs.foreach(probe(spark, _))
+    spark.stop()
+  }
+}
