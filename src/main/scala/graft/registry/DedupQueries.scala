@@ -13,9 +13,11 @@ import graft.dedup.FuzzyDedup
   * merge relation is exactly the singular/plural token rule — which is
   * SQL-expressible, giving a full DuckDB oracle for the connected-
   * components machinery. `j3_fuzzy_dedup` is the complete reference
-  * predicate (Ratcliff–Obershelp 0.95 + plural rule); its correctness
-  * is pinned by FuzzyDedupSpec's union-find vectors since DuckDB lacks
-  * the similarity function (rows-only driver check).
+  * predicate (Ratcliff–Obershelp 0.95 + plural rule), fully oracled:
+  * DuckDB lacks the similarity function, so the oracle replays difflib
+  * block-matching itself with a recursive CTE
+  * (RecursiveOracleSql.fuzzyCanonCtes); FuzzyDedupSpec's union-find
+  * vectors pin the Scala side independently.
   */
 object DedupQueries extends QueryRegistry {
 
@@ -47,5 +49,14 @@ object DedupQueries extends QueryRegistry {
         |       THEN substr(name, 1, length(name) - 1)
         |       ELSE name END AS canonical
         |FROM names""".stripMargin,
+
+    // Full reference predicate: blocked pairs → (difflib ratio > 0.95
+    // OR plural token cost < 0.2) → connected components, min name.
+    "j3_fuzzy_dedup" -> s"""
+      |WITH RECURSIVE
+      |${RecursiveOracleSql.fuzzyCanonCtes(
+         """SELECT DISTINCT p_name AS name FROM part
+           |UNION SELECT DISTINCT p_name || 's' FROM part""".stripMargin)}
+      |SELECT name, canonical FROM fz_canon""".stripMargin,
   )
 }

@@ -121,9 +121,10 @@ object EtlQueries extends QueryRegistry {
         col("p_partkey"), Normalize.sanitizeFilename(raw).as("filename"))
     }),
 
-    // uuid5 company ids over normalized names — no DuckDB oracle (no
-    // sha1 there); parity is pinned by Uuid5Spec's Python vectors and
-    // the driver's rows-only check.
+    // uuid5 company ids over normalized names. DuckDB 1.0 has no
+    // sha1(), so the oracle replays SHA-1 itself with a recursive CTE
+    // (RecursiveOracleSql.uuid5Ctes); Uuid5Spec additionally pins the
+    // expression against Python uuid.uuid5 vectors.
     "uuid5_company_id" -> ((s, dir) => {
       val norm = Normalize.normalizeName(partEntityName)
       Tables.part(s, dir).select(
@@ -275,5 +276,16 @@ object EtlQueries extends QueryRegistry {
         |  CAST(SUM(CASE WHEN o_totalprice BETWEEN 2000 AND 450000 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
         |  CAST(SUM(CASE WHEN o_totalprice BETWEEN 2000 AND 450000 THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // SHA-1 replayed as a recursive CTE (DuckDB 1.0 lacks sha1()),
+    // then RFC-4122 v5 version/variant bit surgery on the hex digest.
+    "uuid5_company_id" -> s"""
+      |WITH RECURSIVE u5src AS (
+      |  SELECT p_partkey AS uid,
+      |    ${IpesQueries.normChain(partEntityNameSql)} AS uname
+      |  FROM part),
+      |${RecursiveOracleSql.uuid5Ctes("u5src")}
+      |SELECT s.uid AS p_partkey, s.uname AS normalized_name, o.u5 AS company_id
+      |FROM u5src s JOIN u5_out o ON o.uid = s.uid""".stripMargin,
   )
 }

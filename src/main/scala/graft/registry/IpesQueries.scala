@@ -15,8 +15,11 @@ import graft.etl.{Enrich, IpesPipeline}
   * stage (filters → normalize → group → dedup → gate → star emit) with
   * the plural-only dedup and name-keyed ids so a DuckDB oracle can
   * replay every step. `ipes_companies_full` is the production
-  * configuration (Ratcliff–Obershelp 0.95 + uuid5 ids) — rows-only,
-  * pinned by IpesPipelineSpec. `enrich_stub` runs the gold stage's
+  * configuration (Ratcliff–Obershelp 0.95 + uuid5 ids), ALSO fully
+  * oracled: difflib block-matching, connected components, and SHA-1
+  * are each replayed with recursive CTEs (RecursiveOracleSql), putting
+  * the end-to-end pipeline under the hash gate; IpesPipelineSpec pins
+  * it independently. `enrich_stub` runs the gold stage's
   * mapPartitions effect boundary with the deterministic offline stub.
   */
 object IpesQueries extends QueryRegistry {
@@ -127,7 +130,7 @@ object IpesQueries extends QueryRegistry {
       |    ELSE 'https://www.fcc.gov/ecfs/document/' || o_orderkey || '/1' END AS document_urls
       |FROM orders""".stripMargin
 
-  private def normChain(inner: String): String = s"""
+  private[registry] def normChain(inner: String): String = s"""
     |trim(regexp_replace(
     |  regexp_replace(
     |    regexp_replace(
@@ -150,9 +153,9 @@ object IpesQueries extends QueryRegistry {
     |   contains(lower($c), 'network') OR contains(lower($c), 'services') OR
     |   contains(lower($c), 'solutions')))""".stripMargin.replace("\n", " ")
 
-  /** bronze → filtered → normalized → plural-dedup'd → grouped → gated. */
-  private val structuredCte = s"""
-    |WITH bronze AS ($bronzeSql),
+  /** bronze → relevance/blocklist filter → non-empty normalized names. */
+  private val relNormCtes = s"""
+    |bronze AS ($bronzeSql),
     |rel AS (
     |  SELECT * FROM bronze
     |  WHERE (lower(proceeding_description) LIKE '%voip%'
@@ -164,17 +167,14 @@ object IpesQueries extends QueryRegistry {
     |      OR regexp_matches(lower(company_name), 'national telecommunications and information')
     |      OR regexp_matches(lower(company_name), 'department of justice')
     |      OR regexp_matches(lower(company_name), 'national association of regulatory'))),
-    |norm AS (
+    |norm AS MATERIALIZED (
     |  SELECT *, ${normChain("company_name")} AS normalized_raw FROM rel
-    |  WHERE ${normChain("company_name")} <> ''),
-    |keys AS (SELECT DISTINCT normalized_raw AS name FROM norm),
-    |canon AS (
-    |  SELECT name,
-    |    CASE WHEN right(name, 1) = 's'
-    |           AND substr(name, 1, length(name) - 1) IN (SELECT name FROM keys)
-    |         THEN substr(name, 1, length(name) - 1) ELSE name END AS normalized_name
-    |  FROM keys),
-    |wc AS (SELECT n.*, c.normalized_name FROM norm n JOIN canon c ON n.normalized_raw = c.name),
+    |  WHERE ${normChain("company_name")} <> '')""".stripMargin
+
+  /** canonical-name group-merge + applicant/individual gate, from a
+    * `wc` CTE carrying norm rows plus their `normalized_name`.
+    */
+  private val groupedGatedCtes = s"""
     |grouped AS (
     |  SELECT normalized_name,
     |    arg_max(company_name,
@@ -183,9 +183,34 @@ object IpesQueries extends QueryRegistry {
     |    MAX(date_received) AS latest_filing_date,
     |    bool_or(regexp_matches(upper(submission_type), 'APPLICATION|REQUEST|PETITION')) AS is_applicant
     |  FROM wc GROUP BY normalized_name),
-    |gated AS (
+    |gated AS MATERIALIZED (
     |  SELECT * FROM grouped
     |  WHERE is_applicant AND NOT ${isIndividual("entity_name")})""".stripMargin
+
+  /** bronze → filtered → normalized → plural-dedup'd → grouped → gated. */
+  private val structuredCte = s"""
+    |WITH $relNormCtes,
+    |keys AS (SELECT DISTINCT normalized_raw AS name FROM norm),
+    |canon AS (
+    |  SELECT name,
+    |    CASE WHEN right(name, 1) = 's'
+    |           AND substr(name, 1, length(name) - 1) IN (SELECT name FROM keys)
+    |         THEN substr(name, 1, length(name) - 1) ELSE name END AS normalized_name
+    |  FROM keys),
+    |wc AS (SELECT n.*, c.normalized_name FROM norm n JOIN canon c ON n.normalized_raw = c.name),
+    |$groupedGatedCtes""".stripMargin
+
+  /** The production configuration: FuzzyDedup canonical map (difflib
+    * ratio 0.95 + plural rule, connected components — replayed with
+    * recursive CTEs) and uuid5 ids (SHA-1 replayed likewise).
+    */
+  private val structuredFullCte = s"""
+    |WITH RECURSIVE $relNormCtes,
+    |${RecursiveOracleSql.fuzzyCanonCtes("SELECT DISTINCT normalized_raw AS name FROM norm")},
+    |wc AS (SELECT n.*, c.canonical AS normalized_name FROM norm n JOIN fz_canon c ON n.normalized_raw = c.name),
+    |$groupedGatedCtes,
+    |${RecursiveOracleSql.uuid5Ctes(
+       "(SELECT normalized_name AS uid, normalized_name AS uname FROM gated)")}""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "ipes_companies" -> s"""$structuredCte
@@ -199,6 +224,11 @@ object IpesQueries extends QueryRegistry {
       |  w.submission_type, w.filing_status AS status,
       |  string_split(w.document_urls, '; ')[1] AS primary_doc_url
       |FROM wc w JOIN gated g ON w.normalized_name = g.normalized_name""".stripMargin,
+
+    "ipes_companies_full" -> s"""$structuredFullCte
+      |SELECT o.u5 AS id, g.entity_name, g.normalized_name,
+      |  'Company' AS entity_type, g.filing_count, g.latest_filing_date
+      |FROM gated g JOIN u5_out o ON o.uid = g.normalized_name""".stripMargin,
 
     "enrich_stub" -> s"""$structuredCte,
       |dockets AS (
