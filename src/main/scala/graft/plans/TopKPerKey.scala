@@ -87,8 +87,20 @@ case class PartialTopKExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val (keyExprs, ord, kk) = (keys, order, k)
-    val maxKeys = conf.getConfString(PartialTopKExec.MaxBufferedKeysConf,
-      PartialTopKExec.MaxBufferedKeysDefault.toString).toInt
+    val maxKeys = {
+      val raw = conf.getConfString(PartialTopKExec.MaxBufferedKeysConf,
+        PartialTopKExec.MaxBufferedKeysDefault.toString)
+      val parsed =
+        try raw.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"${PartialTopKExec.MaxBufferedKeysConf} must be a positive int, got '$raw'")
+        }
+      require(parsed > 0,
+        s"${PartialTopKExec.MaxBufferedKeysConf} must be > 0, got $parsed " +
+          "(<= 0 would flush on nearly every row)")
+      parsed
+    }
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrd: Ordering[InternalRow] =

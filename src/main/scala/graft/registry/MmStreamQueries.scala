@@ -76,6 +76,47 @@ object MmStreamQueries extends QueryRegistry {
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_seen"))
     }),
+
+    // §2.7 watermark/late-data: a REAL append-mode stream runs inside
+    // the query (MemoryStream, 3 micro-batches), so the engine's
+    // watermark semantics — not a batch approximation — sit under the
+    // DuckDB hash gate. Deterministic arrival simulation over `events`:
+    // hour slot = event_id % 7, all event times at :20 and the
+    // 90-minute watermark landing at :50, so no timestamp ever ties a
+    // window or watermark boundary. Batch 1 carries 4-in-5 rows (slots
+    // 0..6 → watermark 04:50 after it); batch 2 delivers the held-back
+    // rows — slots 0..3 fall in closed windows and are DROPPED, slots
+    // 4..6 still count; batch 3 is a single flush row at 09:20 that
+    // closes windows 4..6 (its own window never emits). The oracle
+    // recomputes exactly the surviving set.
+    "stream_late_data" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val arriving = Tables.events(s, dir).select(
+          col("event_id"), col("event_type"), col("value"),
+          (col("event_id") % 7).cast("int").as("slot"))
+        .collect()
+        .map(r => (r.getLong(0),
+          java.sql.Timestamp.valueOf(f"2024-01-01 ${r.getInt(3)}%02d:20:00"),
+          r.getString(1), r.getDouble(2)))
+      val late = arriving.filter(_._1 % 5 == 3)
+      val onTime = arriving.filter(_._1 % 5 != 3)
+      val flush = (-1L, java.sql.Timestamp.valueOf("2024-01-01 09:20:00"), "flush", 0.0)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val name = "graft_late_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val q = graft.streaming.EventStreams.tumblingCounts(
+          mem.toDF().toDF("event_id", "ts", "event_type", "value"),
+          "1 hour", "90 minutes")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        mem.addData(onTime.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(late.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(flush); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+    }),
   )
 
   private val contentSql =
@@ -139,6 +180,19 @@ object MmStreamQueries extends QueryRegistry {
       |  event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // survivors of the watermark drop: on-time rows everywhere, late
+    // rows only where their window was still open (slot >= 4).
+    "stream_late_data" -> """
+      |WITH e AS (
+      |  SELECT event_id, event_type, value, event_id % 7 AS slot FROM events),
+      |kept AS (
+      |  SELECT * FROM e WHERE event_id % 5 <> 3 OR slot >= 4)
+      |SELECT strftime(TIMESTAMP '2024-01-01 00:00:00' + slot * INTERVAL 1 HOUR,
+      |    '%Y-%m-%d %H:%M') AS window_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM kept GROUP BY 1, 2""".stripMargin,
 
     // lag + cumulative-sum sessionization is the closed-form equivalent
     // of session_window: new session iff gap >= 30 min (micros).

@@ -135,22 +135,32 @@ object SourceQueries extends QueryRegistry {
     // plan. (merge hints keep the demonstration honest — without them
     // the small side would broadcast and hide the bucketing.)
     "bucketed_colocated_join" -> ((s, dir) => {
-      val p = Files.createTempDirectory("graft_bucketed").toString
-      s.sql("DROP TABLE IF EXISTS graft_b_orders")
-      s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      // Unique per-invocation table names: fixed globals would race
+      // under concurrent registry use and strand catalog entries. The
+      // tiny agg result is materialized (localCheckpoint) so the
+      // catalog entries and bucket files can be dropped before return.
+      val p = Files.createTempDirectory("graft_bucketed")
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val (tOrders, tLine) = (s"graft_b_orders_$tag", s"graft_b_lineitem_$tag")
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderpriority"))
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$p/orders").saveAsTable("graft_b_orders")
+        .option("path", s"$p/orders").saveAsTable(tOrders)
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_extendedprice"))
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$p/lineitem").saveAsTable("graft_b_lineitem")
-      s.table("graft_b_lineitem").hint("merge")
-        .join(s.table("graft_b_orders").hint("merge"),
+        .option("path", s"$p/lineitem").saveAsTable(tLine)
+      val res = s.table(tLine).hint("merge")
+        .join(s.table(tOrders).hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"), decSum(col("l_extendedprice")).as("revenue"))
+        .localCheckpoint(true)
+      s.sql(s"DROP TABLE IF EXISTS $tOrders")
+      s.sql(s"DROP TABLE IF EXISTS $tLine")
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      res
     }),
 
     // S9 readback: real files on disk through Spark's binaryFile
@@ -177,6 +187,38 @@ object SourceQueries extends QueryRegistry {
           col("length").as("n_bytes"),
           coalesce(Normalize.classifyFileType(col("content")), lit("bin"))
             .as("file_type"))
+    }),
+
+    // A14: the download-run tally row (success/fail/skip counters the
+    // reference prints at download_pdfs_robust.py:311-345), oracle-able
+    // by snapshotting the sink's accumulators into a one-row frame.
+    // The fetcher is deterministic (trailing url id % 7 fails), so the
+    // DuckDB twin recomputes every counter relationally.
+    "s9_download_summary" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_dl_summary").toString
+      val docs = Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 15000 && col("o_orderkey") % 8 === 0)
+        .select(
+          col("o_orderkey").cast("string").as("doc_id"),
+          concat(lit("Vendor "), col("o_custkey") % 40, lit(" <Networks>"))
+            .as("entity_name"),
+          concat(lit("https://www.fcc.gov/ecfs/document/"), col("o_orderkey"),
+            lit("/1")).as("url"))
+      val manifest = docs.filter(col("doc_id").cast("long") % 5 === 0)
+        .select(concat(Normalize.sanitizeFilename(col("entity_name")),
+          lit("_"), col("doc_id")).as("filename"))
+      val queue = DownloadSink.buildQueue(docs, manifest)
+      val fetch: String => Either[String, Array[Byte]] = url => {
+        val id = url.split("/").takeRight(2).head.toLong
+        if (id % 7 == 0) Left(s"simulated 404 for $id")
+        else Right(s"%PDF-1.7 payload $id".getBytes("UTF-8"))
+      }
+      val sum = DownloadSink.run(queue, out, fetch, maxConcurrency = 8)
+      val nTotal = docs.count()
+      val nQueued = queue.count()
+      import s.implicits._
+      Seq((nTotal, nTotal - nQueued, sum.succeeded, sum.failed))
+        .toDF("n_total", "n_skipped", "n_succeeded", "n_failed")
     }),
 
     // S8 append-history sink + Monitoring read-back: three runs sliced
@@ -285,6 +327,18 @@ object SourceQueries extends QueryRegistry {
       |       WHEN left(content, 2) = 'PK' THEN 'docx'
       |       ELSE 'bin' END AS file_type
       |FROM b""".stripMargin,
+
+    "s9_download_summary" -> """
+      |WITH docs AS (
+      |  SELECT o_orderkey AS id FROM orders
+      |  WHERE o_orderkey < 15000 AND o_orderkey % 8 = 0),
+      |q AS (SELECT id FROM docs WHERE id % 5 <> 0)
+      |SELECT
+      |  (SELECT COUNT(*) FROM docs) AS n_total,
+      |  (SELECT COUNT(*) FROM docs WHERE id % 5 = 0) AS n_skipped,
+      |  CAST(SUM(CASE WHEN id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_succeeded,
+      |  CAST(SUM(CASE WHEN id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+      |FROM q""".stripMargin,
 
     "s8_run_stats_trend" -> """
       |WITH runs AS (

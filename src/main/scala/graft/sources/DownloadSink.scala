@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
@@ -69,10 +67,14 @@ object DownloadSink {
     val sc = queue.sparkSession.sparkContext
     val ok: LongAccumulator = sc.longAccumulator("downloads_succeeded")
     val bad: LongAccumulator = sc.longAccumulator("downloads_failed")
-    Files.createDirectories(Paths.get(outDir))
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    dir.getFileSystem(sc.hadoopConfiguration).mkdirs(dir)
     queue.select(col("url"), col("filename"))
       .coalesce(maxConcurrency)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        // Hadoop FS from the task context (shared-filesystem writes on a
+        // real cluster), not java.nio (executor-local disk).
+        val fs = Writers.taskFs(outDir)
         it.foreach { row =>
           var attempt = 0
           var result: Either[String, Array[Byte]] = Left("not attempted")
@@ -83,8 +85,10 @@ object DownloadSink {
           }
           result match {
             case Right(bytes) =>
-              val ext = extensionFor(bytes)
-              Files.write(Paths.get(outDir, row.getString(1) + ext), bytes)
+              val name = row.getString(1) + extensionFor(bytes)
+              Writers.requireSafeFilename(name)
+              val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+              try out.write(bytes) finally out.close()
               ok.add(1)
             case Left(_) => bad.add(1)
           }

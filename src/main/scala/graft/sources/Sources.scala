@@ -61,6 +61,30 @@ object Writers {
     df.withColumn("run_ts", lit(runTs))
       .write.mode("append").partitionBy("run_ts").parquet(path)
 
+  /** Rejects filenames that would escape the target directory. Writers
+    * validate rather than rewrite: silently renaming would desync the
+    * manifest anti-join (S11) that keys incremental restarts.
+    */
+  private[sources] def requireSafeFilename(name: String): Unit =
+    require(name != null && name.nonEmpty && name != "." && name != ".." &&
+      !name.contains("/") && !name.contains("\\"),
+      s"unsafe document filename '$name': must be a bare name with no path separators")
+
+  /** Task-side Hadoop filesystem for `path`: resolved from the
+    * executor's own Configuration (site files on the executor
+    * classpath), so writes land on the SHARED filesystem — java.nio
+    * would scatter files across executor-local disks on a real
+    * cluster. Checksum side-files are disabled so the repository
+    * directory holds exactly the documents written.
+    */
+  private[sources] def taskFs(path: String): org.apache.hadoop.fs.FileSystem = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+    fs
+  }
+
   /** Binary document-repository writer: one file per (`filename`,
     * `content` binary) row under `path` — the write half of the §1.1
     * document repository; `spark.read.format("binaryFile")` is the
@@ -69,12 +93,16 @@ object Writers {
     * file count (exactly how a distributed fetch lays them down).
     */
   def binaryDocs(df: DataFrame, path: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val dir = new org.apache.hadoop.fs.Path(path)
+    dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).mkdirs(dir)
     df.select(col("filename"), col("content"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val fs = taskFs(path)
         it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(path, r.getString(0)), r.getAs[Array[Byte]](1))
+          val name = r.getString(0)
+          requireSafeFilename(name)
+          val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
         }
       }
   }

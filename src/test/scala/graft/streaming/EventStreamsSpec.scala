@@ -103,8 +103,16 @@ class EventStreamsSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val sf = graft.TestSpark.SfDir
+    // The fixture itself contains exact-duplicate text groups; streaming
+    // dropDuplicates keeps an arbitrary first-arrival row while the
+    // batch twin keeps min(doc_id). Pre-dedup batch-1 input to one doc
+    // per fingerprint (min doc_id) so arrival order can't disagree.
     val docs = graft.Tables.documents(spark, sf)
-      .select(col("doc_id"), col("text")).collect()
+      .select(col("doc_id"), col("text"))
+      .withColumn("fp", graft.text.TextAnalysis.fingerprint(col("text")))
+      .groupBy(col("fp"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
+      .select(col("r.doc_id"), col("r.text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val copies = docs.filter(_._1 % 3 == 0).map { case (id, t) => (id + 100000, t) }
     val mem = MemoryStream[(Long, String)]
@@ -150,6 +158,48 @@ class EventStreamsSpec extends AnyFunSuite {
     val batch = graft.registry.AggQueries.queries("stream_enrich_join")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(streamed === batch)
+  }
+
+  test("append-mode watermark drops a late row into a closed window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val input = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(input, "1 hour", "90 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_drop_out").start()
+    // batch 1: row in [10,11) + watermark driver at 13:20 → W = 11:50
+    mem.addData(
+      (1L, ts("2024-01-01 10:20:00"), "click", 1.0),
+      (2L, ts("2024-01-01 13:20:00"), "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: LATE row into [10,11) (end 11:00 < W → closed, dropped);
+    // row into [12,13) (end 13:00 > W → open, kept)
+    mem.addData(
+      (3L, ts("2024-01-01 10:25:00"), "click", 1.0),
+      (4L, ts("2024-01-01 12:20:00"), "view", 1.0))
+    q.processAllAvailable()
+    // batch 3: flush at 16:20 → W = 14:50 closes [12,13) and [13,14)
+    mem.addData((5L, ts("2024-01-01 16:20:00"), "flush", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("late_drop_out").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    // the late row did NOT increment its closed window...
+    assert(streamed(("2024-01-01 10:00", "click")) === 1L)
+    assert(streamed(("2024-01-01 12:00", "view")) === 1L)
+    assert(streamed(("2024-01-01 13:00", "click")) === 1L)
+    // ...whereas the same plan on batch counts it — the difference IS
+    // the watermark semantics, proven not assumed.
+    val batch = EventStreams.tumblingCounts(
+      Seq(
+        (1L, ts("2024-01-01 10:20:00"), "click", 1.0),
+        (2L, ts("2024-01-01 13:20:00"), "click", 1.0),
+        (3L, ts("2024-01-01 10:25:00"), "click", 1.0),
+        (4L, ts("2024-01-01 12:20:00"), "view", 1.0))
+        .toDF("event_id", "ts", "event_type", "value"), "1 hour", "90 minutes")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch(("2024-01-01 10:00", "click")) === 2L)
   }
 
   test("streaming dedup drops the duplicate event_id") {
