@@ -16,9 +16,12 @@ import graft.dedup.ScaleDedup
   * oracle replays LSH→verify→CC as exact-Jaccard pairs + a recursive
   * transitive closure, valid because k=64/bands=32 makes the candidate
   * stage lossless above the 0.6 threshold (miss odds < 1e-6 per pair).
-  * MinHash and SimHash pair sets hash with xxhash64 (no DuckDB
-  * equivalent) — rows-only here; ScaleDedupSpec pins their recall
-  * against the exact Jaccard pairs.
+  * `dedup_minhash` and `dedup_simhash` ALSO carry full oracles:
+  * DuckDB has no xxhash64, so XxHashOracleSql replays Spark's XXH64
+  * bit-for-bit (signature slots, band hashes, token votes) — the
+  * band-bucket pair set and hamming pair set hash-match exactly;
+  * ScaleDedupSpec additionally pins their recall against the exact
+  * Jaccard pairs.
   */
 object ScaleDedupQueries extends QueryRegistry {
 
@@ -160,6 +163,95 @@ object ScaleDedupQueries extends QueryRegistry {
       |WITH docs AS ($nearDupsSql),
       |${jaccardPairsSql(0.5, 64)}
       |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    // Full XXH64 replay of the MinHash-LSH candidate pairs (k=16,
+    // bands=8, rows=2): hash each shingle string (seed 42), min the
+    // slot-salted long rehashes per (doc, slot), hash each band's
+    // comma-joined signature slice with Spark's int-chained seed, join
+    // on (band, band_hash). Seeds constant-folded via Spark's own
+    // XXH64 so they cannot drift from the engine.
+    "dedup_minhash" -> {
+      val slotSeeds = (0 until 16)
+        .map(i => s"($i, ${XxHashOracleSql.uLit(XxHashOracleSql.intSeed(i))})")
+        .mkString(", ")
+      val bandSeeds = (0 until 8)
+        .map(b => s"($b, ${XxHashOracleSql.uLit(XxHashOracleSql.intSeed(b))})")
+        .mkString(", ")
+      s"""
+      |WITH RECURSIVE docs AS ($nearDupsSql),
+      |tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM docs),
+      |shp AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |xxs_src AS MATERIALIZED (
+      |  SELECT row_number() OVER () AS xid, shingle AS s,
+      |         CAST(42 AS UBIGINT) AS useed, doc_id
+      |  FROM shp),
+      |${XxHashOracleSql.stringHashCtes("xxs")},
+      |idx AS MATERIALIZED (
+      |  SELECT DISTINCT m.doc_id AS id, o.hash64 AS sh
+      |  FROM xxs_src m JOIN xxs_out o ON o.xid = m.xid),
+      |slots(slot, useed) AS (SELECT * FROM (VALUES $slotSeeds)),
+      |${XxHashOracleSql.longHashCte("sloth", "idx CROSS JOIN slots",
+         Seq("id", "slot"), "sh", "useed", "h")},
+      |sig AS MATERIALIZED (
+      |  SELECT id, slot, MIN(h) AS mh FROM sloth GROUP BY id, slot),
+      |bandseeds(band, useed) AS (SELECT * FROM (VALUES $bandSeeds)),
+      |xxb_src AS MATERIALIZED (
+      |  SELECT row_number() OVER () AS xid,
+      |         CAST(a.mh AS VARCHAR) || ',' || CAST(c.mh AS VARCHAR) AS s,
+      |         b.useed, a.id, b.band
+      |  FROM bandseeds b
+      |  JOIN sig a ON a.slot = b.band * 2
+      |  JOIN sig c ON c.slot = b.band * 2 + 1 AND c.id = a.id),
+      |${XxHashOracleSql.stringHashCtes("xxb")},
+      |banded AS MATERIALIZED (
+      |  SELECT m.id, m.band, o.hash64 AS bh
+      |  FROM xxb_src m JOIN xxb_out o ON o.xid = m.xid)
+      |SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      |FROM banded l
+      |JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id""".stripMargin
+    },
+
+    // Full XXH64 replay of SimHash hamming pairs: per-token hash (every
+    // occurrence votes), 64 bit-votes, fingerprint assembled in the
+    // unsigned domain, 16-bit-chunk blocking, hamming <= 3.
+    "dedup_simhash" -> {
+      val votes = (0 until 64)
+        .map(j => s"CAST(SUM(CASE WHEN (hu >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$j")
+        .mkString(",\n|    ")
+      val assemble = (0 until 64)
+        .map(j => s"CASE WHEN v$j > 0 THEN CAST(${BigInt(1) << j} AS UHUGEINT) ELSE CAST(0 AS UHUGEINT) END")
+        .mkString(" + ")
+      s"""
+      |WITH RECURSIVE docs AS ($nearDupsSql),
+      |toku AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      |  FROM docs),
+      |xxt_src AS MATERIALIZED (
+      |  SELECT row_number() OVER () AS xid, token AS s,
+      |         CAST(42 AS UBIGINT) AS useed, doc_id
+      |  FROM toku),
+      |${XxHashOracleSql.stringHashCtes("xxt")},
+      |th AS MATERIALIZED (
+      |  SELECT m.doc_id AS id,
+      |    CAST((CAST(o.hash64 AS HUGEINT) + 18446744073709551616) % 18446744073709551616 AS UBIGINT) AS hu
+      |  FROM xxt_src m JOIN xxt_out o ON o.xid = m.xid),
+      |v AS (
+      |  SELECT id,
+      |    $votes
+      |  FROM th GROUP BY id),
+      |fp AS MATERIALIZED (
+      |  SELECT id, CAST(($assemble) % 18446744073709551616 AS UBIGINT) AS shu FROM v),
+      |ch AS MATERIALIZED (
+      |  SELECT id, shu, u.chunk, (shu >> (u.chunk * 16)) & 65535 AS cv
+      |  FROM fp, unnest([0, 1, 2, 3]) u(chunk))
+      |SELECT id_a, id_b, hamming FROM (
+      |  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+      |    CAST(bit_count(xor(l.shu, r.shu)) AS INT) AS hamming
+      |  FROM ch l JOIN ch r ON l.chunk = r.chunk AND l.cv = r.cv AND l.id < r.id)
+      |WHERE hamming <= 3""".stripMargin
+    },
 
     // transitive closure over the >= 0.6 Jaccard pairs: reach(id, r)
     // holds every (node, ancestor-in-component); canonical = MIN reach.

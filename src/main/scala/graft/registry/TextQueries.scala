@@ -366,6 +366,36 @@ object TextQueries extends QueryRegistry {
       |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS payload_md5
       |FROM b GROUP BY 1, 2, 3""".stripMargin,
 
+    // Full XXH64 replay of the scale-path winnowing: positional
+    // shingle hashes (seed 42, signed-long numeric min per window —
+    // exactly Spark's array_min), distinct fingerprint count per doc;
+    // shingle-less docs come back via the left join with 0.
+    "text_winnow_fingerprint" -> s"""
+      |WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, u.i, array_to_string(t[u.i:u.i+2], ' ') AS s
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |xxw_src AS MATERIALIZED (
+      |  SELECT row_number() OVER () AS xid, s, CAST(42 AS UBIGINT) AS useed,
+      |         doc_id, i
+      |  FROM pos),
+      |${XxHashOracleSql.stringHashCtes("xxw")},
+      |hs AS (
+      |  SELECT m.doc_id, list(o.hash64 ORDER BY m.i) AS hs
+      |  FROM xxw_src m JOIN xxw_out o ON o.xid = m.xid
+      |  GROUP BY m.doc_id),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) < 4 THEN len(list_distinct(hs))
+      |         ELSE len(list_distinct(list_transform(
+      |                generate_series(1, len(hs) - 3),
+      |                i -> list_min(hs[i:i+3])))) END AS n_fingerprints
+      |  FROM hs)
+      |SELECT d.doc_id, CAST(coalesce(f.n_fingerprints, 0) AS INT) AS n_fingerprints
+      |FROM documents d LEFT JOIN fp f ON f.doc_id = d.doc_id""".stripMargin,
+
     "text_winnow_md5" -> """
       |WITH tok AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

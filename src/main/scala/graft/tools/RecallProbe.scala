@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.similarity.Knn
+
+/** Dev tool: measure ANN recall@k vs brute-force ground truth on a
+  * given fixture directory — the scale-up companion to KnnSpec's
+  * sf0.1 recall floors (LSH ≥ 0.8, IVF ≥ 0.9), re-run where bucket
+  * occupancy changes (10× corpus, same table/probe defaults).
+  *
+  * Usage: runMain graft.tools.RecallProbe <sfDir> [k]
+  */
+object RecallProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val k = if (args.length > 1) args(1).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-recall-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val qs = emb.filter(col("vec_id") < 20)
+    val brute = Knn.bruteForceTopK(qs, emb, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[recall] corpus=$n k=$k ground-truth pairs=${brute.size}")
+
+    def report(name: String, got: Set[(Long, Long)]): Unit = {
+      val hit = brute.intersect(got).size
+      println(f"[recall] $name: $hit/${brute.size} = ${hit.toDouble / brute.size}%.3f")
+    }
+    report("lsh 3x8", Knn.lshTopK(emb, qs, 64, 3, k, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    report("lsh 3x12", Knn.lshTopK(emb, qs, 64, 3, k, nTables = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    report("ivf 16/12 lloyd1", Knn.ivfTopK(emb, qs, 16, 12, k, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    report("ivf 64/32 lloyd1", Knn.ivfTopK(emb, qs, 64, 32, k, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    report("ivf 128/64 lloyd1", Knn.ivfTopK(emb, qs, 128, 64, k, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Dev tool: build a complete N× replica of a fixture directory so the
+  * FULL oracle suite (not just the bench headliners) can run one scale
+  * up — `Bench.ensureSf1` covers only the three tables its headline
+  * subset reads.
+  *
+  * Fact tables replicate with coordinated key strides so joins keep
+  * their semantics (orders.o_custkey and customer.c_custkey shift
+  * together); dimension tables (region/nation/part/supplier) stay 1×,
+  * which is the realistic star-schema shape — dims grow slower than
+  * facts. Documents tag alternate tokens per replica so no
+  * cross-replica shingle survives (dedup scales like more corpus, not
+  * like a duplicate explosion). Embeddings apply a per-replica
+  * diagonal ±1 transform (sign-flip of one dim class): orthogonal, so
+  * within-replica cosine structure is preserved exactly, while
+  * cross-replica cosines drop far below near-dup thresholds.
+  *
+  * Usage: runMain graft.tools.ReplicateSf <baseDir> <outDir> [reps]
+  */
+object ReplicateSf {
+
+  def main(args: Array[String]): Unit = {
+    val (base, out) = (args(0), args(1))
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-replicate-sf")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (new java.io.File(s"$out/_DONE").exists()) {
+      println(s"[replicate] $out already complete"); return
+    }
+
+    def assertStride(df: DataFrame, keyCol: String, stride: Long): Unit = {
+      val mx = df.agg(max(col(keyCol))).head.getLong(0)
+      require(mx < stride,
+        s"replica stride violated: max($keyCol)=$mx >= $stride")
+    }
+    def write(name: String, make: Int => DataFrame): Unit = {
+      (0 until reps).map(make).reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[replicate] $name x$reps")
+    }
+    def copy(name: String): Unit = {
+      spark.read.parquet(s"$base/$name.parquet")
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[replicate] $name x1 (dimension)")
+    }
+
+    assertStride(Tables.lineitem(spark, base), "l_orderkey", 100000000L)
+    assertStride(Tables.orders(spark, base), "o_orderkey", 100000000L)
+    assertStride(Tables.orders(spark, base), "o_custkey", 10000000L)
+    assertStride(Tables.customer(spark, base), "c_custkey", 10000000L)
+    assertStride(Tables.documents(spark, base), "doc_id", 1000000L)
+    assertStride(Tables.events(spark, base), "event_id", 1000000L)
+    assertStride(Tables.embeddings(spark, base), "vec_id", 1000000L)
+
+    Seq("region", "nation", "part", "supplier").foreach(copy)
+
+    write("lineitem", i => Tables.lineitem(spark, base)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+    write("orders", i => Tables.orders(spark, base)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
+    write("customer", i => Tables.customer(spark, base)
+      .withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L)))
+    write("documents", i => {
+      val d = Tables.documents(spark, base)
+      if (i == 0) d
+      else d
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), "\\s+"),
+            (t, idx) => when(idx % 2 === 0, concat(t, lit(s"_r$i"))).otherwise(t))))
+    })
+    // ts re-written as a micros TIMESTAMP (Spark cannot emit the base
+    // fixture's TIMESTAMP(NANOS)); Tables.events handles both layouts.
+    write("events", i => Tables.events(spark, base)
+      .withColumn("event_id", col("event_id") + lit(i * 1000000L)))
+    write("embeddings", i => Tables.embeddings(spark, base)
+      .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+      .withColumn("embedding",
+        if (reps <= 1) col("embedding")
+        else transform(col("embedding"),
+          (x, d) => when(lit(i) =!= 0 && d % reps === i, -x).otherwise(x))))
+
+    new java.io.File(s"$out/_DONE").createNewFile()
+    println(s"[replicate] done -> $out")
+  }
+}
