@@ -22,7 +22,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce puts a 1-partition
+      // cap on the whole narrow chain upstream (scan + transforms run
+      // in ONE task — at sf1 that turned minute-queries into hours);
+      // repartition inserts a shuffle so compute keeps its parallelism
+      // and only the final file write is single-task.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
