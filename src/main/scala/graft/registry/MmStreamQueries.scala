@@ -92,7 +92,14 @@ object MmStreamQueries extends QueryRegistry {
     "stream_late_data" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val arriving = Tables.events(s, dir).select(
+      // The MemoryStream arrival simulation is driver-side by nature
+      // (a test-harness shape, not a scale path); cap the fixture at
+      // the base event range so replicated scale-up dirs don't balloon
+      // the driver collect — the watermark semantics under test are
+      // scale-independent.
+      val arriving = Tables.events(s, dir)
+        .filter(col("event_id") < 1000000L)
+        .select(
           col("event_id"), col("event_type"), col("value"),
           (col("event_id") % 7).cast("int").as("slot"))
         .collect()
@@ -185,7 +192,8 @@ object MmStreamQueries extends QueryRegistry {
     // rows only where their window was still open (slot >= 4).
     "stream_late_data" -> """
       |WITH e AS (
-      |  SELECT event_id, event_type, value, event_id % 7 AS slot FROM events),
+      |  SELECT event_id, event_type, value, event_id % 7 AS slot FROM events
+      |  WHERE event_id < 1000000),
       |kept AS (
       |  SELECT * FROM e WHERE event_id % 5 <> 3 OR slot >= 4)
       |SELECT strftime(TIMESTAMP '2024-01-01 00:00:00' + slot * INTERVAL 1 HOUR,
