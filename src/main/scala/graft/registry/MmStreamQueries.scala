@@ -124,6 +124,37 @@ object MmStreamQueries extends QueryRegistry {
       } finally q.stop()
       s.table(name)
     }),
+
+    // Streaming LSH near-dup admission as a REAL 2-batch stream: base
+    // docs arrive first, near-dup copies (+100000, 3 appended tokens)
+    // in the next micro-batch; per (band, bucket) state marks every
+    // post-first arrival. The oracle replays the identical XXH64
+    // banding chain and derives `first` from min doc_id per bucket —
+    // valid because copies both id-sort and arrive after originals.
+    "stream_lsh_neardup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 1000000L)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val copies = base.filter(_._1 % 7 == 0)
+        .map { case (id, t) => (id + 100000L, t + " zz9 yy8 xx7") }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val name = "graft_lshnd_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val bands = graft.streaming.StreamingNearDup.bandRows(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+        .as[graft.streaming.StreamingNearDup.BandRow]
+      val q = graft.streaming.StreamingNearDup.admit(bands).toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        mem.addData(base.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(copies.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+    }),
   )
 
   private val contentSql =
@@ -201,6 +232,19 @@ object MmStreamQueries extends QueryRegistry {
       |  event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM kept GROUP BY 1, 2""".stripMargin,
+
+    // identical XXH64 banding chain as dedup_minhash's oracle; `first`
+    // from min doc_id per bucket (arrival order == id order here).
+    "stream_lsh_neardup" -> s"""
+      |WITH RECURSIVE docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 1000000
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' zz9 yy8 xx7' FROM documents
+      |  WHERE doc_id % 7 = 0 AND doc_id < 1000000),
+      |${ScaleDedupQueries.minhashBandedCtes}
+      |SELECT b.id AS doc_id, b.band, b.bh AS band_hash,
+      |  (b.id = MIN(b.id) OVER (PARTITION BY b.band, b.bh)) AS first
+      |FROM banded b""".stripMargin,
 
     // lag + cumulative-sum sessionization is the closed-form equivalent
     // of session_window: new session iff gap >= 30 min (micros).

@@ -147,39 +147,19 @@ object ScaleDedupQueries extends QueryRegistry {
        |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= $threshold)""".stripMargin
   }
 
-  def oracle: Map[String, String] = Map(
-    "dedup_exact" -> s"""
-      |WITH docs AS ($exactDupsSql)
-      |SELECT md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')) AS fingerprint,
-      |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
-      |FROM docs GROUP BY 1""".stripMargin,
-
-    "dedup_ngram_jaccard" -> s"""
-      |WITH docs AS ($nearDupsSql),
-      |${jaccardPairsSql(0.5, 0)}
-      |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
-
-    "dedup_ngram_jaccard_capped" -> s"""
-      |WITH docs AS ($nearDupsSql),
-      |${jaccardPairsSql(0.5, 64)}
-      |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
-
-    // Full XXH64 replay of the MinHash-LSH candidate pairs (k=16,
-    // bands=8, rows=2): hash each shingle string (seed 42), min the
-    // slot-salted long rehashes per (doc, slot), hash each band's
-    // comma-joined signature slice with Spark's int-chained seed, join
-    // on (band, band_hash). Seeds constant-folded via Spark's own
-    // XXH64 so they cannot drift from the engine.
-    "dedup_minhash" -> {
-      val slotSeeds = (0 until 16)
-        .map(i => s"($i, ${XxHashOracleSql.uLit(XxHashOracleSql.intSeed(i))})")
-        .mkString(", ")
-      val bandSeeds = (0 until 8)
-        .map(b => s"($b, ${XxHashOracleSql.uLit(XxHashOracleSql.intSeed(b))})")
-        .mkString(", ")
-      s"""
-      |WITH RECURSIVE docs AS ($nearDupsSql),
-      |tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM docs),
+  /** Shared XXH64 replay of the k=16/bands=8 MinHash banding over a
+    * `docs(doc_id, text)` CTE: shingle hashes → per-slot salted mins →
+    * comma-joined band strings → band hashes. Ends with
+    * `banded(id, band, bh)`; embed under WITH RECURSIVE.
+    */
+  private[registry] val minhashBandedCtes: String = {
+    val slotSeeds = (0 until 16)
+      .map(i => s"($i, ${XxHashOracleSql.uLit(XxHashOracleSql.intSeed(i))})")
+      .mkString(", ")
+    val bandSeeds = (0 until 8)
+      .map(b => s"($b, ${XxHashOracleSql.uLit(XxHashOracleSql.intSeed(b))})")
+      .mkString(", ")
+    s"""tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM docs),
       |shp AS (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
@@ -207,11 +187,38 @@ object ScaleDedupQueries extends QueryRegistry {
       |${XxHashOracleSql.stringHashCtes("xxb")},
       |banded AS MATERIALIZED (
       |  SELECT m.id, m.band, o.hash64 AS bh
-      |  FROM xxb_src m JOIN xxb_out o ON o.xid = m.xid)
+      |  FROM xxb_src m JOIN xxb_out o ON o.xid = m.xid)""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" -> s"""
+      |WITH docs AS ($exactDupsSql)
+      |SELECT md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')) AS fingerprint,
+      |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+      |FROM docs GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" -> s"""
+      |WITH docs AS ($nearDupsSql),
+      |${jaccardPairsSql(0.5, 0)}
+      |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    "dedup_ngram_jaccard_capped" -> s"""
+      |WITH docs AS ($nearDupsSql),
+      |${jaccardPairsSql(0.5, 64)}
+      |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    // Full XXH64 replay of the MinHash-LSH candidate pairs (k=16,
+    // bands=8, rows=2): hash each shingle string (seed 42), min the
+    // slot-salted long rehashes per (doc, slot), hash each band's
+    // comma-joined signature slice with Spark's int-chained seed, join
+    // on (band, band_hash). Seeds constant-folded via Spark's own
+    // XXH64 so they cannot drift from the engine.
+    "dedup_minhash" -> s"""
+      |WITH RECURSIVE docs AS ($nearDupsSql),
+      |$minhashBandedCtes
       |SELECT DISTINCT l.id AS id_a, r.id AS id_b
       |FROM banded l
-      |JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id""".stripMargin
-    },
+      |JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id""".stripMargin,
 
     // Full XXH64 replay of SimHash hamming pairs: per-token hash (every
     // occurrence votes), 64 bit-votes, fingerprint assembled in the
