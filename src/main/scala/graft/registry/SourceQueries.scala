@@ -126,6 +126,24 @@ object SourceQueries extends QueryRegistry {
       s.read.parquet(out).select("o_orderkey", "o_totalprice")
     }),
 
+    // S17: z-order (Morton) clustered layout — the two-key pruning
+    // complement to S15's single-key range sort. Written z-ordered,
+    // read back under a 2-D box predicate; every file is a compact
+    // bounding box in BOTH keys, so parquet stats prune on either.
+    // ZOrderSpec proves the bounding-box tightening; the oracle is the
+    // plain relational predicate (layout is pure reordering).
+    "s17_zorder_scan" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_zorder_q").toString + "/orders"
+      graft.operators.ZOrder.layoutBy(
+          Tables.orders(s, dir)
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          "o_custkey", "o_orderkey", numFiles = 8)
+        .write.parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_custkey").between(100, 400) &&
+          col("o_orderkey").between(1000, 30000))
+    }),
+
     // Bucketed co-located join: both sides are written pre-shuffled on
     // the join key (8 buckets + in-bucket sort), so the sort-merge join
     // plans with NO runtime Exchange on either input — the shuffle
@@ -327,6 +345,11 @@ object SourceQueries extends QueryRegistry {
       |       WHEN left(content, 2) = 'PK' THEN 'docx'
       |       ELSE 'bin' END AS file_type
       |FROM b""".stripMargin,
+
+    "s17_zorder_scan" -> """
+      |SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      |WHERE o_custkey BETWEEN 100 AND 400
+      |  AND o_orderkey BETWEEN 1000 AND 30000""".stripMargin,
 
     "s9_download_summary" -> """
       |WITH docs AS (
