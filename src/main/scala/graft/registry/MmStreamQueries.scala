@@ -125,6 +125,38 @@ object MmStreamQueries extends QueryRegistry {
       s.table(name)
     }),
 
+    // §2.7 stream-stream join: view→click attribution as TWO real
+    // MemoryStreams — all views in batch 1, all clicks in batch 2, so
+    // every match crosses a micro-batch boundary through the join
+    // state store. Inner-join semantics == the batch join, which is
+    // the oracle.
+    "stream_stream_attribution" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      def side(kind: String) = Tables.events(s, dir)
+        .filter(col("event_id") < 1000000L && col("event_type") === kind)
+        .select(col("event_id"), col("user_id"), col("ts")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      val views = side("view")
+      val clicks = side("click")
+      val vMem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val cMem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val name = "graft_attr_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val joined = graft.streaming.EventStreams.attributionJoin(
+        vMem.toDF().toDF("view_id", "user_id", "view_ts"),
+        cMem.toDF().toDF("click_id", "user_id", "click_ts"))
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        vMem.addData(views.toIndexedSeq: _*); q.processAllAvailable()
+        cMem.addData(clicks.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+    }),
+
     // Streaming LSH near-dup admission as a REAL 2-batch stream: base
     // docs arrive first, near-dup copies (+100000, 3 appended tokens)
     // in the next micro-batch; per (band, bucket) state marks every
@@ -232,6 +264,14 @@ object MmStreamQueries extends QueryRegistry {
       |  event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM kept GROUP BY 1, 2""".stripMargin,
+
+    "stream_stream_attribution" -> """
+      |SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      |WHERE v.event_id < 1000000 AND c.event_id < 1000000""".stripMargin,
 
     // identical XXH64 banding chain as dedup_minhash's oracle; `first`
     // from min doc_id per bucket (arrival order == id order here).

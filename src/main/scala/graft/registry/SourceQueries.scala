@@ -126,6 +126,15 @@ object SourceQueries extends QueryRegistry {
       s.read.parquet(out).select("o_orderkey", "o_totalprice")
     }),
 
+    // S18: ORC round-trip — the second columnar format Spark ships
+    // natively; same schema-explicit write/read contract as the
+    // parquet paths (identity oracle).
+    "s18_orc_roundtrip" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_orc_rt").toString + "/docs"
+      Tables.documents(s, dir).write.orc(out)
+      s.read.orc(out).select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // S17: z-order (Morton) clustered layout — the two-key pruning
     // complement to S15's single-key range sort. Written z-ordered,
     // read back under a 2-D box predicate; every file is a compact
@@ -345,6 +354,9 @@ object SourceQueries extends QueryRegistry {
       |       WHEN left(content, 2) = 'PK' THEN 'docx'
       |       ELSE 'bin' END AS file_type
       |FROM b""".stripMargin,
+
+    "s18_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "s17_zorder_scan" -> """
       |SELECT o_custkey, o_orderkey, o_totalprice FROM orders

@@ -61,6 +61,26 @@ object EventStreams {
       }
   }
 
+  /** Stream–stream inner join with an event-time bound: each click
+    * attributes to any view by the same user within `window` BEFORE
+    * it. Watermarks on both sides plus the time-range condition let
+    * the state store evict matched-out rows — the bounded-state
+    * contract a stream–stream join needs at scale (without the bound,
+    * both sides' state grows without limit). Inner-join matches emit
+    * as soon as both sides arrive; plan-identical to the batch join.
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+                      window: String = "1 hour",
+                      watermarkDelay: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("view_ts", watermarkDelay)
+    val c = clicks.withWatermark("click_ts", watermarkDelay)
+    v.join(c,
+      v("user_id") === c("user_id") &&
+        c("click_ts") >= v("view_ts") &&
+        c("click_ts") <= v("view_ts") + expr(s"INTERVAL $window"))
+      .select(v("view_id"), c("click_id"), v("user_id"))
+  }
+
   /** Gap-based sessionization via `session_window` — merged state on a
     * stream, a plain aggregation on batch. A new session starts when
     * the gap to the previous event is ≥ `gap`.

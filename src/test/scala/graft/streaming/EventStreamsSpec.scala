@@ -202,6 +202,38 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch(("2024-01-01 10:00", "click")) === 2L)
   }
 
+  test("stream-stream interval join matches across micro-batches and equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")),
+      (11L, 2L, ts("2024-01-01 10:00:00")),
+      (12L, 1L, ts("2024-01-01 12:00:00")))
+    val clicks = Seq(
+      (20L, 1L, ts("2024-01-01 10:30:00")), // within 1h of view 10
+      (21L, 2L, ts("2024-01-01 11:30:00")), // > 1h after view 11 — no match
+      (22L, 1L, ts("2024-01-01 12:10:00"))) // within 1h of view 12 only
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams.attributionJoin(
+        vMem.toDF().toDF("view_id", "user_id", "view_ts"),
+        cMem.toDF().toDF("click_id", "user_id", "click_ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    vMem.addData(views: _*); q.processAllAvailable()
+    cMem.addData(clicks: _*); q.processAllAvailable() // matches cross batches
+    val streamed = spark.table("attr_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(streamed === Set((10L, 20L), (12L, 22L)))
+
+    val batch = EventStreams.attributionJoin(
+        views.toDF("view_id", "user_id", "view_ts"),
+        clicks.toDF("click_id", "user_id", "click_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming dedup drops the duplicate event_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
