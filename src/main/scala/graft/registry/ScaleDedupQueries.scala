@@ -172,10 +172,13 @@ object ScaleDedupQueries extends QueryRegistry {
       |  SELECT DISTINCT m.doc_id AS id, o.hash64 AS sh
       |  FROM xxs_src m JOIN xxs_out o ON o.xid = m.xid),
       |slots(slot, useed) AS (SELECT * FROM (VALUES $slotSeeds)),
-      |${XxHashOracleSql.longHashCte("sloth", "idx CROSS JOIN slots",
-         Seq("id", "slot"), "sh", "useed", "h")},
+      |dsh AS MATERIALIZED (SELECT DISTINCT sh FROM idx),
+      |${XxHashOracleSql.longHashCte("sloth", "dsh CROSS JOIN slots",
+         Seq("sh", "slot"), "sh", "useed", "h")},
       |sig AS MATERIALIZED (
-      |  SELECT id, slot, MIN(h) AS mh FROM sloth GROUP BY id, slot),
+      |  SELECT i.id, t.slot, MIN(t.h) AS mh
+      |  FROM idx i JOIN sloth t ON t.sh = i.sh
+      |  GROUP BY i.id, t.slot),
       |bandseeds(band, useed) AS (SELECT * FROM (VALUES $bandSeeds)),
       |xxb_src AS MATERIALIZED (
       |  SELECT row_number() OVER () AS xid,
