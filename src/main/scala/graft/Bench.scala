@@ -39,7 +39,8 @@ object Bench {
     "stream_tumbling_hourly",
     "corpus_pack_sharded",
     "corpus_decontaminate",
-    "merge_upsert")
+    "merge_upsert",
+    "dedup_segments")
 
   /** The 10× scaling checkpoint: a subset chosen to answer the two
     * empirical questions a 100 TB plan review asks — where the

@@ -25,6 +25,7 @@ object SparkEntry {
     registry.MmStreamQueries,
     registry.OpsQueries,
     registry.SourceQueries,
+    registry.CorpusOpsQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

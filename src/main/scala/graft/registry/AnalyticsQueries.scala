@@ -108,6 +108,45 @@ object AnalyticsQueries extends QueryRegistry {
 
     "a7_headline_metrics" -> ((s, dir) =>
       Dashboard.headlineMetrics(Tables.orders(s, dir))),
+
+    // Ordered conversion funnel (view → click → purchase, strictly
+    // increasing event time per user). Each stage is one filtered
+    // per-user min-aggregation joined to the previous stage on
+    // user_id — partial-aggregatable, shuffles only user-keyed rows,
+    // never materializes event sequences. The stage counts are
+    // single-row aggregates unioned at the end.
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("view_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("click_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      def stage(df: DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(label).as("stage"), col("n_users"))
+      stage(v, "1_view").unionAll(stage(c, "2_click")).unionAll(stage(p, "3_purchase"))
+    }),
+
+    // Cohort retention: users bucketed by first-activity day, counted
+    // distinct per (cohort, day-offset). One per-user min, one
+    // user-keyed equi-join back onto events, one count-distinct agg —
+    // the cohort matrix stays bounded by (days × days) regardless of
+    // event volume.
+    "events_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .select(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -181,5 +220,32 @@ object AnalyticsQueries extends QueryRegistry {
         |  (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
         |   ORDER BY COUNT(*) DESC, o_orderpriority LIMIT 1) AS top_priority
         |FROM orders""".stripMargin,
+
+    "events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(ts) AS click_ts FROM events e
+        |  JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts > view_ts GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(ts) AS purchase_ts FROM events e
+        |  JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > click_ts GROUP BY 1)
+        |SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p""".stripMargin,
+
+    "events_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohort AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,290 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextAnalysis
+
+/** Corpus-operations extension family: ranked retrieval (BM25),
+  * segment-level exact dedup, dataset profiling, and time-series gap
+  * filling. Each query carries a full DuckDB twin; floating-point
+  * aggregates go through exact decimal sums or fixed-order addition so
+  * the hash gate is partitioning- and engine-independent.
+  */
+object CorpusOpsQueries extends QueryRegistry {
+
+  /** BM25 parameters (Robertson/Sparck Jones defaults). */
+  private val K1 = 1.2
+  private val B  = 0.75
+  /** Fixed query-term set (all present in the fixture vocabulary). */
+  private val BmTerms = Seq("spark", "join", "window")
+
+  /** Segment width (tokens) for segment-level exact dedup. */
+  private val SegTokens = 20
+
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 ranked retrieval over the corpus for a fixed term set.
+    // Corpus stats (N, avgdl, per-term df) are a driver scalar from one
+    // tiny stats job — embedded as literals, NOT a 1-row join (a
+    // scalar-subquery shape would plan a nested loop). The scoring pass
+    // is then pure per-row column math in the scan: no shuffle until
+    // the global top-k sort of the (tiny) score column. Per-term
+    // contributions are summed in fixed left-to-right order so the
+    // double addition is engine-identical before rounding.
+    "text_bm25_topk" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      val statAggs =
+        count(lit(1)).cast("double").as("n") ::
+        avg(size(col("tk"))).as("avgdl") ::
+        BmTerms.map(t =>
+          sum(when(array_contains(col("tk"), t), 1).otherwise(0))
+            .cast("double").as(s"df_$t")).toList
+      val statsRow = toks.agg(statAggs.head, statAggs.tail: _*).head()
+      val n = statsRow.getDouble(0)
+      val avgdl = statsRow.getDouble(1)
+      val dl = size(col("tk")).cast("double")
+      val contribs = BmTerms.zipWithIndex.map { case (t, i) =>
+        val df = statsRow.getDouble(2 + i)
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val tf = size(filter(col("tk"), x => x === lit(t))).cast("double")
+        lit(idf) * tf * lit(K1 + 1.0) /
+          (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / lit(avgdl)))
+      }
+      toks.select(col("doc_id"), round(contribs.reduceLeft(_ + _), 5).as("bm25"))
+        .filter(col("bm25") > 0)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Segment-level exact dedup (the span-granular form of exact doc
+    // dedup): fixed 20-token segments, global first occurrence by
+    // (doc_id, seg_id) wins, docs reassembled from surviving segments.
+    // First-owner selection is a partial-aggregatable min-struct
+    // groupBy + equi-join on the segment text — NOT a window over
+    // seg_text, whose per-key sort has no map-side combine and dies on
+    // a boilerplate segment shared by millions of docs. Two hash
+    // shuffles total (segment key, then doc reassembly).
+    "dedup_segments" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      val nSeg = ceil(size(col("tk")) / lit(SegTokens.toDouble)).cast("int")
+      val segArr = transform(
+        sequence(lit(0), greatest(nSeg - 1, lit(0))),
+        i => array_join(slice(col("tk"), i * SegTokens + 1, lit(SegTokens)), " "))
+      val segs = toks
+        .select(col("doc_id"), posexplode(segArr))
+        .select(col("doc_id"), col("pos").as("seg_id"), col("col").as("seg_text"))
+      val firstOwner = segs.groupBy(col("seg_text"))
+        .agg(min(struct(col("doc_id"), col("seg_id"))).as("o"))
+      val kept = segs.join(firstOwner, "seg_text")
+        .filter(col("doc_id") === col("o.doc_id") && col("seg_id") === col("o.seg_id"))
+      val totals = segs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_segs"))
+      val keptAgg = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("seg_id"), col("seg_text")))),
+              x => x.getField("seg_text")), " ").as("text_kept"))
+      totals.join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_kept"), lit("")).as("text_kept"))
+    }),
+
+    // Dataset profiling: per-column null count, exact distinct count,
+    // string-cast min/max — the data-quality report a pipeline emits on
+    // every ingest. One aggregation pass; the 5 exact distincts plan a
+    // 5-way Expand (rows ×5 into one shuffle). At 100 TB the same
+    // query swaps count_distinct for approx_count_distinct (the
+    // a8_distinct_approx pattern) — exact kept here for the hash gate.
+    "corpus_profile" -> ((s, dir) => {
+      val df = Tables.documents(s, dir)
+      val aggs = ProfileCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c).cast("string")).as(s"mn_$c"),
+        max(col(c).cast("string")).as(s"mx_$c")))
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = ProfileCols
+        .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      wide.select(expr(
+        s"stack(${ProfileCols.length}, $stackArgs) AS " +
+          "(column_name, n_nulls, n_distinct, min_val, max_val)"))
+    }),
+
+    // Unigram language-model perplexity (CCNet-style quality signal):
+    // train the unigram LM on the corpus itself, score each doc by its
+    // mean token negative log-likelihood. One explode, one partial-
+    // aggregatable vocab count, one equi-join on term, one per-doc agg.
+    // Per-token -ln p is rounded to 9 decimals and summed as an exact
+    // decimal so neither engine's shuffle/partition order can perturb
+    // the doc score; the corpus token total is a driver scalar (one
+    // tiny count job), not a 1-row join.
+    "text_unigram_logppl" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val total = toks.count().toDouble
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      toks.join(vocab, "term")
+        .select(col("doc_id"),
+          round(-log(col("cnt").cast("double") / lit(total)), 9)
+            .cast("decimal(28,9)").as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("logppl"))
+    }),
+
+    // Hourly time-series gap fill with forward fill: the complete
+    // (event_type × hour) grid from the observed time range, zero
+    // counts for silent hours, last observed hourly mean carried
+    // forward. The grid is generated per type (explode of a bounded
+    // calendar sequence — no cross join, no all-pairs plan); the only
+    // data-sized work is the hourly aggregation (one shuffle, partial
+    // agg). Forward fill is the group-of-last-observation trick —
+    // running count of non-nulls, then max within (type, grp) — which
+    // is engine-portable unlike IGNORE NULLS frames. Hourly means go
+    // through exact decimal sums so partitioning cannot perturb them.
+    "ts_gap_fill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"),
+        date_trunc("hour", col("ts")).as("h"),
+        col("value").cast("decimal(18,2)").as("v"))
+      val hourly = ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("v")).cast("double") / count(lit(1)), 6).as("avg_value"))
+      val bounds = ev.agg(min(col("h")), max(col("h"))).head()
+      val (h0, h1) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+      val grid = ev.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(h0), lit(h1), expr("interval 1 hour"))).as("h"))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n_events"), col("avg_value"))
+        .withColumn("grp",
+          sum(when(col("avg_value").isNotNull, 1).otherwise(0)).over(wRun))
+        .withColumn("filled_value",
+          max(col("avg_value")).over(Window.partitionBy(col("event_type"), col("grp"))))
+        .select(col("event_type"), col("h").as("hour"), col("n_events"),
+          col("avg_value"), col("filled_value"))
+    }),
+  )
+
+  private def bmOracle: String = {
+    val dfCols = BmTerms.map(t =>
+      s"CAST(SUM(CASE WHEN list_contains(tk, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+      .mkString(",\n      |    ")
+    val tfCols = BmTerms.map(t =>
+      s"CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+      .mkString(",\n      |    ")
+    // same fixed left-to-right addition order as the Spark expression
+    val contrib = BmTerms.map(t =>
+      s"(ln(1 + (n - df_$t + 0.5) / (df_$t + 0.5)) * tf_$t * ${K1 + 1.0} / " +
+        s"(tf_$t + $K1 * (${1.0 - B} + $B * dl / avgdl)))")
+      .mkString(" + ")
+    s"""
+      |WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(len(tk)) AS avgdl,
+      |    $dfCols
+      |  FROM tok),
+      |tf AS (
+      |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+      |    $tfCols
+      |  FROM tok),
+      |scored AS (
+      |  SELECT doc_id, round($contrib, 5) AS bm25 FROM tf, stats)
+      |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  private def profileOracle: String =
+    ProfileCols.map(c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  MIN(CAST($c AS VARCHAR)) AS min_val,
+         |  MAX(CAST($c AS VARCHAR)) AS max_val
+         |FROM documents""".stripMargin)
+      .mkString("\n", "\nUNION ALL\n", "")
+
+  def oracle: Map[String, String] = Map(
+    "text_bm25_topk" -> bmOracle,
+
+    "dedup_segments" -> s"""
+      |WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(
+      |      generate_series(0, CAST(ceil(len(tk) / $SegTokens.0) AS BIGINT) - 1),
+      |      i -> {'seg_id': i,
+      |            'seg_text': array_to_string(tk[i*$SegTokens+1:(i+1)*$SegTokens], ' ')})) AS u
+      |  FROM tok),
+      |seg AS (SELECT doc_id, u.seg_id AS seg_id, u.seg_text AS seg_text FROM s),
+      |r AS (
+      |  SELECT doc_id, seg_id, seg_text,
+      |    row_number() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_id) AS rn
+      |  FROM seg),
+      |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM seg GROUP BY 1),
+      |k AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(seg_text, ' ' ORDER BY seg_id) AS text_kept
+      |  FROM r WHERE rn = 1 GROUP BY 1)
+      |SELECT doc_id, n_segs,
+      |  COALESCE(n_kept, 0) AS n_kept, COALESCE(text_kept, '') AS text_kept
+      |FROM tot LEFT JOIN k USING (doc_id)""".stripMargin,
+
+    "corpus_profile" -> profileOracle,
+
+    "text_unigram_logppl" -> """
+      |WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |vocab AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok),
+      |nll AS (
+      |  SELECT doc_id,
+      |    CAST(round(-ln(CAST(cnt AS DOUBLE) / (SELECT t FROM total)), 9)
+      |      AS DECIMAL(28,9)) AS nll
+      |  FROM tok JOIN vocab USING (term))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS logppl
+      |FROM nll GROUP BY 1""".stripMargin,
+
+    "ts_gap_fill" -> """
+      |WITH ev AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |hourly AS (
+      |  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n,
+      |    round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS avg_value
+      |  FROM ev GROUP BY 1, 2),
+      |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(
+      |    (SELECT h0 FROM b), (SELECT h1 FROM b), INTERVAL 1 HOUR)) AS h
+      |  FROM (SELECT DISTINCT event_type FROM ev)),
+      |j AS (
+      |  SELECT g.event_type, g.h, COALESCE(n, 0) AS n_events, avg_value
+      |  FROM grid g LEFT JOIN hourly USING (event_type, h)),
+      |f AS (
+      |  SELECT *, SUM(CASE WHEN avg_value IS NOT NULL THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY event_type ORDER BY h) AS grp
+      |  FROM j)
+      |SELECT event_type, h AS hour, n_events, avg_value,
+      |  MAX(avg_value) OVER (PARTITION BY event_type, grp) AS filled_value
+      |FROM f""".stripMargin,
+  )
+}
