@@ -134,6 +134,14 @@ object Bench {
     // queries from exactly this cross-query pollution.
     def isolate(): Unit = {
       spark.catalog.clearCache()
+      // localCheckpoint() blocks are NOT covered by clearCache(): they
+      // are freed when the RDD object is GC'd, which can lag whole
+      // queries behind in a long bench session — the accumulated
+      // storage squeezes execution memory and the late heavy queries
+      // spill (measured up to 5x inflation on the sf1 dedup stage vs a
+      // fresh session). Unpersist them eagerly by enumeration.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
     }
 

@@ -282,6 +282,31 @@ object AggQueries extends QueryRegistry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n_orders"), col("revenue"))),
 
+    // A22: full CUBE over two dims — every grouping-set combination in
+    // one Expand + one shuffle (Catalyst plans cube as a 4-way Expand,
+    // not 4 scans). Subtotal null markers coalesced to a sentinel, same
+    // as the rollup form.
+    "a22_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue"))),
+
+    // J7: left-semi join — orders with at least one oversized line.
+    // Semi joins short-circuit on first match and never duplicate the
+    // left side; the filter on the build side cuts the hash table
+    // before the shuffle.
+    "j7_semi_join" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45).select(col("l_orderkey"))
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // set operations: the audit forms of EXCEPT/INTERSECT over derived
     // key sets (both plan as hash aggregates + joins — no sort).
     "s16_set_ops" -> ((s, dir) => {
@@ -493,6 +518,18 @@ object AggQueries extends QueryRegistry {
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "a22_cube" -> """
+      |SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "j7_semi_join" -> """
+      |SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)""".stripMargin,
 
     "s16_set_ops" -> """
       |WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),

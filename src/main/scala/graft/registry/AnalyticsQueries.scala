@@ -131,6 +131,39 @@ object AnalyticsQueries extends QueryRegistry {
       stage(v, "1_view").unionAll(stage(c, "2_click")).unionAll(stage(p, "3_purchase"))
     }),
 
+    // Hourly anomaly detection: per-type z-scores of event counts over
+    // the COMPLETE hourly grid (silent hours count as zero — omitting
+    // them biases the mean up and hides dropouts). All moments are sums
+    // of integers, exact under any partitioning; sqrt/division are
+    // correctly-rounded IEEE ops, so no decimal shuffle-guard is
+    // needed. Stats are a per-type aggregate broadcast back onto the
+    // grid (5 rows — a broadcast hash join, not a window).
+    "events_anomaly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      val hourly = ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+      val bounds = ev.agg(min(col("h")), max(col("h"))).head()
+      val (h0, h1) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+      val grid = ev.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(h0), lit(h1), expr("interval 1 hour"))).as("h"))
+      val full = grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+      val stats = full.groupBy(col("event_type")).agg(
+          count(lit(1)).cast("double").as("n_hours"),
+          sum(col("n_events")).cast("double").as("s1"),
+          sum(col("n_events") * col("n_events")).cast("double").as("s2"))
+        .select(col("event_type"), (col("s1") / col("n_hours")).as("mean"),
+          sqrt(col("s2") / col("n_hours") -
+            (col("s1") / col("n_hours")) * (col("s1") / col("n_hours"))).as("std"))
+      full.join(stats, "event_type")
+        .select(col("event_type"), col("h").as("hour"), col("n_events"),
+          round((col("n_events").cast("double") - col("mean")) / col("std"), 4).as("z"))
+        .filter(abs(col("z")) >= 2.0)
+    }),
+
     // Cohort retention: users bucketed by first-activity day, counted
     // distinct per (cohort, day-offset). One per-user min, one
     // user-keyed equi-join back onto events, one count-distinct agg —
@@ -238,6 +271,32 @@ object AnalyticsQueries extends QueryRegistry {
         |SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
         |UNION ALL
         |SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |hourly AS (
+        |  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(
+        |    (SELECT h0 FROM b), (SELECT h1 FROM b), INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM ev)),
+        |fg AS (
+        |  SELECT g.event_type, g.h, COALESCE(n, 0) AS n_events
+        |  FROM grid g LEFT JOIN hourly USING (event_type, h)),
+        |stats AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_hours,
+        |    CAST(SUM(n_events) AS DOUBLE) AS s1,
+        |    CAST(SUM(n_events * n_events) AS DOUBLE) AS s2
+        |  FROM fg GROUP BY 1)
+        |SELECT f.event_type, f.h AS hour, f.n_events,
+        |  round((CAST(f.n_events AS DOUBLE) - s1 / n_hours) /
+        |    sqrt(s2 / n_hours - (s1 / n_hours) * (s1 / n_hours)), 4) AS z
+        |FROM fg f JOIN stats USING (event_type)
+        |WHERE abs(round((CAST(f.n_events AS DOUBLE) - s1 / n_hours) /
+        |    sqrt(s2 / n_hours - (s1 / n_hours) * (s1 / n_hours)), 4)) >= 2.0""".stripMargin,
 
     "events_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

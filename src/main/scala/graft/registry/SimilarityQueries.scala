@@ -53,6 +53,13 @@ object SimilarityQueries extends QueryRegistry {
       Knn.ivfTopK(Tables.embeddings(s, dir), queriesDf(s, dir),
         nCentroids = 16, nProbe = 4, k = 5, lloydIters = 1)),
 
+    // PQ/ADC: codes-only candidate scan (m lookups per candidate, the
+    // corpus never shuffles) + exact re-rank of the shortlist. Rows-
+    // only like the other ANN forms; recall floor pinned by KnnSpec.
+    "ann_pq_topk" -> ((s, dir) =>
+      Knn.pqTopK(Tables.embeddings(s, dir), queriesDf(s, dir), dim = 64,
+        m = 16, kCode = 32, k = 5, lloydIters = 2, rerankFactor = 16)),
+
     // semantic dedup composition: blocked cosine pairs -> connected
     // components -> canonical per vector.
     "emb_semantic_dedup" -> ((s, dir) =>

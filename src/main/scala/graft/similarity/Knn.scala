@@ -211,6 +211,126 @@ object Knn {
       vectors.select(col("vec_id").as("id")), pairs, driverCcThreshold)
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks: the embedding space is split into
+    * `m` subspaces of dim/m dims; per subspace a `k`-centroid codebook
+    * is trained (hash-sampled seeds, Lloyd-refined — the
+    * [[ivfCentroids]] recipe applied per subspace in ONE distributed
+    * pass over all subspaces, keyed by (vec_id, s)). Returned
+    * driver-side: m×k×subDim doubles — a few KB, shipped to executors
+    * as expression literals, never joined.
+    *
+    * A subspace centroid that loses all members in a Lloyd step drops
+    * out; code indices are rebuilt from the collected order, so the
+    * codebook stays dense (k shrinks for that subspace).
+    */
+  def pqCodebooks(vectors: DataFrame, dim: Int, m: Int, k: Int,
+                  lloydIters: Int = 1): Seq[Seq[Seq[Double]]] = {
+    val subDim = dim / m
+    val sub = vectors
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("s"),
+        col("embedding"))
+      .select(col("vec_id"), col("s"),
+        transform(slice(col("embedding"), col("s") * subDim + 1, lit(subDim)),
+          _.cast("double")).as("sub"))
+    val seeds = graft.plans.TopK.perKey(
+        sub.withColumn("h", xxhash64(col("vec_id"))),
+        Seq(col("s")), Seq(col("h").asc, col("vec_id").asc), k)
+      .select(col("s"), col("rank").as("cid"), col("sub").as("c_sub"))
+    val trained = (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
+      val scored = sub.join(broadcast(cents), Seq("s"))
+        .withColumn("d2", aggregate(
+          zip_with(col("sub"), col("c_sub"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v))
+      val assigned = graft.plans.TopK.perKey(scored,
+          Seq(col("vec_id"), col("s")), Seq(col("d2").asc, col("cid").asc), 1)
+        .select(col("s"), col("cid"), col("sub"))
+      assigned.select(col("s"), col("cid"), posexplode(col("sub")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(avg(col("col")).as("mcoord"))
+        .groupBy(col("s"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mcoord")))).as("sc"))
+        .select(col("s"), col("cid"),
+          transform(col("sc"), x => x.getField("mcoord")).as("c_sub"))
+    }
+    trained.orderBy(col("s"), col("cid")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](2).toSeq).toSeq)
+  }
+
+  /** PQ top-k with ADC (asymmetric distance computation) and exact
+    * re-rank. Encoding is pure per-row scan math: per subspace, the
+    * code is argmin over |c_j|² − 2⟨sub, c_j⟩ against codebook
+    * literals (the ⟨sub,sub⟩ term is constant across j — dropped), so
+    * the per-subspace cost equals ONE full-width dot product and the
+    * corpus never shuffles or materializes distances. Scoring reads
+    * only the m-byte codes: each query precomputes its m×k partial-dot
+    * table once, a candidate's approximate cosine is m array lookups
+    * against the candidate's reconstruction norm. The scoring pass is
+    * a broadcast of the (tiny) query side over the streamed code
+    * table — the same declared-baseline shape as [[bruteForceTopK]]
+    * but ~dim/m× cheaper per candidate and reading codes, not
+    * vectors; the final exact re-rank touches full vectors only for
+    * `rerankFactor`·k candidates per query via an equi-join on
+    * cand_id.
+    */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, dim: Int,
+             m: Int = 4, kCode: Int = 16, k: Int = 10,
+             lloydIters: Int = 1, rerankFactor: Int = 4): DataFrame = {
+    val subDim = dim / m
+    // cosine-PQ: L2-normalize BEFORE quantization — on the unit sphere
+    // cosine is a plain dot product, so the ADC score needs no
+    // reconstruction-norm correction (whose quantization error would
+    // re-rank candidates), and the codebooks spend their 16 cells per
+    // subspace on directions, not magnitudes.
+    def normalized(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / norm(col("embedding")))
+          .as("embedding"))
+    val vecsN = normalized(vectors)
+    val cbs = pqCodebooks(vecsN, dim, m, kCode, lloydIters)
+    def subv(e: Column, s: Int) = slice(e, s * subDim + 1, subDim)
+    def dotLit(sv: Column, c: Seq[Double]) =
+      graft.functions.GraftFunctions.dotProduct(sv, typedlit(c))
+    val cNorm2: Seq[Seq[Double]] = cbs.map(_.map(c => c.map(x => x * x).sum))
+
+    // per-row encoding: m codes, each argmin_j |c_j|² − 2⟨sub,c_j⟩
+    val codeCols = cbs.indices.map { s =>
+      val dists = array(cbs(s).indices.map(j =>
+        lit(cNorm2(s)(j)) - lit(2.0) * dotLit(subv(col("embedding"), s), cbs(s)(j))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val encoded = vecsN
+      .select(col("vec_id").as("cand_id"), array(codeCols: _*).as("codes"))
+
+    // per-query ADC tables: m×k partial dots against the codebooks
+    val prepped = normalized(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("tables", array(cbs.indices.map(s =>
+        array(cbs(s).indices.map(j => dotLit(subv(col("q_emb"), s), cbs(s)(j))): _*)): _*))
+      .select(col("query_id"), col("tables"))
+
+    val approx = encoded.crossJoin(broadcast(prepped))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("approx_sim",
+        cbs.indices.map(s => element_at(col("tables")(s), col("codes")(s) + 1))
+          .reduceLeft(_ + _))
+    val cands = graft.plans.TopK.perKey(approx,
+        Seq(col("query_id")), Seq(col("approx_sim").desc, col("cand_id").asc),
+        k * rerankFactor)
+      .select(col("query_id"), col("cand_id"))
+
+    // exact re-rank of the shortlist only
+    val scored = cands
+      .join(vectors.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
+        "cand_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    rankTopK(scored, k)
+  }
+
   def cosineNearDupPairsBlocked(
       vectors: DataFrame, dim: Int, threshold: Double,
       nPlanes: Int = 8, nTables: Int = 4): DataFrame = {

@@ -15,6 +15,11 @@ class PlanShapeSpec extends AnyFunSuite {
     *    baseline — queries broadcast, corpus streams, never shuffles);
     *  - ann_ivf_topk: centroid assignment is a broadcast nested loop
     *    over the tiny centroid set by design (corpus never shuffles);
+    *  - ann_pq_topk: the ADC scoring pass broadcasts the tiny prepped
+    *    query side over the streamed code table (m lookups per
+    *    candidate — the documented scan-all-codes design; the corpus
+    *    itself never shuffles and full vectors are only touched by the
+    *    equi-join re-rank);
     *  - a7_headline_metrics: attaches a LIMIT-1 mode row to a global
     *    single-row aggregate with an on-true LEFT join — both sides
     *    are one row by construction, the "join" is a row concat.
@@ -22,7 +27,8 @@ class PlanShapeSpec extends AnyFunSuite {
     * query — must plan equi-joins/aggregations only.
     */
   private val allowed =
-    Set("emb_cosine_topk", "mm_embed_topk", "ann_ivf_topk", "a7_headline_metrics")
+    Set("emb_cosine_topk", "mm_embed_topk", "ann_ivf_topk", "ann_pq_topk",
+      "a7_headline_metrics")
 
   test("no registered query plans an all-pairs join outside the declared baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -102,6 +102,23 @@ class KnnSpec extends AnyFunSuite {
     assert(eight * 10 >= brute.size * 8, s"recall $eight/${brute.size} < 0.8")
   }
 
+  test("PQ/ADC recall >=0.9 vs brute force; re-rank sims are exact") {
+    val emb01 = Tables.embeddings(spark, Sf01)
+    val qs = emb01.filter(col("vec_id") < 20)
+    val brute = Knn.bruteForceTopK(qs, emb01, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Knn.pqTopK(emb01, qs, dim = 64, m = 16, kCode = 32, k = 5,
+      lloydIters = 2, rerankFactor = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    val found = pq.count { case (key, _) => brute.contains(key) }
+    assert(found * 10 >= brute.size * 9, s"PQ recall $found/${brute.size} < 0.9")
+    // the re-rank stage recomputes EXACT cosines — any surviving true
+    // neighbor must carry the same sim as brute force
+    pq.foreach { case (key, sim) =>
+      brute.get(key).foreach(exact => assert(math.abs(exact - sim) < 1e-9, key))
+    }
+  }
+
   test("IVF multi-probe recall >=0.9 vs brute force; Lloyd refinement helps") {
     val emb01 = Tables.embeddings(spark, Sf01)
     val qs = emb01.filter(col("vec_id") < 20)
