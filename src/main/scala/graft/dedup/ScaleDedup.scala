@@ -142,6 +142,72 @@ object ScaleDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric shingle containment |A∩B| / |A| — catches subset
+    * duplicates (a doc wholly contained in a longer one) that
+    * symmetric Jaccard misses: a prefix half of a doc has containment
+    * 1.0 into its source but Jaccard ≈ 0.5, below any useful
+    * threshold. Same index self-join machinery as
+    * [[ngramJaccardPairsSelfJoin]] (two 8-byte shuffles, partial-
+    * aggregatable intersection counts, anti-join doc-frequency cap);
+    * each surviving unordered pair emits up to two directed
+    * (id_sub ⊆ id_super) rows.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9,
+      maxDocFreq: Long = 1000): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val capped = if (maxDocFreq > 0) {
+      val hot = idx.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
+        .select(col("sh"))
+      idx.join(hot, Seq("sh"), "left_anti")
+    } else idx
+    val inter = capped.select(col("sh"), col("id").as("id_a"))
+      .join(capped.select(col("sh"), col("id").as("id_b")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(explode(array(
+        struct(col("id_a").as("id_sub"), col("id_b").as("id_super"),
+          round(col("inter").cast("double") / col("sz_a"), 6).as("containment")),
+        struct(col("id_b").as("id_sub"), col("id_a").as("id_super"),
+          round(col("inter").cast("double") / col("sz_b"), 6).as("containment")))).as("p"))
+      .select(col("p.id_sub"), col("p.id_super"), col("p.containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Source-level contamination matrix: directed shingle containment
+    * |S(a) ∩ S(b)| / |S(a)| between source-level shingle SETS — the
+    * cross-source leakage screen run before mixing corpora (is
+    * source X largely a re-crawl of source Y?). The shingle index is
+    * keyed by SOURCE, so the self-join's per-shingle expansion is
+    * bounded by #sources² (a constant ~400 for 20 sources) regardless
+    * of corpus size; intersection counts partial-aggregate map-side.
+    * The ratio is computed by half-up integer division — never a
+    * float round, so the oracle comparison cannot hit a decimal tie.
+    */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val idx = shingleIndex(df, srcCol, textCol, n).localCheckpoint()
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    idx.select(col("sh"), col("id").as("src_a"))
+      .join(idx.select(col("sh"), col("id").as("src_b")), "sh")
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "src_a")
+        .withColumnRenamed("sz", "sz_a"), "src_a")
+      .select(col("src_a"), col("src_b"),
+        col("inter").cast("long").as("n_shared"),
+        (expr("(inter * 2000000 + sz_a) div (2 * sz_a)").cast("double")
+          / lit(1e6)).as("containment"))
+  }
+
   /** Per-doc hashed shingle set (id, shs) — the verify-side operand for
     * candidate-bounded exact Jaccard.
     */

@@ -295,6 +295,50 @@ object AggQueries extends QueryRegistry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n_orders"), col("revenue"))),
 
+    // A23: exact global NTILE(8) quantile buckets WITHOUT the
+    // single-partition window sort — GlobalRank range-partitions,
+    // offsets per-partition row_numbers by an O(#partitions) driver
+    // prefix sum, and replays NTILE's integer bucket-boundary rule.
+    // (o_totalprice, o_orderkey) is a total order, so range
+    // boundaries cannot split ties engine-dependently.
+    "a23_ntile_buckets" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+      graft.operators.GlobalRank
+        .withNtile(o, Seq(col("p"), col("o_orderkey")), 8, "bucket")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          min(col("p")).cast("double").as("min_price"),
+          max(col("p")).cast("double").as("max_price"))
+    }),
+
+    // A24: Pearson correlation from EXACT decimal moments. Spark's
+    // corr() sums doubles in partition order (non-associative — a
+    // different split changes the last ulps); summing decimal(18,2)
+    // values and their exact decimal products instead makes all five
+    // moments partitioning-invariant, and the final IEEE formula on
+    // identical inputs is identical on any engine. Map-side combine
+    // applies to every moment — one shuffle of 6 numbers per group.
+    "a24_corr" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("x"),
+          col("l_extendedprice").cast("decimal(18,2)").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("corr_qty_price"))),
+
     // J7: left-semi join — orders with at least one oversized line.
     // Semi joins short-circuit on first match and never duplicate the
     // left side; the filter on the build side cuts the hash table
@@ -525,6 +569,39 @@ object AggQueries extends QueryRegistry {
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "a23_ntile_buckets" -> """
+      |WITH r AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |    ntile(8) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)),
+      |      o_orderkey) AS bucket
+      |  FROM orders)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(MIN(p) AS DOUBLE) AS min_price,
+      |  CAST(MAX(p) AS DOUBLE) AS max_price
+      |FROM r GROUP BY 1""".stripMargin,
+
+    "a24_corr" -> """
+      |WITH m AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS corr_qty_price
+      |FROM m""".stripMargin,
 
     "j7_semi_join" -> """
       |SELECT o_orderkey, o_totalprice FROM orders

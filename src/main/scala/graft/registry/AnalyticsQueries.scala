@@ -164,6 +164,35 @@ object AnalyticsQueries extends QueryRegistry {
         .filter(abs(col("z")) >= 2.0)
     }),
 
+    // Inter-arrival gap statistics per event type via lag(): count,
+    // max, mean and >10-min tally of consecutive-event gaps. Gaps are
+    // exact microsecond longs (sums exact under any partitioning; the
+    // mean divides at the end), ties broken by event_id so the lag
+    // order is engine-identical. The per-type window is one ordered
+    // run over that type's rows — at 100 TB shard it by (type, day)
+    // with a boundary-row handoff; here types are few and the demo
+    // keeps the exact global form.
+    "events_gap_stats" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_gaps"),
+          max(col("gap_us")).as("max_gap_us"),
+          sum(when(col("gap_us") > 600000000L, 1).otherwise(0)).cast("long")
+            .as("n_gaps_gt10m"),
+          sum(col("gap_us")).as("sg"))
+        // half-up integer division, never a float round — round(double, 2)
+        // ties resolve differently across engines (see ts_gap_fill)
+        .withColumn("avg_gap_us",
+          expr("(sg * 200 + n_gaps) div (2 * n_gaps)").cast("double") / lit(100.0))
+        .drop("sg")
+    }),
+
     // Cohort retention: users bucketed by first-activity day, counted
     // distinct per (cohort, day-offset). One per-user min, one
     // user-keyed equi-join back onto events, one count-distinct agg —
@@ -297,6 +326,21 @@ object AnalyticsQueries extends QueryRegistry {
         |FROM fg f JOIN stats USING (event_type)
         |WHERE abs(round((CAST(f.n_events AS DOUBLE) - s1 / n_hours) /
         |    sqrt(s2 / n_hours - (s1 / n_hours) * (s1 / n_hours)), 4)) >= 2.0""".stripMargin,
+
+    "events_gap_stats" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    date_diff('microsecond',
+        |      lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id),
+        |      ts) AS gap_us
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  MAX(gap_us) AS max_gap_us,
+        |  CAST(SUM(CASE WHEN gap_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gaps_gt10m,
+        |  CAST((SUM(gap_us) * 200 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+        |    / 100 AS avg_gap_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
 
     "events_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

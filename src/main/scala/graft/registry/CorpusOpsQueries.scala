@@ -140,6 +140,65 @@ object CorpusOpsQueries extends QueryRegistry {
           round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("logppl"))
     }),
 
+    // Temperature-scaled source mixing (the multinomial-sampling
+    // weights a multi-source training run draws with, T5/XLM style):
+    // target_share_s ∝ share_s^0.5 flattens over-represented sources.
+    // alpha = 0.5 means the exponent IS sqrt — a correctly-rounded
+    // IEEE op, identical across engines, unlike pow. The normalizer
+    // sums 9-decimal-rounded weights as exact decimals so source
+    // enumeration order cannot perturb it.
+    "corpus_mix_weights" -> ((s, dir) => {
+      val n = Tables.documents(s, dir).count().toDouble
+      val w = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_docs"))
+        .withColumn("share", col("n_docs") / lit(n))
+        .withColumn("w9", round(sqrt(col("share")), 9).cast("decimal(18,9)"))
+      val z = w.agg(sum(col("w9"))).head().getDecimal(0)
+      w.select(col("source"), col("n_docs"), round(col("share"), 6).as("share"),
+        round(col("w9").cast("double") / lit(z.doubleValue), 6).as("target_share"))
+    }),
+
+    // Per-source Shannon entropy of the unigram distribution — the
+    // diversity screen a corpus mix review runs next to mix weights.
+    // H = ln N − (Σ c·ln c)/N over exact term counts; each c·ln c is
+    // rounded to 9 decimals and summed as an exact decimal, so the
+    // (order-sensitive) double addition never happens — any partition
+    // split produces the identical sum, and the final two IEEE ops on
+    // identical inputs are engine-identical. One explode + two
+    // map-side-combinable aggs; the (source, term) grid is the only
+    // shuffled relation.
+    "text_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("vocab"),
+          sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)
+            .cast("decimal(30,9)")).as("sclogc"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          (log(col("n_tokens").cast("double"))
+            - col("sclogc").cast("double") / col("n_tokens").cast("double"))
+            .as("entropy"))),
+
+    // Curriculum phasing: documents ranked by quality score and cut
+    // into 10 equal phases (phase 1 = lowest-quality decile → train
+    // first/last per strategy). Exact global NTILE via GlobalRank —
+    // range partition + per-partition row_number + driver offset
+    // prefix-sum — never a single-partition window sort.
+    "corpus_curriculum" -> ((s, dir) => {
+      val q = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.operators.GlobalRank
+        .withNtile(q, Seq(col("quality"), col("doc_id")), 10, "phase")
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))
+    }),
+
     // Hourly time-series gap fill with forward fill: the complete
     // (event_type × hour) grid from the observed time range, zero
     // counts for silent hours, last observed hourly mean carried
@@ -149,15 +208,21 @@ object CorpusOpsQueries extends QueryRegistry {
     // agg). Forward fill is the group-of-last-observation trick —
     // running count of non-nulls, then max within (type, grp) — which
     // is engine-portable unlike IGNORE NULLS frames. Hourly means go
-    // through exact decimal sums so partitioning cannot perturb them.
+    // through exact integer cents and a half-up integer division —
+    // round(double, 6) ties (e.g. sum/n = 43.4728125 exactly) resolve
+    // differently across engines because the nearest double sits just
+    // below the decimal tie; (2a+b) div 2b never consults a float.
     "ts_gap_fill" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(
         col("event_type"),
         date_trunc("hour", col("ts")).as("h"),
-        col("value").cast("decimal(18,2)").as("v"))
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       val hourly = ev.groupBy(col("event_type"), col("h"))
         .agg(count(lit(1)).cast("long").as("n"),
-          round(sum(col("v")).cast("double") / count(lit(1)), 6).as("avg_value"))
+          sum(col("cents")).as("sc"))
+        .withColumn("avg_value",
+          expr("(sc * 20000 + n) div (2 * n)").cast("double") / lit(1e6))
+        .drop("sc")
       val bounds = ev.agg(min(col("h")), max(col("h"))).head()
       val (h0, h1) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
       val grid = ev.select(col("event_type")).distinct()
@@ -246,6 +311,18 @@ object CorpusOpsQueries extends QueryRegistry {
 
     "corpus_profile" -> profileOracle,
 
+    "corpus_mix_weights" -> """
+      |WITH w AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS share
+      |  FROM documents GROUP BY 1),
+      |w9 AS (
+      |  SELECT *, CAST(round(sqrt(share), 9) AS DECIMAL(18,9)) AS w9 FROM w),
+      |z AS (SELECT CAST(SUM(w9) AS DOUBLE) AS z FROM w9)
+      |SELECT source, n_docs, round(share, 6) AS share,
+      |  round(CAST(w9 AS DOUBLE) / (SELECT z FROM z), 6) AS target_share
+      |FROM w9""".stripMargin,
+
     "text_unigram_logppl" -> """
       |WITH tok AS (
       |  SELECT doc_id,
@@ -262,14 +339,52 @@ object CorpusOpsQueries extends QueryRegistry {
       |  round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS logppl
       |FROM nll GROUP BY 1""".stripMargin,
 
+    "text_entropy" -> """
+      |WITH tok AS (
+      |  SELECT source,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |c AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |a AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+      |      AS DECIMAL(30,9))) AS sclogc
+      |  FROM c GROUP BY 1)
+      |SELECT source, n_tokens, vocab,
+      |  ln(CAST(n_tokens AS DOUBLE))
+      |    - CAST(sclogc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS entropy
+      |FROM a""".stripMargin,
+
+    "corpus_curriculum" -> s"""
+      |WITH t AS (SELECT doc_id,
+      |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS ntok,
+      |  CAST(length(text) AS DOUBLE) AS nchars,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+      |  CAST(${TextQueries.hits("en")} AS DOUBLE) AS h
+      |FROM documents),
+      |q AS (SELECT doc_id, round(
+      |  least(ntok / 100.0, 1.0) * 0.3 +
+      |  (CASE WHEN nchars / greatest(ntok, 1.0) BETWEEN 3.0 AND 10.0
+      |        THEN 1.0 ELSE 0.3 END) * 0.2 +
+      |  alpha / greatest(nchars, 1.0) * 0.3 +
+      |  least(h / 3.0, 1.0) * 0.2, 6) AS quality
+      |FROM t),
+      |r AS (SELECT quality,
+      |  ntile(10) OVER (ORDER BY quality, doc_id) AS phase FROM q)
+      |SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(quality) AS min_quality, MAX(quality) AS max_quality
+      |FROM r GROUP BY 1""".stripMargin,
+
     "ts_gap_fill" -> """
       |WITH ev AS (
       |  SELECT event_type, date_trunc('hour', ts) AS h,
-      |    CAST(value AS DECIMAL(18,2)) AS v
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       |  FROM events),
       |hourly AS (
       |  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n,
-      |    round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS avg_value
+      |    CAST((SUM(cents) * 20000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+      |      / 1000000 AS avg_value
       |  FROM ev GROUP BY 1, 2),
       |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
       |grid AS (

@@ -42,9 +42,35 @@ object ScaleDedupQueries extends QueryRegistry {
       .repartition(s.sparkContext.defaultParallelism)
   }
 
+  /** Subset-duplicate fixture: every 11th doc gains a prefix-half copy
+    * at doc_id + 300000 — containment 1.0 into its source (every
+    * shingle of the prefix is in the original) while Jaccard ≈ 0.5,
+    * invisible to the symmetric dedup families.
+    */
+  def withSubsets(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val tk = graft.text.TextAnalysis.tokens(col("text"))
+    d.unionByName(d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        array_join(slice(tk, lit(1), ceil(size(tk) / lit(2.0)).cast("int")), " ")
+          .as("text")))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       ScaleDedup.exact(withExactDups(s, dir), "doc_id", "text")),
+
+    // asymmetric containment — the subset-duplicate detector.
+    "dedup_containment" -> ((s, dir) =>
+      ScaleDedup.containmentPairs(withSubsets(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.9, maxDocFreq = 64)),
+
+    // cross-source leakage matrix over the raw corpus.
+    "source_overlap" -> ((s, dir) =>
+      ScaleDedup.sourceOverlap(
+        Tables.documents(s, dir).select(col("source"), col("text")),
+        "source", "text")),
 
     // exact Jaccard (maxDocFreq=0) — the oracle-parity baseline; the
     // capped form below is the scale default.
@@ -114,6 +140,17 @@ object ScaleDedupQueries extends QueryRegistry {
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 100000, text || ' zz9 yy8 xx7' FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  // the prefix rejoin goes through the SAME lowercased tokenization the
+  // engine's shingle index applies, so both sides shingle identically
+  private val subsetsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 300000 AS doc_id,
+      |  array_to_string(t[1:CAST(ceil(len(t) / 2.0) AS BIGINT)], ' ') AS text
+      |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |      FROM documents)
+      |WHERE doc_id % 11 = 0""".stripMargin
 
   /** Shared oracle scaffolding: shingle sets, sizes, pairwise
     * intersections (optionally doc-frequency-capped), Jaccard pairs.
@@ -204,6 +241,45 @@ object ScaleDedupQueries extends QueryRegistry {
       |WITH docs AS ($nearDupsSql),
       |${jaccardPairsSql(0.5, 0)}
       |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    "source_overlap" -> """
+      |WITH tok AS (
+      |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source <> b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, CAST(i AS BIGINT) AS n_shared,
+      |  CAST((i * 2000000 + sz) // (2 * sz) AS DOUBLE) / 1000000 AS containment
+      |FROM inter JOIN sizes s ON s.source = src_a""".stripMargin,
+
+    "dedup_containment" -> s"""
+      |WITH docs AS ($subsetsSql),
+      |tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM docs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |freq AS (SELECT shingle, COUNT(*) AS dfreq FROM sh GROUP BY shingle),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |    JOIN freq f ON f.shingle = a.shingle AND f.dfreq <= 64
+      |  GROUP BY 1, 2),
+      |directed AS (
+      |  SELECT id_a AS id_sub, id_b AS id_super,
+      |    round(CAST(i AS DOUBLE) / sa.sz, 6) AS containment
+      |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+      |  UNION ALL
+      |  SELECT id_b, id_a, round(CAST(i AS DOUBLE) / sb.sz, 6)
+      |  FROM inter JOIN sizes sb ON sb.doc_id = id_b)
+      |SELECT id_sub, id_super, containment FROM directed
+      |WHERE containment >= 0.9""".stripMargin,
 
     "dedup_ngram_jaccard_capped" -> s"""
       |WITH docs AS ($nearDupsSql),
