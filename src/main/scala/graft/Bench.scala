@@ -40,7 +40,10 @@ object Bench {
     "corpus_pack_sharded",
     "corpus_decontaminate",
     "merge_upsert",
-    "dedup_segments")
+    "dedup_segments",
+    "dedup_containment",
+    "source_overlap",
+    "corpus_curriculum")
 
   /** The 10× scaling checkpoint: a subset chosen to answer the two
     * empirical questions a 100 TB plan review asks — where the
@@ -50,7 +53,7 @@ object Bench {
   private val Sf1Headline = Seq(
     "q1_agg", "w1_latest_per_group", "w1_latest_native",
     "dedup_ngram_jaccard_capped", "dedup_corpus_composed", "corpus_prep",
-    "text_quality")
+    "text_quality", "dedup_containment")
 
   /** Build a deterministic 10× replica of the sf0.1 tables the sf1
     * subset reads, once, under target/ (reused via _DONE marker).

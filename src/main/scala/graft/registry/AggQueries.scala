@@ -330,13 +330,17 @@ object AggQueries extends QueryRegistry {
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"),
           sum(col("x") * col("y")).as("sxy"))
+        // final round to 9: beyond ~2^53 of accumulated moments the
+        // decimal→double casts themselves differ by an ulp between
+        // engines (two-rounding casts of >53-bit unscaled values), so
+        // the raw 17-digit doubles cannot be compared bit-for-bit
         .select(col("l_returnflag"), col("n"),
-          ((col("n").cast("double") * col("sxy").cast("double")
+          round((col("n").cast("double") * col("sxy").cast("double")
               - col("sx").cast("double") * col("sy").cast("double"))
             / (sqrt(col("n").cast("double") * col("sxx").cast("double")
                 - col("sx").cast("double") * col("sx").cast("double"))
               * sqrt(col("n").cast("double") * col("syy").cast("double")
-                - col("sy").cast("double") * col("sy").cast("double"))))
+                - col("sy").cast("double") * col("sy").cast("double"))), 9)
             .as("corr_qty_price"))),
 
     // J7: left-semi join — orders with at least one oversized line.
@@ -594,12 +598,12 @@ object AggQueries extends QueryRegistry {
       |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
       |  FROM lineitem GROUP BY 1)
       |SELECT l_returnflag, n,
-      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
       |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
       |    AS corr_qty_price
       |FROM m""".stripMargin,
 

@@ -77,6 +77,38 @@ object AnalyticsQueries extends QueryRegistry {
           .cast("double").as("revenue"))
     }),
 
+    // TPC-H Q7 shape: bilateral shipping volume between two nations by
+    // ship year. The nation pair filters push into BOTH broadcast dims
+    // BEFORE the fact joins — the supplier and customer sides each
+    // shrink to one nation's keys, so the big lineitem⋈orders shuffle
+    // carries only relevant rows; the pair-direction predicate then
+    // runs on the joined (tiny-dim) columns. Volume sums in exact
+    // decimals.
+    "q7_nation_volume" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      val cu = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").between("1996-01-01", "1997-12-31"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).as("volume"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("volume")).cast("double").as("volume"))
+    }),
+
     // TPC-H Q10 shape: returned-items revenue per customer x nation,
     // top-k debtors. Return-flag filter pushes to the lineitem scan;
     // both dims broadcast; ranking takes the native top-k via
@@ -240,6 +272,23 @@ object AnalyticsQueries extends QueryRegistry {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey, order_date
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,

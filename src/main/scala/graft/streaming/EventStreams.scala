@@ -34,6 +34,21 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
 
+  /** Content dedup with a bounded state TTL:
+    * `dropDuplicatesWithinWatermark` guarantees dedup of any two rows
+    * whose event times land inside the watermark delay of each other,
+    * while letting the state store EVICT keys once the watermark
+    * passes them. Plain `dropDuplicates(key)` on a key column that is
+    * not the watermark column keeps state forever — the unbounded-
+    * state leak that kills a 100 TB ingest; this form is the
+    * scale-safe default when duplicates arrive close in time (retry
+    * storms, at-least-once sources).
+    */
+  def streamingDedupTtl(events: DataFrame, keyCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserTotal(user_id: Long, total: Double, n: Long, alert: Boolean)
 
@@ -78,6 +93,28 @@ object EventStreams {
       v("user_id") === c("user_id") &&
         c("click_ts") >= v("view_ts") &&
         c("click_ts") <= v("view_ts") + expr(s"INTERVAL $window"))
+      .select(v("view_id"), c("click_id"), v("user_id"))
+  }
+
+  /** Left-outer form of [[attributionJoin]]: every view eventually
+    * emits — matched rows as soon as both sides arrive, UNMATCHED
+    * views once the watermark passes their join window (the state
+    * store can then prove no future click can match, evicts the row,
+    * and emits it with a null click). This is the "conversion OR
+    * abandonment" feed; the outer side is only correct BECAUSE the
+    * watermark bounds it — an unbounded outer join would never know
+    * when to give up on a row.
+    */
+  def attributionJoinLeftOuter(views: DataFrame, clicks: DataFrame,
+                               window: String = "1 hour",
+                               watermarkDelay: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("view_ts", watermarkDelay)
+    val c = clicks.withWatermark("click_ts", watermarkDelay)
+    v.join(c,
+      v("user_id") === c("user_id") &&
+        c("click_ts") >= v("view_ts") &&
+        c("click_ts") <= v("view_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
       .select(v("view_id"), c("click_id"), v("user_id"))
   }
 

@@ -234,6 +234,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("left-outer stream-stream join emits unmatched views after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams.attributionJoinLeftOuter(
+        vMem.toDF().toDF("view_id", "user_id", "view_ts"),
+        cMem.toDF().toDF("click_id", "user_id", "click_ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer_out").start()
+    vMem.addData(
+      (10L, 1L, ts("2024-01-01 10:00:00")),   // will match
+      (11L, 2L, ts("2024-01-01 10:00:00")))   // never matches
+    cMem.addData((20L, 1L, ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    // advance both watermarks far past view 11's join window
+    // (10:00 + 1h window + 2h delay = 13:00); the unmatched view can
+    // then be proven matchless, evicted, and emitted with null click
+    vMem.addData((12L, 9L, ts("2024-01-01 18:00:00")))
+    cMem.addData((21L, 9L, ts("2024-01-01 18:00:01")))
+    q.processAllAvailable()
+    q.processAllAvailable() // outer results emit a micro-batch later
+    val out = spark.table("attr_outer_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    q.stop()
+    assert(out.contains((10L, 20L)), s"matched row missing: $out")
+    assert(out.contains((11L, -1L)), s"unmatched view not emitted: $out")
+  }
+
   test("streaming dedup drops the duplicate event_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -248,5 +277,33 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
     assert(out.length === 4)
     assert(out.map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L))
+  }
+
+  test("dedup-within-watermark drops near-in-time duplicates and bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val input = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.streamingDedupTtl(input, "event_id", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ttl_out").start()
+    // batch 1: original + a retry 2 min later (same id, inside the TTL)
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (1L, ts("2024-01-01 10:02:00"), "click", 1.0),
+      (2L, ts("2024-01-01 10:05:00"), "view", 2.0))
+    q.processAllAvailable()
+    // batch 2: a cross-micro-batch retry, still within the watermark
+    mem.addData((2L, ts("2024-01-01 10:06:00"), "view", 2.0),
+      (3L, ts("2024-01-01 10:07:00"), "click", 3.0))
+    q.processAllAvailable()
+    val out = spark.table("dedup_ttl_out").collect()
+    q.stop()
+    assert(out.map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+    // the plan must dedupe WithinWatermark (state evicted as the
+    // watermark passes), not the keep-state-forever dropDuplicates
+    val plan = EventStreams.streamingDedupTtl(input, "event_id", "10 minutes")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("DeduplicateWithinWatermark"), plan)
   }
 }
