@@ -343,6 +343,64 @@ object AggQueries extends QueryRegistry {
                 - col("sy").cast("double") * col("sy").cast("double"))), 9)
             .as("corr_qty_price"))),
 
+    // A25: group-wise least-squares regression (price ~ quantity) from
+    // the same exact decimal moments as a24 — slope and intercept are
+    // closed-form in (n, sx, sy, sxx, sxy), so the whole fit is one
+    // map-side-combinable aggregation; no iterative solver, no second
+    // pass. round(9) for the same >2^53 cast-ulp reason as a24.
+    "a25_regression" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("x"),
+          col("l_extendedprice").cast("decimal(18,2)").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("slope",
+          round((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 9))
+        .withColumn("intercept",
+          round((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+            / col("n").cast("double"), 9))
+        .select(col("l_returnflag"), col("n"), col("slope"), col("intercept"))),
+
+    // A26: winsorization at exact nearest-rank p05/p95 per group — the
+    // outlier clip a feature pipeline runs before aggregating. The
+    // boundary ranks are found by a per-group window row_number over a
+    // TOTAL order (value + unique line key), so both engines pick the
+    // identical boundary rows; clipping and the clipped sum stay in
+    // exact decimals. The window partitions by group — a per-group
+    // hash shuffle, parallel across groups; at 100 TB the per-group
+    // sort is the unavoidable cost of an EXACT percentile (the approx
+    // path is a15_percentiles_approx).
+    "a26_winsorize" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(18,2)").as("x"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+      val ranked = li
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1))
+          .over(Window.partitionBy(col("l_returnflag"))))
+      val bounds = ranked
+        .filter(col("rn") === ceil(col("cnt") * 0.05).cast("int") ||
+          col("rn") === ceil(col("cnt") * 0.95).cast("int"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          max(col("lo")).cast("double").as("p05"),
+          max(col("hi")).cast("double").as("p95"),
+          sum(least(greatest(col("x"), col("lo")), col("hi")))
+            .cast("double").as("winsorized_sum"))
+    }),
+
     // J7: left-semi join — orders with at least one oversized line.
     // Semi joins short-circuit on first match and never duplicate the
     // left side; the filter on the build side cuts the hash table
@@ -606,6 +664,53 @@ object AggQueries extends QueryRegistry {
       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
       |    AS corr_qty_price
       |FROM m""".stripMargin,
+
+    "a25_regression" -> """
+      |WITH m AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      |  FROM lineitem GROUP BY 1),
+      |s AS (
+      |  SELECT l_returnflag, n,
+      |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS slope,
+      |    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+      |  FROM m)
+      |SELECT l_returnflag, n, slope,
+      |  round((syd - slope * sxd) / CAST(n AS DOUBLE), 9) AS intercept
+      |FROM s""".stripMargin,
+
+    "a26_winsorize" -> """
+      |WITH li AS (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS x
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY x, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+      |  FROM li),
+      |b AS (
+      |  SELECT l_returnflag, MIN(x) AS lo, MAX(x) AS hi
+      |  FROM r
+      |  WHERE rn = CAST(ceil(cnt * 0.05) AS INT)
+      |     OR rn = CAST(ceil(cnt * 0.95) AS INT)
+      |  GROUP BY 1)
+      |SELECT li.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(lo) AS DOUBLE) AS p05, CAST(MAX(hi) AS DOUBLE) AS p95,
+      |  -- CASE, not least/greatest: DuckDB's least/greatest on
+      |  -- decimals returns DOUBLE, losing the exact sum
+      |  CAST(SUM(CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END)
+      |    AS DOUBLE) AS winsorized_sum
+      |FROM li JOIN b ON li.l_returnflag = b.l_returnflag
+      |GROUP BY 1""".stripMargin,
 
     "j7_semi_join" -> """
       |SELECT o_orderkey, o_totalprice FROM orders

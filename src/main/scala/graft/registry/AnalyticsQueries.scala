@@ -85,7 +85,7 @@ object AnalyticsQueries extends QueryRegistry {
     // runs on the joined (tiny-dim) columns. Volume sums in exact
     // decimals.
     "q7_nation_volume" -> ((s, dir) => {
-      val pair = Seq("NATION_1", "NATION_2")
+      val pair = Seq("NATION_18", "NATION_19")
       val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
       val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
@@ -225,6 +225,30 @@ object AnalyticsQueries extends QueryRegistry {
         .drop("sg")
     }),
 
+    // First-order Markov transition matrix over per-user event
+    // sequences: count (prev_type → type) transitions, plus the
+    // row-normalized probability by half-up integer division (exact,
+    // engine-portable). The lag window partitions by user — a
+    // per-user hash shuffle, parallel across users, state bounded by
+    // one row of lookback; the transition matrix itself is
+    // #types² rows.
+    "events_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val totals = tr.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("row_total"))
+      tr.join(broadcast(totals), "prev_type")
+        .select(col("prev_type"), col("event_type"), col("n"),
+          (expr("(n * 2000000 + row_total) div (2 * row_total)")
+            .cast("double") / lit(1e6)).as("p"))
+    }),
+
     // Cohort retention: users bucketed by first-activity day, counted
     // distinct per (cohort, day-offset). One per-user min, one
     // user-keyed equi-join back onto events, one count-distinct agg —
@@ -284,8 +308,8 @@ object AnalyticsQueries extends QueryRegistry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n2.n_name IN ('NATION_18', 'NATION_19')
         |  AND n1.n_name <> n2.n_name
         |  AND l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
         |GROUP BY 1, 2, 3""".stripMargin,
@@ -390,6 +414,21 @@ object AnalyticsQueries extends QueryRegistry {
         |  CAST((SUM(gap_us) * 200 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
         |    / 100 AS avg_gap_us
         |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "events_transitions" ->
+      """WITH tr AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type,
+        |    event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, SUM(n) AS row_total FROM c GROUP BY 1)
+        |SELECT c.prev_type, event_type, n,
+        |  CAST((n * 2000000 + row_total) // (2 * row_total) AS DOUBLE)
+        |    / 1000000 AS p
+        |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin,
 
     "events_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
