@@ -199,6 +199,30 @@ object CorpusOpsQueries extends QueryRegistry {
           max(col("quality")).as("max_quality"))
     }),
 
+    // Quality-weighted sampling without replacement, k per language
+    // (A-ES / Efraimidis–Spirakis): key = ln(u)/w with u a uniform
+    // derived from xxhash64(doc_id) and w = quality + 0.01; the k
+    // LARGEST keys per stratum are the sample (ln is monotone, so
+    // ranking by ln(u)/w equals ranking by u^(1/w) without pow's
+    // cross-engine wobble). Deterministic — no RNG state, any
+    // partitioning, same sample. Top-k per stratum runs on the native
+    // partial/final TopK operator: ≤ k rows per (partition, lang)
+    // reach the exchange, never a global sort. The output carries
+    // ranks and ids only — no float column to compare.
+    "corpus_sample_weighted" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val hd = xxhash64(col("doc_id")).cast("double")
+      val hu = when(hd < 0, hd + lit(1.8446744073709552e19)).otherwise(hd)
+      val keyed = d.withColumn("skey",
+        log((hu + lit(0.5)) / lit(1.8446744073709552e19))
+          / (col("quality") + lit(0.01)))
+      graft.plans.TopK.perKey(keyed, Seq(col("lang")),
+          Seq(col("skey").desc, col("doc_id").asc), 50)
+        .select(col("lang"), col("doc_id"), col("quality"),
+          col("rank").cast("long").as("sample_rank"))
+    }),
+
     // Hourly time-series gap fill with forward fill: the complete
     // (event_type × hour) grid from the observed time range, zero
     // counts for silent hours, last observed hourly mean carried
@@ -375,6 +399,39 @@ object CorpusOpsQueries extends QueryRegistry {
       |SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  MIN(quality) AS min_quality, MAX(quality) AS max_quality
       |FROM r GROUP BY 1""".stripMargin,
+
+    "corpus_sample_weighted" -> s"""
+      |WITH t AS (SELECT doc_id, lang,
+      |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS ntok,
+      |  CAST(length(text) AS DOUBLE) AS nchars,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+      |  CAST(${TextQueries.hits("en")} AS DOUBLE) AS h
+      |FROM documents),
+      |q AS (SELECT doc_id, lang, round(
+      |  least(ntok / 100.0, 1.0) * 0.3 +
+      |  (CASE WHEN nchars / greatest(ntok, 1.0) BETWEEN 3.0 AND 10.0
+      |        THEN 1.0 ELSE 0.3 END) * 0.2 +
+      |  alpha / greatest(nchars, 1.0) * 0.3 +
+      |  least(h / 3.0, 1.0) * 0.2, 6) AS quality
+      |FROM t),
+      |${XxHashOracleSql.longHashCte("wh", "q",
+         Seq("doc_id", "lang", "quality"), "doc_id",
+         "CAST(42 AS UBIGINT)", "h64")},
+      |k AS (
+      |  SELECT doc_id, lang, quality,
+      |    ln(((CASE WHEN CAST(h64 AS DOUBLE) < 0
+      |          THEN CAST(h64 AS DOUBLE) + 1.8446744073709552e19
+      |          ELSE CAST(h64 AS DOUBLE) END) + 0.5)
+      |        / 1.8446744073709552e19)
+      |      / (quality + 0.01) AS skey
+      |  FROM wh),
+      |r AS (
+      |  SELECT lang, doc_id, quality,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY skey DESC, doc_id) AS sample_rank
+      |  FROM k)
+      |SELECT lang, doc_id, quality, CAST(sample_rank AS BIGINT) AS sample_rank
+      |FROM r WHERE sample_rank <= 50""".stripMargin,
 
     "ts_gap_fill" -> """
       |WITH ev AS (
