@@ -223,6 +223,31 @@ object CorpusOpsQueries extends QueryRegistry {
           col("rank").cast("long").as("sample_rank"))
     }),
 
+    // Token-budget selection: per source, keep the best documents
+    // (quality desc, doc_id tiebreak) until a token budget fills —
+    // the greedy step a fixed-size training run uses to spend its
+    // budget on the highest-quality data. One window cumsum per
+    // source over exact integer token counts; the cumulative-sum
+    // window partitions by source (parallel across sources). A doc is
+    // kept if the budget still had room BEFORE it (running total
+    // minus its own tokens < budget), so one doc may straddle the
+    // boundary — the standard greedy-fill convention, identical in
+    // both engines because all quantities are exact integers.
+    "corpus_budget_select" -> ((s, dir) => {
+      val budget = 100000L
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") - col("n_tokens") < budget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("selected_tokens"),
+          min(col("quality")).as("min_quality"))
+    }),
+
     // Hourly time-series gap fill with forward fill: the complete
     // (event_type × hour) grid from the observed time range, zero
     // counts for silent hours, last observed hourly mean carried
@@ -432,6 +457,30 @@ object CorpusOpsQueries extends QueryRegistry {
       |  FROM k)
       |SELECT lang, doc_id, quality, CAST(sample_rank AS BIGINT) AS sample_rank
       |FROM r WHERE sample_rank <= 50""".stripMargin,
+
+    "corpus_budget_select" -> s"""
+      |WITH t AS (SELECT doc_id, source,
+      |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS ntok,
+      |  CAST(length(text) AS DOUBLE) AS nchars,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+      |  CAST(${TextQueries.hits("en")} AS DOUBLE) AS h
+      |FROM documents),
+      |q AS (SELECT doc_id, source, CAST(ntok AS BIGINT) AS n_tokens, round(
+      |  least(ntok / 100.0, 1.0) * 0.3 +
+      |  (CASE WHEN nchars / greatest(ntok, 1.0) BETWEEN 3.0 AND 10.0
+      |        THEN 1.0 ELSE 0.3 END) * 0.2 +
+      |  alpha / greatest(nchars, 1.0) * 0.3 +
+      |  least(h / 3.0, 1.0) * 0.2, 6) AS quality
+      |FROM t),
+      |c AS (
+      |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+      |    ORDER BY quality DESC, doc_id) AS cum_tokens
+      |  FROM q)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS selected_tokens,
+      |  MIN(quality) AS min_quality
+      |FROM c WHERE cum_tokens - n_tokens < 100000
+      |GROUP BY 1""".stripMargin,
 
     "ts_gap_fill" -> """
       |WITH ev AS (
