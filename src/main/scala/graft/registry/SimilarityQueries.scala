@@ -60,6 +60,16 @@ object SimilarityQueries extends QueryRegistry {
       Knn.pqTopK(Tables.embeddings(s, dir), queriesDf(s, dir), dim = 64,
         m = 16, kCode = 32, k = 5, lloydIters = 2, rerankFactor = 16)),
 
+    // IVF-PQ composed: residual-encoded codes bucketed by inverted
+    // list — the candidate pass is an equi-join on the list id (each
+    // query reads ~nProbe/nCentroids of the code table), unlike flat
+    // PQ's broadcast scan over all codes. Rows-only; recall floor
+    // pinned by KnnSpec.
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      Knn.ivfPqTopK(Tables.embeddings(s, dir), queriesDf(s, dir), dim = 64,
+        nCentroids = 16, nProbe = 8, m = 16, kCode = 32, k = 5,
+        lloydIters = 1, rerankFactor = 16)),
+
     // semantic dedup composition: blocked cosine pairs -> connected
     // components -> canonical per vector.
     "emb_semantic_dedup" -> ((s, dir) =>

@@ -331,6 +331,83 @@ object Knn {
     rankTopK(scored, k)
   }
 
+  /** IVF-PQ with residual encoding — the two index families composed
+    * the way a production vector index builds them: vectors assign to
+    * `nCentroids` inverted lists, the PQ codebooks train on the
+    * RESIDUAL x − c(x) (residuals concentrate near the origin, so the
+    * same kCode cells quantize far finer than on raw vectors), and a
+    * query scores only the codes in its `nProbe` nearest lists:
+    * ⟨q,x⟩ = ⟨q,c⟩ + ⟨q,r⟩ ≈ ⟨q,c⟩ + Σ_s ⟨q_s, cb_s[code_s]⟩ — the
+    * first term exact per (query, list), the second the ADC table
+    * lookup. Unlike flat PQ's broadcast scan over ALL codes, the
+    * candidate pass is an EQUI-JOIN on the list id: each query reads
+    * ~nProbe/nCentroids of the code table, and the shortlist alone
+    * touches full vectors in the exact re-rank.
+    */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, dim: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 16, kCode: Int = 32, k: Int = 10,
+                lloydIters: Int = 1, rerankFactor: Int = 4): DataFrame = {
+    val subDim = dim / m
+    def normalized(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / norm(col("embedding")))
+          .as("embedding"))
+    val vecsN = normalized(vectors).localCheckpoint()
+    val centroids = ivfCentroids(vecsN, nCentroids, lloydIters).localCheckpoint()
+    val assigned = ivfAssign(vecsN, centroids)
+    // residual r = x − c(x), per assigned list
+    val resid = assigned.join(broadcast(centroids), "cid")
+      .select(col("cid"), col("vec_id"),
+        zip_with(col("embedding"), col("c_emb"), (x, y) => x - y).as("embedding"))
+      .localCheckpoint()
+    val cbs = pqCodebooks(
+      resid.select(col("vec_id"), col("embedding")), dim, m, kCode, lloydIters)
+    def subv(e: Column, s: Int) = slice(e, s * subDim + 1, subDim)
+    def dotLit(sv: Column, c: Seq[Double]) =
+      graft.functions.GraftFunctions.dotProduct(sv, typedlit(c))
+    val cNorm2: Seq[Seq[Double]] = cbs.map(_.map(c => c.map(x => x * x).sum))
+    // per-row residual encoding, same argmin trick as flat PQ
+    val codeCols = cbs.indices.map { s =>
+      val dists = array(cbs(s).indices.map(j =>
+        lit(cNorm2(s)(j)) - lit(2.0) * dotLit(subv(col("embedding"), s), cbs(s)(j))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val encoded = resid
+      .select(col("cid"), col("vec_id").as("cand_id"), array(codeCols: _*).as("codes"))
+
+    // probe the nProbe nearest lists; ⟨q,c⟩ rides along exactly
+    val qN = normalized(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probeScored = qN.crossJoin(broadcast(centroids))
+      .withColumn("qc_dot", dot(col("q_emb"), col("c_emb")))
+    val probes = graft.plans.TopK.perKey(probeScored,
+        Seq(col("query_id")), Seq(col("qc_dot").desc, col("cid").asc), nProbe)
+      .withColumn("tables", array(cbs.indices.map(s =>
+        array(cbs(s).indices.map(j =>
+          dotLit(subv(col("q_emb"), s), cbs(s)(j))): _*)): _*))
+      .select(col("cid"), col("query_id"), col("qc_dot"), col("tables"))
+
+    val approx = encoded.join(probes, Seq("cid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("approx_sim", col("qc_dot") +
+        cbs.indices.map(s => element_at(col("tables")(s), col("codes")(s) + 1))
+          .reduceLeft(_ + _))
+    val cands = graft.plans.TopK.perKey(approx,
+        Seq(col("query_id")), Seq(col("approx_sim").desc, col("cand_id").asc),
+        k * rerankFactor)
+      .select(col("query_id"), col("cand_id"))
+
+    // exact re-rank of the shortlist only
+    val scored = cands
+      .join(vectors.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
+        "cand_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    rankTopK(scored, k)
+  }
+
   def cosineNearDupPairsBlocked(
       vectors: DataFrame, dim: Int, threshold: Double,
       nPlanes: Int = 8, nTables: Int = 4): DataFrame = {

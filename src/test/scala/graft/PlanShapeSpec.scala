@@ -28,6 +28,9 @@ class PlanShapeSpec extends AnyFunSuite {
     */
   private val allowed =
     Set("emb_cosine_topk", "mm_embed_topk", "ann_ivf_topk", "ann_pq_topk",
+      "ann_ivfpq_topk", // centroid assignment/probing BNLJ over the
+                        // tiny centroid set; the candidate pass itself
+                        // is an equi-join on the list id
       "a7_headline_metrics")
 
   test("no registered query plans an all-pairs join outside the declared baselines") {

@@ -119,6 +119,28 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ recall >=0.8 vs brute force; re-rank sims are exact") {
+    val emb01 = Tables.embeddings(spark, Sf01)
+    val qs = emb01.filter(col("vec_id") < 20)
+    val brute = Knn.bruteForceTopK(qs, emb01, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // nProbe=12 of 16 matches the IVF spec's measured 0.94 list
+    // coverage; measured composed recall: 0.77 at nProbe=8 (list
+    // coverage binds), above the 0.8 floor at 12
+    val ivfpq = Knn.ivfPqTopK(emb01, qs, dim = 64, nCentroids = 16,
+      nProbe = 12, m = 16, kCode = 32, k = 5, lloydIters = 1,
+      rerankFactor = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    // the list filter bounds recall by the IVF probe stage (a true
+    // neighbor outside the probed lists is unreachable by design), so
+    // the composed floor sits under flat PQ's 0.9
+    val found = ivfpq.count { case (key, _) => brute.contains(key) }
+    assert(found * 10 >= brute.size * 8, s"IVF-PQ recall $found/${brute.size} < 0.8")
+    ivfpq.foreach { case (key, sim) =>
+      brute.get(key).foreach(exact => assert(math.abs(exact - sim) < 1e-9, key))
+    }
+  }
+
   test("IVF multi-probe recall >=0.9 vs brute force; Lloyd refinement helps") {
     val emb01 = Tables.embeddings(spark, Sf01)
     val qs = emb01.filter(col("vec_id") < 20)
