@@ -170,6 +170,13 @@ object Bench {
 
     // sf1 (10×) scaling run — SPARK_GRAFT_SF1=0 disables; failures are
     // recorded in sf1_errors without failing the main bench contract.
+    // The subset runs in a FRESH SparkSession (same JVM, so the JIT
+    // stays warm): a session that has already executed the 20+ sf0.1
+    // headliners drags the late heavy sf1 queries 2–5× (measured 54 s
+    // and 114 s for dedup_corpus_composed in-bench vs 23 s standalone,
+    // with eager unpersist already in place — accumulated session
+    // state, not storage blocks, is the drag), which would misreport
+    // the scaling CURVE the subset exists to measure.
     val sf1Errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val sf1Results: Seq[(String, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "1") Seq.empty
@@ -178,10 +185,28 @@ object Bench {
           new java.io.File("target/sf1").getAbsolutePath)
         try {
           ensureSf1(spark, sfDir, sf1Dir)
-          isolate() // generation garbage must not bill to the first sf1 query
-          Sf1Headline.flatMap { name =>
+          spark.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          val spark1 = SparkSession.builder()
+            .master(s"local[$cpus]")
+            .appName("graft-bench-sf1")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .withExtensions(new graft.plans.GraftExtensions)
+            .getOrCreate()
+          spark1.sparkContext.setLogLevel("WARN")
+          def isolate1(): Unit = {
+            spark1.catalog.clearCache()
+            spark1.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            System.gc()
+          }
+          val out = Sf1Headline.flatMap { name =>
             val t0 = System.nanoTime()
-            try SparkEntry.queries(name)(spark, sf1Dir)
+            try SparkEntry.queries(name)(spark1, sf1Dir)
               .write.format("noop").mode("overwrite").save()
             catch { case e: Throwable =>
               sf1Errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -189,9 +214,11 @@ object Bench {
               System.err.println(s"[bench] sf1 $name FAILED: ${e.getMessage}")
             }
             val dt = (System.nanoTime() - t0) / 1e9
-            isolate()
+            isolate1()
             Some(name -> dt)
           }
+          spark1.stop()
+          out
         } catch { case e: Throwable =>
           sf1Errors("_generate") = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200)

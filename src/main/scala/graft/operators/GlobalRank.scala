@@ -53,13 +53,28 @@ object GlobalRank {
     // exclusive prefix sums: rows in partitions strictly before pid
     val offsets = counts.map(_._1)
       .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val offCol = counts.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
-      when(col("_gr_pid") === pid, lit(offsets(pid))).otherwise(acc)
-    }
     val w = Window.partitionBy(col("_gr_pid")).orderBy(order: _*)
-    ranged
-      .withColumn(rnCol, row_number().over(w).cast("long") + offCol)
-      .drop("_gr_pid")
+    val local = ranged.withColumn("_gr_rnl", row_number().over(w).cast("long"))
+    // Small partition counts fold the offsets in as a literal CASE
+    // chain (stays inside codegen, no extra plan node); past a few
+    // hundred partitions a CASE that long bloats codegen, so the
+    // offsets ship as a broadcast-joined two-column frame instead.
+    val out =
+      if (counts.length <= 256) {
+        val offCol = counts.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
+          when(col("_gr_pid") === pid, lit(offsets(pid))).otherwise(acc)
+        }
+        local.withColumn(rnCol, col("_gr_rnl") + offCol)
+      } else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val offDf = broadcast(
+          offsets.toSeq.toDF("_gr_pid", "_gr_off"))
+        local.join(offDf, "_gr_pid")
+          .withColumn(rnCol, col("_gr_rnl") + col("_gr_off"))
+          .drop("_gr_off")
+      }
+    out.drop("_gr_pid", "_gr_rnl")
   }
 
   /** df + `bucketCol` = exact global NTILE(k) under `order`. */

@@ -57,6 +57,15 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("the broadcast-offset path (many partitions) equals the CASE path") {
+    val order = Seq(col("o_totalprice"), col("o_orderkey"))
+    val few = GlobalRank.withRowNumber(orders, order, "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val many = GlobalRank.withRowNumber(orders, order, "rn", numPartitions = 300)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(many === few)
+  }
+
   test("the plan has no single-partition exchange") {
     val plan = GlobalRank.withRowNumber(
       orders, Seq(col("o_totalprice"), col("o_orderkey")), "rn")
