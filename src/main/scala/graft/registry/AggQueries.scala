@@ -401,6 +401,38 @@ object AggQueries extends QueryRegistry {
             .cast("double").as("winsorized_sum"))
     }),
 
+    // A27: Welch's two-sample t-test (urgent vs low-priority order
+    // values) from exact decimal moments, computed in ONE conditional
+    // aggregation pass — no per-group frames, no 1-row×1-row join
+    // (which would plan a nested loop). The t statistic and Welch df
+    // are closed-form in the six moments; final round(9) for the
+    // >2^53 decimal→double cast ulp (see a24).
+    "a27_ab_stats" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select((col("o_orderpriority") === "1-URGENT").as("g"),
+          col("o_totalprice").cast("decimal(18,2)").as("x"))
+      val zero = lit(0).cast("decimal(18,2)")
+      val agg = o.agg(
+        sum(when(col("g"), 1).otherwise(0)).cast("long").as("n1"),
+        sum(when(col("g"), col("x")).otherwise(zero)).as("sx1"),
+        sum(when(col("g"), col("x") * col("x")).otherwise(zero * zero)).as("sxx1"),
+        sum(when(!col("g"), 1).otherwise(0)).cast("long").as("n2"),
+        sum(when(!col("g"), col("x")).otherwise(zero)).as("sx2"),
+        sum(when(!col("g"), col("x") * col("x")).otherwise(zero * zero)).as("sxx2"))
+      def d(c: String) = col(c).cast("double")
+      val (m1, m2) = (d("sx1") / d("n1"), d("sx2") / d("n2"))
+      val v1 = (d("sxx1") - d("sx1") * d("sx1") / d("n1")) / (d("n1") - 1)
+      val v2 = (d("sxx2") - d("sx2") * d("sx2") / d("n2")) / (d("n2") - 1)
+      val (se1, se2) = (v1 / d("n1"), v2 / d("n2"))
+      agg.select(col("n1"), col("n2"),
+        round(m1 - m2, 6).as("mean_diff"),
+        round((m1 - m2) / sqrt(se1 + se2), 9).as("t_stat"),
+        round((se1 + se2) * (se1 + se2)
+          / (se1 * se1 / (d("n1") - 1) + se2 * se2 / (d("n2") - 1)), 3)
+          .as("df_welch"))
+    }),
+
     // J7: left-semi join — orders with at least one oversized line.
     // Semi joins short-circuit on first match and never duplicate the
     // left side; the filter on the build side cuts the hash table
@@ -711,6 +743,42 @@ object AggQueries extends QueryRegistry {
       |    AS DOUBLE) AS winsorized_sum
       |FROM li JOIN b ON li.l_returnflag = b.l_returnflag
       |GROUP BY 1""".stripMargin,
+
+    "a27_ab_stats" -> """
+      |WITH m AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |        THEN CAST(o_totalprice AS DECIMAL(18,2))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS sx1,
+      |    SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |        THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))
+      |        ELSE CAST(0 AS DECIMAL(36,4)) END) AS sxx1,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    SUM(CASE WHEN o_orderpriority = '5-LOW'
+      |        THEN CAST(o_totalprice AS DECIMAL(18,2))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS sx2,
+      |    SUM(CASE WHEN o_orderpriority = '5-LOW'
+      |        THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))
+      |        ELSE CAST(0 AS DECIMAL(36,4)) END) AS sxx2
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |f AS (
+      |  SELECT n1, n2,
+      |    CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+      |    CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+      |    ((CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+      |        / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1))
+      |      / CAST(n1 AS DOUBLE) AS se1,
+      |    ((CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |        / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1))
+      |      / CAST(n2 AS DOUBLE) AS se2
+      |  FROM m)
+      |SELECT n1, n2, round(m1 - m2, 6) AS mean_diff,
+      |  round((m1 - m2) / sqrt(se1 + se2), 9) AS t_stat,
+      |  round((se1 + se2) * (se1 + se2)
+      |    / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1)
+      |      + se2 * se2 / (CAST(n2 AS DOUBLE) - 1)), 3) AS df_welch
+      |FROM f""".stripMargin,
 
     "j7_semi_join" -> """
       |SELECT o_orderkey, o_totalprice FROM orders
