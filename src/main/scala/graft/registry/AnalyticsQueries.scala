@@ -235,12 +235,16 @@ object AnalyticsQueries extends QueryRegistry {
     "events_transitions" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // localCheckpoint: the (#types² ≤ 25-row) matrix feeds both the
+      // output and the row totals — without it each branch re-executes
+      // the data-sized window + aggregation
       val tr = Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
         .withColumn("prev_type", lag(col("event_type"), 1).over(w))
         .filter(col("prev_type").isNotNull)
         .groupBy(col("prev_type"), col("event_type"))
         .agg(count(lit(1)).cast("long").as("n"))
+        .localCheckpoint()
       val totals = tr.groupBy(col("prev_type"))
         .agg(sum(col("n")).as("row_total"))
       tr.join(broadcast(totals), "prev_type")
