@@ -45,30 +45,52 @@ object SimilarityQueries extends QueryRegistry {
       Knn.cosineNearDupPairsBlocked(withPerturbed(s, dir), dim = 64,
         threshold = 0.99, nPlanes = 8, nTables = 4)),
 
-    "ann_lsh_topk" -> ((s, dir) =>
-      Knn.lshTopK(Tables.embeddings(s, dir), queriesDf(s, dir),
-        dim = 64, nPlanes = 8, k = 5, nTables = 2)),
+    // The 4 ANN families run under the recall-floor oracle
+    // (`Knn.recallChecked`, the a8_distinct_approx pattern): the query
+    // emits per query_id the exact top-1 id and decimal-exact top-k
+    // sim sum — recomputed by the DuckDB all-pairs twin — plus a
+    // boolean `recall_ok` (ANN hits at the k-th exact similarity ≥
+    // floor) the twin asserts as literal TRUE. Index parameters are
+    // fixture-tuned (random 64-dim vectors are near-orthogonal, so
+    // neighbor angles are wide — few planes, many tables); minHits
+    // floors sit at the measured per-query minimum across sf0.01
+    // (500 vecs), sf0.1 (2k) and the 10× replica (20k): LSH 3/4/5,
+    // IVF 2/2/4, PQ 4/4/5, IVF-PQ 2/2/4 (tools/RecallProbe).
+    "ann_lsh_topk" -> ((s, dir) => {
+      val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
+      Knn.recallChecked(
+        Knn.lshTopK(emb, q, dim = 64, nPlanes = 3, k = 5, nTables = 12),
+        q, emb, k = 5, minHits = 3)
+    }),
 
-    "ann_ivf_topk" -> ((s, dir) =>
-      Knn.ivfTopK(Tables.embeddings(s, dir), queriesDf(s, dir),
-        nCentroids = 16, nProbe = 4, k = 5, lloydIters = 1)),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
+      Knn.recallChecked(
+        Knn.ivfTopK(emb, q, nCentroids = 16, nProbe = 8, k = 5, lloydIters = 1),
+        q, emb, k = 5, minHits = 2)
+    }),
 
     // PQ/ADC: codes-only candidate scan (m lookups per candidate, the
-    // corpus never shuffles) + exact re-rank of the shortlist. Rows-
-    // only like the other ANN forms; recall floor pinned by KnnSpec.
-    "ann_pq_topk" -> ((s, dir) =>
-      Knn.pqTopK(Tables.embeddings(s, dir), queriesDf(s, dir), dim = 64,
-        m = 16, kCode = 32, k = 5, lloydIters = 2, rerankFactor = 16)),
+    // corpus never shuffles) + exact re-rank of the shortlist.
+    "ann_pq_topk" -> ((s, dir) => {
+      val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
+      Knn.recallChecked(
+        Knn.pqTopK(emb, q, dim = 64, m = 16, kCode = 32, k = 5,
+          lloydIters = 2, rerankFactor = 16),
+        q, emb, k = 5, minHits = 4)
+    }),
 
     // IVF-PQ composed: residual-encoded codes bucketed by inverted
     // list — the candidate pass is an equi-join on the list id (each
     // query reads ~nProbe/nCentroids of the code table), unlike flat
-    // PQ's broadcast scan over all codes. Rows-only; recall floor
-    // pinned by KnnSpec.
-    "ann_ivfpq_topk" -> ((s, dir) =>
-      Knn.ivfPqTopK(Tables.embeddings(s, dir), queriesDf(s, dir), dim = 64,
-        nCentroids = 16, nProbe = 8, m = 16, kCode = 32, k = 5,
-        lloydIters = 1, rerankFactor = 16)),
+    // PQ's broadcast scan over all codes.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
+      Knn.recallChecked(
+        Knn.ivfPqTopK(emb, q, dim = 64, nCentroids = 16, nProbe = 8,
+          m = 16, kCode = 32, k = 5, lloydIters = 1, rerankFactor = 16),
+        q, emb, k = 5, minHits = 2)
+    }),
 
     // semantic dedup composition: blocked cosine pairs -> connected
     // components -> canonical per vector.
@@ -110,7 +132,35 @@ object SimilarityQueries extends QueryRegistry {
     s"round($d / ($na * $nb), 6)"
   }
 
+  /** Shared DuckDB twin for the 4 recall-checked ANN queries: replay
+    * the EXACT side all-pairs (fine at fixture scale), aggregate to
+    * the same per-query columns, assert the recall floor as TRUE —
+    * identical SQL for all families because the exact side is the
+    * same ground truth; only the Spark-side ANN path (and its floor)
+    * differs.
+    */
+  private val annRecallSql: String = s"""
+    |WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+    |           FROM embeddings WHERE vec_id < 20),
+    |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    |scored AS (
+    |  SELECT query_id, cand_id, ${cosineSql("qe", "ce")} AS sim
+    |  FROM c, q WHERE query_id <> cand_id),
+    |r AS (SELECT *, row_number() OVER (
+    |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+    |      FROM scored)
+    |SELECT query_id,
+    |  MIN(CASE WHEN rank = 1 THEN cand_id END) AS exact_top1,
+    |  round(CAST(SUM(CAST(sim AS DECIMAL(18,9))) AS DOUBLE), 6) AS exact_sim_sum,
+    |  TRUE AS recall_ok
+    |FROM r WHERE rank <= 5 GROUP BY query_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "ann_lsh_topk" -> annRecallSql,
+    "ann_ivf_topk" -> annRecallSql,
+    "ann_pq_topk" -> annRecallSql,
+    "ann_ivfpq_topk" -> annRecallSql,
+
     "emb_cosine_topk" -> s"""
       |WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
       |           FROM embeddings WHERE vec_id < 20),

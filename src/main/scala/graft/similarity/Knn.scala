@@ -228,12 +228,18 @@ object Knn {
   def pqCodebooks(vectors: DataFrame, dim: Int, m: Int, k: Int,
                   lloydIters: Int = 1): Seq[Seq[Seq[Double]]] = {
     val subDim = dim / m
+    // localCheckpoint: the subspace explode is consumed by the seed
+    // pass AND re-joined in EVERY Lloyd iteration — without pinning,
+    // each fold re-executes the whole upstream lineage (normalize →
+    // explode → slice), which at the 10× bench replica multiplied the
+    // training cost several-fold.
     val sub = vectors
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("s"),
         col("embedding"))
       .select(col("vec_id"), col("s"),
         transform(slice(col("embedding"), col("s") * subDim + 1, lit(subDim)),
           _.cast("double")).as("sub"))
+      .localCheckpoint()
     val seeds = graft.plans.TopK.perKey(
         sub.withColumn("h", xxhash64(col("vec_id"))),
         Seq(col("s")), Seq(col("h").asc, col("vec_id").asc), k)
@@ -288,7 +294,8 @@ object Knn {
       df.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double") / norm(col("embedding")))
           .as("embedding"))
-    val vecsN = normalized(vectors)
+    // pinned: consumed by codebook training AND the encode pass
+    val vecsN = normalized(vectors).localCheckpoint()
     val cbs = pqCodebooks(vecsN, dim, m, kCode, lloydIters)
     def subv(e: Column, s: Int) = slice(e, s * subDim + 1, subDim)
     def dotLit(sv: Column, c: Seq[Double]) =
@@ -407,6 +414,45 @@ object Knn {
       .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
     rankTopK(scored, k)
   }
+
+  // ------------------------------------------------ recall-floor oracle
+
+  /** Per-query recall audit of an ANN result against the exact top-k,
+    * computed in the SAME query (fixture-scale only: the exact side is
+    * the broadcast-NL baseline). `hits` counts ANN rows whose exact
+    * cosine reaches the k-th exact similarity — the distance-based
+    * recall@k definition, robust to rank ties at the 6-dp rounding.
+    */
+  def recallAudit(ann: DataFrame, queries: DataFrame, corpus: DataFrame,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val exact = bruteForceTopK(queries, corpus, k)
+    val exAgg = exact.groupBy(col("query_id")).agg(
+      min(when(col("rank") === 1, col("cand_id"))).as("exact_top1"),
+      // decimal-exact sum of the 6-dp sims, rounded back to 6 dp — the
+      // cross-engine-stable form (DuckDB replays the same cast chain)
+      round(sum(col("sim").cast(DecimalType(18, 9))).cast(DoubleType), 6)
+        .as("exact_sim_sum"),
+      min(col("sim")).as("kth_sim"))
+    val hits = ann.select(col("query_id"), col("sim"))
+      .join(exAgg.select(col("query_id"), col("kth_sim")), "query_id")
+      .filter(col("sim") >= col("kth_sim"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exAgg.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("exact_top1"), col("exact_sim_sum"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** The oracle-facing form (`a8_distinct_approx` pattern): exact-side
+    * columns a DuckDB all-pairs twin recomputes, plus a boolean recall
+    * floor the twin asserts as literal TRUE. A broken ANN index flips
+    * `recall_ok` false and fails the hash gate.
+    */
+  def recallChecked(ann: DataFrame, queries: DataFrame, corpus: DataFrame,
+                    k: Int, minHits: Int): DataFrame =
+    recallAudit(ann, queries, corpus, k)
+      .select(col("query_id"), col("exact_top1"), col("exact_sim_sum"),
+        (col("hits") >= minHits).as("recall_ok"))
 
   def cosineNearDupPairsBlocked(
       vectors: DataFrame, dim: Int, threshold: Double,

@@ -47,5 +47,22 @@ object RecallProbe {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     report("ivf 128/64 lloyd1", Knn.ivfTopK(emb, qs, 128, 64, k, 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+
+    // Per-query hit counts at the REGISTRY parameters — sizes the
+    // minHits floors for the recall-checked ANN oracles.
+    def hitStats(name: String, ann: org.apache.spark.sql.DataFrame): Unit = {
+      val h = Knn.recallAudit(ann, qs, emb, k)
+        .select(col("hits")).collect().map(_.getLong(0))
+      println(s"[recall] $name registry-params hits: min=${h.min} " +
+        f"avg=${h.sum.toDouble / h.length}%.2f n=${h.length}")
+    }
+    hitStats("ann_lsh_topk", Knn.lshTopK(emb, qs, 64, 8, k, nTables = 2))
+    hitStats("lsh 3x12", Knn.lshTopK(emb, qs, 64, 3, k, nTables = 12))
+    hitStats("lsh 2x16", Knn.lshTopK(emb, qs, 64, 2, k, nTables = 16))
+    hitStats("ann_ivf_topk", Knn.ivfTopK(emb, qs, 16, 4, k, 1))
+    hitStats("ivf 16/8", Knn.ivfTopK(emb, qs, 16, 8, k, 1))
+    hitStats("ann_pq_topk", Knn.pqTopK(emb, qs, 64, 16, 32, k, 2, 16))
+    hitStats("ann_ivfpq_topk", Knn.ivfPqTopK(emb, qs, 64, 16, 8, 16, 32, k, 1, 16))
+    hitStats("ivfpq 16/12 rr32", Knn.ivfPqTopK(emb, qs, 64, 16, 12, 16, 32, k, 1, 32))
   }
 }

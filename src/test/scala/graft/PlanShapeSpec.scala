@@ -31,6 +31,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "ann_ivfpq_topk", // centroid assignment/probing BNLJ over the
                         // tiny centroid set; the candidate pass itself
                         // is an equi-join on the list id
+      "ann_lsh_topk",   // the LSH path itself is pure equi-join; the
+                        // BNLJ is the in-query exact baseline of the
+                        // recall-floor oracle (fixture-scale only)
       "a7_headline_metrics")
 
   test("no registered query plans an all-pairs join outside the declared baselines") {
