@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * the iterative dedup), the inverted-index and LSH dedup paths, vector
   * search, text scoring, and the event-time window.
   *
+  * Self-validation: the box is co-tenant-noisy (recorded single-trial
+  * rounds have disagreed with isolated re-runs by up to ~9×), so every
+  * query runs ≥3 trials and the artifact reports the MEDIAN (headline
+  * number) and MIN (ambient load only ever adds time, so min is the
+  * best estimate of the code's cost). A query whose median/min spread
+  * exceeds 1.5× is listed in `noisy_queries`, and `/proc/loadavg` is
+  * recorded at start/end — a reader can reject the run without re-running
+  * it.
+  *
   * Harness contract: the metrics JSON is the ONLY line this main prints
   * to stdout (Spark logs go to stderr; build.sbt routes forked stdout
   * through unprefixed). A failed headline query is recorded in the
@@ -45,15 +54,21 @@ object Bench {
     "source_overlap",
     "corpus_curriculum")
 
-  /** The 10× scaling checkpoint: a subset chosen to answer the two
+  /** The 10× scaling checkpoint: a subset chosen to answer the
     * empirical questions a 100 TB plan review asks — where the
     * composed LSH dedup crosses over the capped exact-Jaccard form,
-    * and how the native top-k gap vs the window form grows with data.
+    * how the native top-k gap vs the window form grows with data, and
+    * (new in r5) the 10× curve of the heavy operators that had no
+    * recorded ratio: the source-overlap matrix, segment dedup, the
+    * exact-NTILE curriculum, the full IPES pipeline, and the PQ
+    * vector-index family.
     */
   private val Sf1Headline = Seq(
     "q1_agg", "w1_latest_per_group", "w1_latest_native",
     "dedup_ngram_jaccard_capped", "dedup_corpus_composed", "corpus_prep",
-    "text_quality", "dedup_containment")
+    "text_quality", "dedup_containment",
+    "source_overlap", "dedup_segments", "corpus_curriculum",
+    "ipes_companies_full", "ann_pq_topk")
 
   /** Build a deterministic 10× replica of the sf0.1 tables the sf1
     * subset reads, once, under target/ (reused via _DONE marker).
@@ -61,10 +76,14 @@ object Bench {
     * replica tag, so no cross-replica shingle survives and the dedup
     * workload scales like 10× more corpus, not like a duplicate
     * explosion; keys in lineitem/orders shift so group counts scale
-    * with the data.
+    * with the data; embedding replicas rotate the vector by the
+    * replica index (norm-preserving, so no replica pair is a
+    * spurious near-neighbor).
     */
   private def ensureSf1(spark: SparkSession, baseDir: String, sf1Dir: String): Unit = {
-    if (new java.io.File(s"$sf1Dir/_DONE").exists()) return
+    // _DONE_r5: marker versioned when the replica set grows (r5 added
+    // embeddings for the PQ-family sf1 entry) so a stale dir rebuilds.
+    if (new java.io.File(s"$sf1Dir/_DONE_r5").exists()) return
     val reps = 10
     // Replica key offsets assume the base id ranges below; a silently
     // grown fixture would make replicas collide and turn the scaling
@@ -78,6 +97,7 @@ object Bench {
     assertStride(Tables.orders(spark, baseDir), "o_orderkey", 100000000L)
     assertStride(Tables.orders(spark, baseDir), "o_custkey", 10000000L)
     assertStride(Tables.documents(spark, baseDir), "doc_id", 1000000L)
+    assertStride(Tables.embeddings(spark, baseDir), "vec_id", 10000000L)
     def write(name: String, make: Int => DataFrame): Unit =
       (0 until reps).map(make).reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$sf1Dir/$name.parquet")
@@ -95,12 +115,33 @@ object Bench {
           transform(split(col("text"), "\\s+"),
             (t, idx) => when(idx % 2 === 0, concat(t, lit(s"_r$i"))).otherwise(t))))
     })
-    new java.io.File(s"$sf1Dir/_DONE").createNewFile()
+    write("embeddings", i => {
+      val e = Tables.embeddings(spark, baseDir)
+      if (i == 0) e
+      else e
+        .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        .withColumn("embedding", concat(
+          slice(col("embedding"), i + 1, 64 - i), slice(col("embedding"), 1, i)))
+    })
+    new java.io.File(s"$sf1Dir/_DONE_r5").createNewFile()
+  }
+
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).mkString(" ")
+    catch { case _: Throwable => "unavailable" }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -128,44 +169,62 @@ object Bench {
       }
     }
 
-    // Between-query isolation, OUTSIDE the timed span: drop cached
+    // Between-trial isolation, OUTSIDE the timed span: drop cached
     // plans and nudge GC so the ContextCleaner frees orphaned
     // localCheckpoint blocks. Stale blocks from earlier queries
     // otherwise sit in storage memory until a (rare, at this heap
     // size) full GC, and later queries pay their eviction churn —
     // round-3 forensics measured up to 4× inflation on the late heavy
     // queries from exactly this cross-query pollution.
-    def isolate(): Unit = {
-      spark.catalog.clearCache()
+    def isolateIn(s: SparkSession): Unit = {
+      s.catalog.clearCache()
       // localCheckpoint() blocks are NOT covered by clearCache(): they
       // are freed when the RDD object is GC'd, which can lag whole
       // queries behind in a long bench session — the accumulated
       // storage squeezes execution memory and the late heavy queries
       // spill (measured up to 5x inflation on the sf1 dedup stage vs a
       // fresh session). Unpersist them eagerly by enumeration.
-      spark.sparkContext.getPersistentRDDs.values
+      s.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()
     }
 
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = Headline.flatMap { name =>
+    /** Run `name` for `n` timed trials in session `s` against `dir`;
+      * returns per-trial seconds, or None (with the error recorded)
+      * if a trial fails. `budgetSec` caps the heavy tail: once ≥2
+      * trials are in and their cumulative time exceeds it, stop —
+      * min-of-2 still debiases ambient load, and the cap keeps the
+      * 10× tier inside the round's wall-clock budget.
+      */
+    def runTrials(s: SparkSession, dir: String, name: String, n: Int,
+                  errs: scala.collection.mutable.Map[String, String],
+                  budgetSec: Double = Double.MaxValue): Option[Seq[Double]] = {
       SparkEntry.queries.get(name) match {
+        case None => errs(name) = "query not registered"; None
         case Some(fn) =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+          var trial = 0
+          while (trial < n && !errs.contains(name) &&
+                 (times.size < 2 || times.sum < budgetSec)) {
+            val t0 = System.nanoTime()
+            try {
+              fn(s, dir).write.format("noop").mode("overwrite").save()
+              times += (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            }
+            isolateIn(s)
+            trial += 1
           }
-          val dt = (System.nanoTime() - t0) / 1e9
-          isolate()
-          Some(name -> dt)
-        case None =>
-          errors(name) = "query not registered"
-          None
+          if (errs.contains(name)) None else Some(times.toSeq)
       }
+    }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results: Seq[(String, Seq[Double])] = Headline.flatMap { name =>
+      runTrials(spark, sfDir, name, trials, errors).map(name -> _)
     }
 
     // sf1 (10×) scaling run — SPARK_GRAFT_SF1=0 disables; failures are
@@ -178,61 +237,78 @@ object Bench {
     // state, not storage blocks, is the drag), which would misreport
     // the scaling CURVE the subset exists to measure.
     val sf1Errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val sf1Results: Seq[(String, Double)] =
+    val sf1Results: Seq[(String, Seq[Double])] =
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "1") Seq.empty
       else {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
           new java.io.File("target/sf1").getAbsolutePath)
-        try {
-          ensureSf1(spark, sfDir, sf1Dir)
+        val sf1Trials = sys.env.getOrElse("SPARK_GRAFT_SF1_TRIALS", trials.toString)
+          .toInt.max(1)
+        val generated =
+          try { ensureSf1(spark, sfDir, sf1Dir); true }
+          catch { case e: Throwable =>
+            sf1Errors("_generate") = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            false
+          }
+        if (!generated) Seq.empty
+        else {
           spark.stop()
           SparkSession.clearActiveSession()
           SparkSession.clearDefaultSession()
-          val spark1 = SparkSession.builder()
-            .master(s"local[$cpus]")
-            .appName("graft-bench-sf1")
-            .config("spark.sql.shuffle.partitions", cpus)
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.ui.enabled", "false")
-            .withExtensions(new graft.plans.GraftExtensions)
-            .getOrCreate()
-          spark1.sparkContext.setLogLevel("WARN")
-          def isolate1(): Unit = {
-            spark1.catalog.clearCache()
-            spark1.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = false))
-            System.gc()
-          }
-          val out = Sf1Headline.flatMap { name =>
-            val t0 = System.nanoTime()
-            try SparkEntry.queries(name)(spark1, sf1Dir)
-              .write.format("noop").mode("overwrite").save()
-            catch { case e: Throwable =>
-              sf1Errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-              System.err.println(s"[bench] sf1 $name FAILED: ${e.getMessage}")
+          var spark1: SparkSession = null
+          try {
+            spark1 = SparkSession.builder()
+              .master(s"local[$cpus]")
+              .appName("graft-bench-sf1")
+              .config("spark.sql.shuffle.partitions", cpus)
+              .config("spark.sql.adaptive.enabled", "true")
+              .config("spark.sql.session.timeZone", "UTC")
+              .config("spark.ui.enabled", "false")
+              .withExtensions(new graft.plans.GraftExtensions)
+              .getOrCreate()
+            spark1.sparkContext.setLogLevel("WARN")
+            Sf1Headline.flatMap { name =>
+              // 60 s per-query trial budget: the heavy tail (composed
+              // dedup, full IPES at 10×) gets 2 trials instead of 3.
+              runTrials(spark1, sf1Dir, name, sf1Trials, sf1Errors,
+                budgetSec = 60.0).map(name -> _)
             }
-            val dt = (System.nanoTime() - t0) / 1e9
-            isolate1()
-            Some(name -> dt)
+          } catch { case e: Throwable =>
+            sf1Errors("_sf1_session") = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            Seq.empty
+          } finally {
+            if (spark1 != null)
+              try spark1.stop() catch { case _: Throwable => }
           }
-          spark1.stop()
-          out
-        } catch { case e: Throwable =>
-          sf1Errors("_generate") = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-          Seq.empty
         }
       }
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val loadEnd = loadavg()
+    def fmt(v: Double): String = f"$v%.3f"
+    def medMap(rs: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
+      rs.map { case (k, ts) => k -> median(ts) }
+    def spreadOf(ts: Seq[Double]): Double =
+      if (ts.isEmpty || ts.min <= 0) 1.0 else median(ts) / ts.min
+
+    val meds = medMap(results)
+    val sf1Meds = medMap(sf1Results)
+    val noisy = (results ++ sf1Results)
+      .map { case (k, ts) => k -> spreadOf(ts) }
+      .filter(_._2 > 1.5)
+    val qs = meds.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+    val qsMin = results.map { case (k, ts) => s""""$k":${fmt(ts.min)}""" }
+      .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val sf1Qs = sf1Results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val sf1Qs = sf1Meds.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+    val sf1QsMin = sf1Results.map { case (k, ts) => s""""$k":${fmt(ts.min)}""" }
+      .mkString("{", ",", "}")
     val sf1Errs = sf1Errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","sf1_queries":$sf1Qs,"sf1_errors":$sf1Errs}""")
-    spark.stop()
+    val noisyJs = noisy.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+    val total = meds.map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":$trials,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir","sf1_queries":$sf1Qs,"sf1_queries_min":$sf1QsMin,"sf1_errors":$sf1Errs,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","noisy":${noisy.nonEmpty},"noisy_queries":$noisyJs}""")
+    try spark.stop() catch { case _: Throwable => } // no-op if sf1 already stopped it
     if (errors.nonEmpty) sys.exit(1)
   }
 }
