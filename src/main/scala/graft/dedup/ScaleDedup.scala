@@ -204,8 +204,11 @@ object ScaleDedup {
         .withColumnRenamed("sz", "sz_a"), "src_a")
       .select(col("src_a"), col("src_b"),
         col("inter").cast("long").as("n_shared"),
-        (expr("(inter * 2000000 + sz_a) div (2 * sz_a)").cast("double")
-          / lit(1e6)).as("containment"))
+        // widen to decimal before the ×2e6 scale-up: at 100 TB a source
+        // pair can share ~1e13 distinct shingles and the Long multiply
+        // would wrap silently (the DuckDB twin widens to HUGEINT)
+        (expr("(CAST(inter AS DECIMAL(38,0)) * 2000000 + sz_a) div (2 * sz_a)")
+          .cast("double") / lit(1e6)).as("containment"))
   }
 
   /** Per-doc hashed shingle set (id, shs) — the verify-side operand for
@@ -220,17 +223,55 @@ object ScaleDedup {
     * inside codegen. Cost is bounded by |candidates| — this is the
     * verification stage an LSH pass is supposed to buy, never a
     * full-corpus pair expansion.
+    *
+    * Skew gate: the array path hash-partitions pairs by doc id, so a
+    * pathological doc (tens of thousands of shingles × hundreds of
+    * candidate partners) funnels ALL its pairs into one task, each row
+    * carrying the full set array (~50k-long) — a single-task hotspot
+    * with giant rows. Pairs where EITHER side's set exceeds
+    * `largeSetGate` instead verify through the index itself: join the
+    * pair list to the (id, sh) index on both sides and count matching
+    * shingles per pair — the same total volume, but spread across the
+    * cluster by (id, sh) with map-side-combinable counts and 24-byte
+    * rows, no giant arrays. Both paths are EXACT; results are
+    * identical (a zero-intersection large pair drops out of the count
+    * join, which any threshold > 0 filters anyway — asserted).
     */
   def verifyJaccardPairs(
-      candidates: DataFrame, index: DataFrame, threshold: Double): DataFrame = {
+      candidates: DataFrame, index: DataFrame, threshold: Double,
+      largeSetGate: Int = 8192): DataFrame = {
+    require(threshold > 0,
+      "verifyJaccardPairs needs threshold > 0 (zero-intersection pairs drop out)")
+    val sizes = index.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val cand = candidates.select(col("id_a"), col("id_b"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+    def jaccardOf(inter: Column, szA: Column, szB: Column): Column =
+      round(inter.cast("double") / (szA + szB - inter), 6)
+
     val sets = shingleSets(index)
-    candidates.select(col("id_a"), col("id_b"))
+    val small = cand
+      .filter(col("sz_a") <= largeSetGate && col("sz_b") <= largeSetGate)
       .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (size(col("shs_a")).cast("long") + size(col("shs_b")) - col("inter")), 6))
+      .withColumn("inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        jaccardOf(col("inter"), col("sz_a"), col("sz_b")).as("jaccard"))
+
+    val largePairs = cand
+      .filter(col("sz_a") > largeSetGate || col("sz_b") > largeSetGate)
+    val largeInter = largePairs.select(col("id_a"), col("id_b"))
+      .join(index.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(index.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val large = largePairs
+      .join(largeInter, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardOf(col("inter"), col("sz_a"), col("sz_b")).as("jaccard"))
+
+    small.unionByName(large)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

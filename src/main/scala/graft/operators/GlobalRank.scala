@@ -80,9 +80,15 @@ object GlobalRank {
   /** df + `bucketCol` = exact global NTILE(k) under `order`. */
   def withNtile(df: DataFrame, order: Seq[Column], k: Int,
       bucketCol: String): DataFrame = {
+    require(k >= 1, s"NTILE bucket count must be >= 1, got $k")
     val withRn = withRowNumber(df, order, "_gr_rn")
-    // exact total from the rank column itself — a second tiny agg
-    val total = withRn.agg(max(col("_gr_rn"))).head().getLong(0)
+    // exact total from the rank column itself — a second tiny agg;
+    // max() is NULL on an empty input (no rows → no buckets to size),
+    // so read it null-safely and short-circuit to the empty frame.
+    val totalRow = withRn.agg(max(col("_gr_rn"))).head()
+    if (totalRow.isNullAt(0))
+      return withRn.withColumn(bucketCol, lit(null).cast("int")).drop("_gr_rn")
+    val total = totalRow.getLong(0)
     val q = total / k
     val r = total % k
     val cut = r * (q + 1) // rows in the first r (one-larger) buckets

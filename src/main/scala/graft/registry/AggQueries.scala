@@ -373,27 +373,29 @@ object AggQueries extends QueryRegistry {
     // boundary ranks are found by a per-group window row_number over a
     // TOTAL order (value + unique line key), so both engines pick the
     // identical boundary rows; clipping and the clipped sum stay in
-    // exact decimals. The window partitions by group — a per-group
-    // hash shuffle, parallel across groups; at 100 TB the per-group
-    // sort is the unavoidable cost of an EXACT percentile (the approx
-    // path is a15_percentiles_approx).
+    // exact decimals. ONE scan of the fact: the boundary values are
+    // broadcast within each group by a second (unordered) window pass
+    // over the SAME partitioning — no join back to a re-scanned fact,
+    // no extra exchange (the group-hash shuffle and sort are reused;
+    // at 100 TB re-scanning the fact would double the I/O bill). The
+    // per-group sort is the unavoidable cost of an EXACT percentile
+    // (the approx path is a15_percentiles_approx).
     "a26_winsorize" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
         col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").cast("decimal(18,2)").as("x"))
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+      val wg = Window.partitionBy(col("l_returnflag"))
       val ranked = li
         .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1))
-          .over(Window.partitionBy(col("l_returnflag"))))
-      val bounds = ranked
-        .filter(col("rn") === ceil(col("cnt") * 0.05).cast("int") ||
-          col("rn") === ceil(col("cnt") * 0.95).cast("int"))
-        .groupBy(col("l_returnflag"))
-        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-      li.join(broadcast(bounds), "l_returnflag")
-        .groupBy(col("l_returnflag"))
+        .withColumn("cnt", count(lit(1)).over(wg))
+      val clipped = ranked
+        .withColumn("lo", max(when(
+          col("rn") === ceil(col("cnt") * 0.05).cast("int"), col("x"))).over(wg))
+        .withColumn("hi", max(when(
+          col("rn") === ceil(col("cnt") * 0.95).cast("int"), col("x"))).over(wg))
+      clipped.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("long").as("n"),
           max(col("lo")).cast("double").as("p05"),
           max(col("hi")).cast("double").as("p95"),

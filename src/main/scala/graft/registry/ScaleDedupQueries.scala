@@ -43,15 +43,19 @@ object ScaleDedupQueries extends QueryRegistry {
   }
 
   /** Subset-duplicate fixture: every 11th doc gains a prefix-half copy
-    * at doc_id + 300000 — containment 1.0 into its source (every
+    * at doc_id + offset — containment 1.0 into its source (every
     * shingle of the prefix is in the original) while Jaccard ≈ 0.5,
-    * invisible to the symmetric dedup families.
+    * invisible to the symmetric dedup families. The offset is derived
+    * as max(doc_id) + 1 (NOT a constant): a grown fixture can never
+    * alias a copy onto a real doc_id, and the SQL twin derives the
+    * same offset, so the construction stays replayable at any scale.
     */
   def withSubsets(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val off = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val tk = graft.text.TextAnalysis.tokens(col("text"))
     d.unionByName(d.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + 300000).as("doc_id"),
+      .select((col("doc_id") + off).as("doc_id"),
         array_join(slice(tk, lit(1), ceil(size(tk) / lit(2.0)).cast("int")), " ")
           .as("text")))
       .repartition(s.sparkContext.defaultParallelism)
@@ -146,7 +150,7 @@ object ScaleDedupQueries extends QueryRegistry {
   private val subsetsSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
-      |SELECT doc_id + 300000 AS doc_id,
+      |SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
       |  array_to_string(t[1:CAST(ceil(len(t) / 2.0) AS BIGINT)], ' ') AS text
       |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
       |      FROM documents)
@@ -255,7 +259,7 @@ object ScaleDedupQueries extends QueryRegistry {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source <> b.source
       |  GROUP BY 1, 2)
       |SELECT src_a, src_b, CAST(i AS BIGINT) AS n_shared,
-      |  CAST((i * 2000000 + sz) // (2 * sz) AS DOUBLE) / 1000000 AS containment
+      |  CAST((CAST(i AS HUGEINT) * 2000000 + sz) // (2 * sz) AS DOUBLE) / 1000000 AS containment
       |FROM inter JOIN sizes s ON s.source = src_a""".stripMargin,
 
     "dedup_containment" -> s"""
