@@ -64,4 +64,31 @@ object ZOrder {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
   }
+
+  /** The production composition of BOTH pruning layers: hive-partition
+    * directories on a coarse key (`partCol` — pruned at runtime by
+    * dynamic partition pruning when a dim filter reaches the join) and
+    * a Morton curve of (c1, c2) WITHIN each directory (pruned by
+    * parquet min/max stats under predicates on either key). The range
+    * exchange leads with `partCol`, so each output file lands in one
+    * directory and covers one contiguous curve segment — write with
+    * `.write.partitionBy(partCol)`.
+    */
+  def layoutWithin(df: DataFrame, partCol: String, c1: String, c2: String,
+                   numFiles: Int, bits: Int = 16): DataFrame = {
+    val r = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head
+    val cells = (1L << bits) - 1
+    def cell(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * cells).cast("long")
+    val z = zValue(
+      cell(c1, r.getDouble(0), r.getDouble(1)),
+      cell(c2, r.getDouble(2), r.getDouble(3)), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col(partCol), col("_z"))
+      .sortWithinPartitions(col(partCol), col("_z"))
+      .drop("_z")
+  }
 }

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the executed plan of a registered query — the
+  * "explain, then iterate until it's the plan you'd want" loop.
+  *
+  * Usage: runMain graft.tools.PlanDump <queryName> [sfDir] [grep]
+  * With [grep], prints only plan lines containing the substring
+  * (case-insensitive) plus a scan-count summary.
+  */
+object PlanDump {
+
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val needle = if (args.length > 2) Some(args(2).toLowerCase) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-plan-dump")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val lines = plan.split("\n")
+    println(s"[plan] $name: ${lines.count(_.contains("Scan parquet"))} parquet scans, " +
+      s"${lines.count(_.contains("Exchange"))} exchanges, " +
+      s"${lines.count(_.contains("Window"))} window nodes")
+    needle match {
+      case Some(n) => lines.filter(_.toLowerCase.contains(n)).foreach(println)
+      case None => println(plan)
+    }
+    spark.stop()
+  }
+}
