@@ -211,6 +211,45 @@ object ScaleDedup {
           .cast("double") / lit(1e6)).as("containment"))
   }
 
+  /** Exact duplicated-substring spans: maximal runs of ≥ `minTokens`
+    * consecutive tokens that appear verbatim in at least two distinct
+    * docs — the substring-level dedup a training pipeline runs AFTER
+    * document-level passes (boilerplate headers/footers and quoted
+    * blocks survive doc-level Jaccard because the host docs differ).
+    * Returns (doc_id, span_start, span_tokens), span_start 1-based.
+    *
+    * Shape: every L-token window hashes to 8 bytes (one explode, no
+    * window yet); windows whose hash occurs in ≥2 docs survive a
+    * map-side-combinable (hash → distinct-doc count) aggregate; the
+    * surviving (doc, pos) hits coalesce into maximal spans with the
+    * classic islands trick (pos − row_number per doc — a per-doc
+    * window, parallel across docs). Two shuffles on 8-byte keys plus
+    * one per-doc window; never doc×doc. Duplicate detection is by
+    * xxhash64 — collision odds ~(distinct windows)²/2⁶⁴, the accepted
+    * trade at corpus scale (the md5/string-join twin would shuffle
+    * full window text); the DuckDB twin joins on the window STRING,
+    * so a collision would surface as a parity failure, not silent
+    * agreement.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        posexplode(TextAnalysis.shingles(col(textCol), minTokens)))
+      .select(col("id"), (col("pos") + 1).as("pos"), xxhash64(col("col")).as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val hits = grams.join(dup, "h").select(col("id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    hits
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + minTokens).cast("long").as("span_tokens"))
+      .select(col("id").as("doc_id"), col("span_start"), col("span_tokens"))
+  }
+
   /** Per-doc hashed shingle set (id, shs) — the verify-side operand for
     * candidate-bounded exact Jaccard.
     */

@@ -93,6 +93,15 @@ object ScaleDedupQueries extends QueryRegistry {
     "dedup_minhash" -> ((s, dir) =>
       ScaleDedup.minhashCandidates(withNearDups(s, dir), "doc_id", "text")),
 
+    // substring-level dedup: maximal >=10-token runs shared verbatim
+    // across docs (boilerplate/quote blocks that survive doc-level
+    // Jaccard because the host docs differ). Spark detects duplicate
+    // windows by xxhash64; the twin joins on the window STRING, so a
+    // hash collision surfaces as a parity failure, never silently.
+    "corpus_substring_spans" -> ((s, dir) =>
+      ScaleDedup.duplicatedSpans(withNearDups(s, dir), "doc_id", "text",
+        minTokens = 10)),
+
     "dedup_simhash" -> ((s, dir) =>
       ScaleDedup.simhashPairs(
         ScaleDedup.simhash(withNearDups(s, dir), "doc_id", "text"),
@@ -261,6 +270,23 @@ object ScaleDedupQueries extends QueryRegistry {
       |SELECT src_a, src_b, CAST(i AS BIGINT) AS n_shared,
       |  CAST((CAST(i AS HUGEINT) * 2000000 + sz) // (2 * sz) AS DOUBLE) / 1000000 AS containment
       |FROM inter JOIN sizes s ON s.source = src_a""".stripMargin,
+
+    "corpus_substring_spans" -> s"""
+      |WITH docs AS ($nearDupsSql),
+      |tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |        FROM docs),
+      |g AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(list_slice(t, i, i + 9), ' ') AS gram
+      |  FROM tok, unnest(generate_series(1, len(t) - 9)) AS u(i)),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+      |isl AS (SELECT doc_id, pos,
+      |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+      |        FROM hits)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(pos) - MIN(pos) + 10 AS BIGINT) AS span_tokens
+      |FROM isl GROUP BY doc_id, k""".stripMargin,
 
     "dedup_containment" -> s"""
       |WITH docs AS ($subsetsSql),

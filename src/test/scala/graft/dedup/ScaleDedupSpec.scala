@@ -155,6 +155,44 @@ class ScaleDedupSpec extends AnyFunSuite {
     assert(gated === ungated)
   }
 
+  test("duplicatedSpans finds maximal cross-doc token runs (hand-computed)") {
+    import spark.implicits._
+    // A and B share the 11-token run a..k (A at pos 1, B at pos 3);
+    // C is disjoint. Two consecutive 10-token windows must coalesce
+    // into ONE maximal 11-token span per doc.
+    val a = (('a' to 'k').map(_.toString) :+ "l").mkString(" ")
+    val b = (Seq("x1", "x2") ++ ('a' to 'k').map(_.toString) :+ "y1").mkString(" ")
+    val c = (1 to 10).map(i => s"q$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = ScaleDedup.duplicatedSpans(docs, "doc_id", "text", minTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1L, 11L), (2L, 3L, 11L)))
+  }
+
+  test("duplicatedSpans flags the engineered near-dup copies end-to-end") {
+    // every +100000 copy duplicates its original's full text: both
+    // sides must carry a span starting at token 1 covering at least
+    // the original's token count (docs shorter than minTokens yield
+    // nothing, and word-salad collisions may extend other docs).
+    val spans = ScaleDedup.duplicatedSpans(docs, "doc_id", "text", minTokens = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lens = docs.select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val copies = lens.keys.filter(_ >= 100000L)
+    assert(copies.nonEmpty)
+    copies.filter(id => lens(id - 100000L) >= 10).foreach { id =>
+      val orig = id - 100000L
+      assert(spans.contains(orig) && spans(orig).exists {
+        case (s, n) => s == 1L && n >= lens(orig)
+      }, s"original $orig missing its full-doc span")
+      assert(spans.contains(id) && spans(id).exists {
+        case (s, n) => s == 1L && n >= lens(orig)
+      }, s"copy $id missing its full-doc span")
+    }
+  }
+
   test("exact dedup groups carry duplicate counts") {
     val d = ScaleDedup.exact(
       docs.limit(0).unionByName(
