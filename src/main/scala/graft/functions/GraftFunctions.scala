@@ -30,6 +30,12 @@ object GraftFunctions {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** `pq_encode(v)` — all m product-quantization codes of a vector in
+    * one codegen'd primitive pass against literal codebooks.
+    */
+  def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks))
+
   /** `sample_k(c, k)` — deterministic bottom-k-by-md5 hash sample
     * aggregate (order/partitioning-independent distributed sampling).
     */

@@ -226,14 +226,25 @@ object Knn {
     * codebook stays dense (k shrinks for that subspace).
     */
   def pqCodebooks(vectors: DataFrame, dim: Int, m: Int, k: Int,
-                  lloydIters: Int = 1): Seq[Seq[Seq[Double]]] = {
+                  lloydIters: Int = 1, trainCap: Int = 8192): Seq[Seq[Seq[Double]]] = {
     val subDim = dim / m
+    // Codebooks train on a BOUNDED deterministic hash-sample (the
+    // trainCap lowest xxhash64(vec_id), ties by id — executor-stable):
+    // at corpus scale nobody runs Lloyd over every vector, and 8192 =
+    // 256 training points per 32-cell codebook, comfortably above the
+    // k-means rule of thumb. The full corpus still gets ENCODED — only
+    // the iterative training is capped. trainCap = 0 disables.
+    val train =
+      if (trainCap > 0)
+        vectors.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+          .limit(trainCap)
+      else vectors
     // localCheckpoint: the subspace explode is consumed by the seed
     // pass AND re-joined in EVERY Lloyd iteration — without pinning,
     // each fold re-executes the whole upstream lineage (normalize →
     // explode → slice), which at the 10× bench replica multiplied the
     // training cost several-fold.
-    val sub = vectors
+    val sub = train
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("s"),
         col("embedding"))
       .select(col("vec_id"), col("s"),
@@ -300,16 +311,14 @@ object Knn {
     def subv(e: Column, s: Int) = slice(e, s * subDim + 1, subDim)
     def dotLit(sv: Column, c: Seq[Double]) =
       graft.functions.GraftFunctions.dotProduct(sv, typedlit(c))
-    val cNorm2: Seq[Seq[Double]] = cbs.map(_.map(c => c.map(x => x * x).sum))
 
-    // per-row encoding: m codes, each argmin_j |c_j|² − 2⟨sub,c_j⟩
-    val codeCols = cbs.indices.map { s =>
-      val dists = array(cbs(s).indices.map(j =>
-        lit(cNorm2(s)(j)) - lit(2.0) * dotLit(subv(col("embedding"), s), cbs(s)(j))): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+    // per-row encoding: m codes, each argmin_j |c_j|² − 2⟨sub,c_j⟩ —
+    // ONE native expression ([[graft.functions.PqEncode]]); the m×k
+    // literal-dot form built a ~1000-node projection that fell out of
+    // codegen and evaluated interpreted (~30 s at 20k rows, m16/k32)
     val encoded = vecsN
-      .select(col("vec_id").as("cand_id"), array(codeCols: _*).as("codes"))
+      .select(col("vec_id").as("cand_id"),
+        graft.functions.GraftFunctions.pqEncode(col("embedding"), cbs).as("codes"))
 
     // per-query ADC tables: m×k partial dots against the codebooks
     val prepped = normalized(queries)
@@ -373,15 +382,11 @@ object Knn {
     def subv(e: Column, s: Int) = slice(e, s * subDim + 1, subDim)
     def dotLit(sv: Column, c: Seq[Double]) =
       graft.functions.GraftFunctions.dotProduct(sv, typedlit(c))
-    val cNorm2: Seq[Seq[Double]] = cbs.map(_.map(c => c.map(x => x * x).sum))
-    // per-row residual encoding, same argmin trick as flat PQ
-    val codeCols = cbs.indices.map { s =>
-      val dists = array(cbs(s).indices.map(j =>
-        lit(cNorm2(s)(j)) - lit(2.0) * dotLit(subv(col("embedding"), s), cbs(s)(j))): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+    // per-row residual encoding, same argmin as flat PQ — the native
+    // PqEncode expression (see pqTopK for the codegen rationale)
     val encoded = resid
-      .select(col("cid"), col("vec_id").as("cand_id"), array(codeCols: _*).as("codes"))
+      .select(col("cid"), col("vec_id").as("cand_id"),
+        graft.functions.GraftFunctions.pqEncode(col("embedding"), cbs).as("codes"))
 
     // probe the nProbe nearest lists; ⟨q,c⟩ rides along exactly
     val qN = normalized(queries)

@@ -35,6 +35,20 @@ object PlanDump {
       case Some(n) => lines.filter(_.toLowerCase.contains(n)).foreach(println)
       case None => println(plan)
     }
+    // GRAFT_PLANDUMP_TIME=N: also execute the query N times (noop
+    // write, bench-identical materialization) and print per-trial
+    // seconds — the quick solo timing the bench can't give you.
+    sys.env.get("GRAFT_PLANDUMP_TIME").map(_.toInt).foreach { n =>
+      (1 to n).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[plan] $name trial $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
     spark.stop()
   }
 }
