@@ -256,10 +256,15 @@ object Knn {
         Seq(col("s")), Seq(col("h").asc, col("vec_id").asc), k)
       .select(col("s"), col("rank").as("cid"), col("sub").as("c_sub"))
     val trained = (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
-      val scored = sub.join(broadcast(cents), Seq("s"))
-        .withColumn("d2", aggregate(
-          zip_with(col("sub"), col("c_sub"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v))
+      // argmin key |c|² − 2⟨sub,c⟩ (the |sub|² term is constant per
+      // row — dropped, same trick as the encoder): two codegen'd dot
+      // products instead of the interpreted zip_with/aggregate lambda
+      // pair, which dominated training time at replica scale
+      val dot = graft.functions.GraftFunctions.dotProduct _
+      val scored = sub.join(
+          broadcast(cents.withColumn("cn2", dot(col("c_sub"), col("c_sub")))),
+          Seq("s"))
+        .withColumn("d2", col("cn2") - lit(2.0) * dot(col("sub"), col("c_sub")))
       val assigned = graft.plans.TopK.perKey(scored,
           Seq(col("vec_id"), col("s")), Seq(col("d2").asc, col("cid").asc), 1)
         .select(col("s"), col("cid"), col("sub"))
