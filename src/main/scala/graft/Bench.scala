@@ -52,7 +52,8 @@ object Bench {
     "dedup_segments",
     "dedup_containment",
     "source_overlap",
-    "corpus_curriculum")
+    "corpus_curriculum",
+    "corpus_substring_spans")
 
   /** The 10× scaling checkpoint: a subset chosen to answer the
     * empirical questions a 100 TB plan review asks — where the
