@@ -13,14 +13,31 @@ import org.apache.spark.sql.functions._
   * the iterative dedup), the inverted-index and LSH dedup paths, vector
   * search, text scoring, and the event-time window.
   *
-  * Self-validation: the box is co-tenant-noisy (recorded single-trial
-  * rounds have disagreed with isolated re-runs by up to ~9×), so every
-  * query runs ≥3 trials and the artifact reports the MEDIAN (headline
-  * number) and MIN (ambient load only ever adds time, so min is the
-  * best estimate of the code's cost). A query whose median/min spread
-  * exceeds 1.5× is listed in `noisy_queries`, and `/proc/loadavg` is
-  * recorded at start/end — a reader can reject the run without re-running
-  * it.
+  * Noise protocol — the box is co-tenant-noisy (recorded rounds have
+  * disagreed with isolated re-runs by 10–60×), so the bench defends
+  * itself in three layers:
+  *  1. START GATE: if the 1-min loadavg exceeds SPARK_GRAFT_LOAD_GATE
+  *     (default 2.0) the bench WAITS for a quiet box, up to
+  *     SPARK_GRAFT_GATE_WAIT_SEC (default 600 s), recording the wait.
+  *  2. TRIALS + RECOVERY: every query runs ≥3 trials; a query whose
+  *     median/min spread still exceeds 1.5× gets up to 2 bounded
+  *     recovery re-trials. If the flag persists, its HEADLINE number
+  *     becomes the MIN (ambient load only ever adds time, so min is
+  *     the best estimate of the code's cost) — a usable number ships
+  *     instead of a correctly-flagged useless median.
+  *  3. SELF-REPORTING: `/proc/loadavg` at start/end, per-query spread
+  *     flags (worst 5 on stdout, all in the file artifact), and a
+  *     top-level `rejected: true` when >1/3 of queries stay flagged
+  *     after recovery.
+  *
+  * Artifact contract (the round-5 lesson: the single stdout line
+  * outgrew the driver's ~2 KB stdout-tail capture and recorded
+  * `parsed: null`): stdout carries one COMPACT line — 2-decimal
+  * medians-or-mins, min values only for flagged queries, worst-5
+  * noise flags — kept under ~1.6 KB, while the FULL artifact
+  * (3-decimal per-trial times, every min, every spread, gate wait)
+  * is written to `bench/BENCH_local.json` in the repo so nothing is
+  * lost.
   *
   * Harness contract: the metrics JSON is the ONLY line this main prints
   * to stdout (Spark logs go to stderr; build.sbt routes forked stdout
@@ -53,7 +70,9 @@ object Bench {
     "dedup_containment",
     "source_overlap",
     "corpus_curriculum",
-    "corpus_substring_spans")
+    "corpus_substring_spans",
+    "corpus_scrub_spans",
+    "corpus_scrub_repeats")
 
   /** The 10× scaling checkpoint: a subset chosen to answer the
     * empirical questions a 100 TB plan review asks — where the
@@ -99,6 +118,14 @@ object Bench {
     assertStride(Tables.orders(spark, baseDir), "o_custkey", 10000000L)
     assertStride(Tables.documents(spark, baseDir), "doc_id", 1000000L)
     assertStride(Tables.embeddings(spark, baseDir), "vec_id", 10000000L)
+    // the replica rotation below slices at dimension 64 — a silently
+    // grown/changed fixture would write malformed (wrong-length)
+    // vectors that only surface later as a PQ/KNN failure.
+    val dims = Tables.embeddings(spark, baseDir)
+      .select(size(col("embedding")).as("d")).agg(min("d"), max("d")).head
+    require(!dims.isNullAt(0) && dims.getInt(0) == 64 && dims.getInt(1) == 64,
+      s"sf1 embedding replica assumes dim 64, fixture has " +
+        s"[${dims.get(0)}, ${dims.get(1)}]")
     def write(name: String, make: Int => DataFrame): Unit =
       (0 until reps).map(make).reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$sf1Dir/$name.parquet")
@@ -132,16 +159,42 @@ object Bench {
       .split("\\s+").take(3).mkString(" ")
     catch { case _: Throwable => "unavailable" }
 
+  private def load1(): Double =
+    try loadavg().split("\\s+")(0).toDouble catch { case _: Throwable => 0.0 }
+
+  /** Start gate: wait (in 15 s steps, up to `maxWaitSec`) for the
+    * 1-min loadavg to drop under `gate` before the first timed trial —
+    * a run that starts on a busy box is wasted no matter how well it
+    * flags itself afterwards. Returns seconds waited. gate <= 0
+    * disables.
+    */
+  private def waitForQuiet(gate: Double, maxWaitSec: Int): Int = {
+    var waited = 0
+    while (gate > 0 && load1() > gate && waited < maxWaitSec) {
+      System.err.println(f"[bench] load gate: 1-min loadavg ${load1()}%.2f > " +
+        f"$gate%.1f, waiting (${waited}s/${maxWaitSec}s)")
+      Thread.sleep(15000)
+      waited += 15
+    }
+    waited
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  private def spreadOf(ts: Seq[Double]): Double =
+    if (ts.isEmpty || ts.min <= 0) 1.0 else median(ts) / ts.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
+    val gateWaitSec = waitForQuiet(
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble,
+      sys.env.getOrElse("SPARK_GRAFT_GATE_WAIT_SEC", "600").toInt)
     val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -223,9 +276,30 @@ object Bench {
       }
     }
 
+    /** Bounded noise recovery: a query whose median/min spread exceeds
+      * 1.5× after the base trials gets up to 2 extra trials — one more
+      * clean sample is usually enough to pull median toward min (or
+      * confirm the min). Queries still flagged afterwards headline
+      * their MIN (see reporting).
+      */
+    def runWithRecovery(s: SparkSession, dir: String, name: String, n: Int,
+                        errs: scala.collection.mutable.Map[String, String],
+                        budgetSec: Double = Double.MaxValue): Option[Seq[Double]] =
+      runTrials(s, dir, name, n, errs, budgetSec).map { ts0 =>
+        var ts = ts0
+        var extra = 0
+        while (spreadOf(ts) > 1.5 && extra < 2 && !errs.contains(name)) {
+          System.err.println(f"[bench] $name spread ${spreadOf(ts)}%.2f > 1.5, " +
+            s"recovery trial ${extra + 1}/2")
+          runTrials(s, dir, name, 1, errs).foreach(ts ++= _)
+          extra += 1
+        }
+        ts
+      }.filter(_ => !errs.contains(name))
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results: Seq[(String, Seq[Double])] = Headline.flatMap { name =>
-      runTrials(spark, sfDir, name, trials, errors).map(name -> _)
+      runWithRecovery(spark, sfDir, name, trials, errors).map(name -> _)
     }
 
     // sf1 (10×) scaling run — SPARK_GRAFT_SF1=0 disables; failures are
@@ -272,7 +346,7 @@ object Bench {
             Sf1Headline.flatMap { name =>
               // 60 s per-query trial budget: the heavy tail (composed
               // dedup, full IPES at 10×) gets 2 trials instead of 3.
-              runTrials(spark1, sf1Dir, name, sf1Trials, sf1Errors,
+              runWithRecovery(spark1, sf1Dir, name, sf1Trials, sf1Errors,
                 budgetSec = 60.0).map(name -> _)
             }
           } catch { case e: Throwable =>
@@ -287,28 +361,71 @@ object Bench {
       }
 
     val loadEnd = loadavg()
-    def fmt(v: Double): String = f"$v%.3f"
-    def medMap(rs: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
-      rs.map { case (k, ts) => k -> median(ts) }
-    def spreadOf(ts: Seq[Double]): Double =
-      if (ts.isEmpty || ts.min <= 0) 1.0 else median(ts) / ts.min
+    def f2(v: Double): String = f"$v%.2f"
+    def f3(v: Double): String = f"$v%.3f"
+    def flagged(ts: Seq[Double]): Boolean = spreadOf(ts) > 1.5
+    // headline per query: median normally; MIN when the noise flag
+    // persisted through recovery (load only ever adds time, so min is
+    // the best available estimate of the code's cost on a noisy box).
+    def headlineOf(ts: Seq[Double]): Double =
+      if (flagged(ts)) ts.min else median(ts)
+    def jObj(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
 
-    val meds = medMap(results)
-    val sf1Meds = medMap(sf1Results)
-    val noisy = (results ++ sf1Results)
-      .map { case (k, ts) => k -> spreadOf(ts) }
-      .filter(_._2 > 1.5)
-    val qs = meds.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
-    val qsMin = results.map { case (k, ts) => s""""$k":${fmt(ts.min)}""" }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val sf1Qs = sf1Meds.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
-    val sf1QsMin = sf1Results.map { case (k, ts) => s""""$k":${fmt(ts.min)}""" }
-      .mkString("{", ",", "}")
-    val sf1Errs = sf1Errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val noisyJs = noisy.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
-    val total = meds.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":$trials,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir","sf1_queries":$sf1Qs,"sf1_queries_min":$sf1QsMin,"sf1_errors":$sf1Errs,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","noisy":${noisy.nonEmpty},"noisy_queries":$noisyJs}""")
+    val qs = jObj(results.map { case (k, ts) => k -> f2(headlineOf(ts)) })
+    val sf1Qs = jObj(sf1Results.map { case (k, ts) => k -> f2(headlineOf(ts)) })
+    val errs = jObj(errors.toSeq.map { case (k, v) => k -> s""""$v"""" })
+    val sf1Errs = jObj(sf1Errors.toSeq.map { case (k, v) => k -> s""""$v"""" })
+    // tier-prefixed flag list (the r5 stdout had DUPLICATE keys when a
+    // query was noisy in both tiers), worst-first; stdout carries the
+    // worst 5, the file artifact carries all of them.
+    val flaggedAll: Seq[(String, Seq[Double])] =
+      (results.map { case (k, ts) => k -> ts } ++
+        sf1Results.map { case (k, ts) => s"sf1:$k" -> ts })
+        .filter { case (_, ts) => flagged(ts) }
+        .sortBy { case (_, ts) => -spreadOf(ts) }
+    val noisyJs = jObj(flaggedAll.take(5).map { case (k, ts) => k -> f2(spreadOf(ts)) })
+    val minJs = jObj(flaggedAll.take(5).map { case (k, ts) => k -> f2(ts.min) })
+    val nRun = results.size + sf1Results.size
+    val rejected = nRun > 0 && flaggedAll.size * 3 > nRun
+    val total = results.map { case (_, ts) => headlineOf(ts) }.sum
+
+    // FULL artifact → repo file: per-trial times, median/min/headline/
+    // spread for every query, nothing truncated.
+    val fullPath = "bench/BENCH_local.json"
+    try {
+      def tierJs(rs: Seq[(String, Seq[Double])]): String =
+        jObj(rs.map { case (k, ts) =>
+          k -> jObj(Seq(
+            "headline" -> f3(headlineOf(ts)),
+            "median" -> f3(median(ts)),
+            "min" -> f3(ts.min),
+            "spread" -> f2(spreadOf(ts)),
+            "flagged" -> flagged(ts).toString,
+            "trials" -> ts.map(f3).mkString("[", ",", "]")))
+        })
+      val full = jObj(Seq(
+        "sf" -> s""""$sfDir"""",
+        "trials" -> trials.toString,
+        "cpus" -> cpus,
+        "wait_gate_sec" -> gateWaitSec.toString,
+        "loadavg_start" -> s""""$loadStart"""",
+        "loadavg_end" -> s""""$loadEnd"""",
+        "rejected" -> rejected.toString,
+        "queries" -> tierJs(results),
+        "errors" -> errs,
+        "sf1_queries" -> tierJs(sf1Results),
+        "sf1_errors" -> sf1Errs))
+      new java.io.File("bench").mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}")
+    }
+
+    // COMPACT stdout line (the driver's stdout-tail capture keeps ~2 KB;
+    // r5's line outgrew it and recorded parsed:null): 2-decimal
+    // headline numbers, mins only for the worst-5 flagged queries.
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","trials":$trials,"queries":$qs,"errors":$errs,"sf":"$sfDir","sf1_queries":$sf1Qs,"sf1_errors":$sf1Errs,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","wait_gate_sec":$gateWaitSec,"noisy":${flaggedAll.nonEmpty},"noisy_queries":$noisyJs,"min":$minJs,"rejected":$rejected,"full":"$fullPath"}""")
     try spark.stop() catch { case _: Throwable => } // no-op if sf1 already stopped it
     if (errors.nonEmpty) sys.exit(1)
   }
