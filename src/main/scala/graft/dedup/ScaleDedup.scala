@@ -233,9 +233,7 @@ object ScaleDedup {
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 20): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-        posexplode(TextAnalysis.shingles(col(textCol), minTokens)))
-      .select(col("id"), (col("pos") + 1).as("pos"), xxhash64(col("col")).as("h"))
+    val grams = windowHashes(df, idCol, textCol, minTokens)
     val dup = grams.groupBy(col("h"))
       .agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
@@ -248,6 +246,118 @@ object ScaleDedup {
       .agg(min(col("pos")).cast("long").as("span_start"),
         (max(col("pos")) - min(col("pos")) + minTokens).cast("long").as("span_tokens"))
       .select(col("id").as("doc_id"), col("span_start"), col("span_tokens"))
+  }
+
+  /** Pinned (id, pos, h) window-hash rows — pos 1-based, h = xxhash64
+    * of the L-token window. Feeds TWO consumers in both span operators
+    * (the dup-hash aggregate and the hits join); localCheckpoint'ed so
+    * the corpus scan + tokenize + explode runs ONCE — unpinned, the
+    * executed plan re-read and re-tokenized the corpus for the second
+    * consumer (4 parquet scans instead of 2), doubling the dominant
+    * cost at 100 TB.
+    */
+  private[graft] def windowHashes(df: DataFrame, idCol: String,
+      textCol: String, minTokens: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(TextAnalysis.shingles(col(textCol), minTokens)))
+      .select(col("id"), (col("pos") + 1).as("pos"), xxhash64(col("col")).as("h"))
+      .localCheckpoint()
+
+  /** Span excision — the consumer of [[duplicatedSpans]]: rebuild each
+    * doc's text with its duplicated spans REMOVED, keeping the
+    * first-occurrence owner (min doc id per duplicated window hash)
+    * intact. Returns one row per input doc:
+    * (doc_id, cleaned_text, n_dropped), where cleaned_text is the
+    * token-rebuilt text (lowercased, single-space joined — the same
+    * token domain the detection ran in) and n_dropped counts removed
+    * tokens. A doc that owns every span it participates in (or shares
+    * nothing) passes through with n_dropped = 0.
+    *
+    * Shape: the same two 8-byte shuffles + per-doc islands window as
+    * [[duplicatedSpans]] (the window-hash explode is pinned and feeds
+    * both the dup aggregate and the hits join), then ONE broadcast-free
+    * equi-join of per-doc span lists back onto the corpus. The rebuild
+    * is pure column math — `filter(toks, (t, i) => !exists(spans, …))`
+    * — per-row cost O(tokens × spans), both bounded by the DOC length,
+    * never by corpus size; no position explode of the corpus, no
+    * doc×doc work. Duplicate grouping is by xxhash64 exactly as in
+    * detection; the DuckDB twin groups by the window STRING, so a hash
+    * collision (odds ~windows²/2⁶⁴) surfaces as a parity failure.
+    */
+  def scrubSpans(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20): DataFrame = {
+    val grams = windowHashes(df, idCol, textCol, minTokens)
+    val dup = grams.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("nd"), min(col("id")).as("owner"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("owner"))
+    // every occurrence of a duplicated window in a NON-owner doc
+    val hits = grams.join(dup, "h")
+      .filter(col("id") =!= col("owner"))
+      .select(col("id"), col("pos"))
+    exciseHits(df, idCol, textCol, hits, minTokens)
+  }
+
+  /** Intra-document repeated-span excision — the WITHIN-doc complement
+    * of [[scrubSpans]] (web boilerplate: nav blocks, repeated headers,
+    * template runs repeat inside ONE document and survive every
+    * cross-doc pass). For each doc, an L-token window whose hash
+    * already occurred ≥ L positions earlier in the SAME doc is a
+    * repeat hit; hits coalesce into maximal spans and their tokens are
+    * dropped, keeping each window's FIRST occurrence intact. The
+    * `pos ≥ first + L` guard means occurrences overlapping the kept
+    * first occurrence are treated as part of it (a self-overlapping
+    * run like `a a a a` keeps its first window, not just one token).
+    * Returns (doc_id, cleaned_text, n_dropped), same contract as
+    * [[scrubSpans]].
+    *
+    * Shape: one pinned window-hash explode, ONE (id, h) map-side-
+    * combinable aggregate (min pos — cheaper than the cross-doc form:
+    * no distinct-doc count), the hits join, then the shared islands +
+    * rebuild. All shuffles key on (id, h) or id — never doc×doc, and
+    * repeats are found per-doc, so task memory is bounded by the
+    * longest DOC, not the corpus.
+    */
+  def scrubRepeats(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20): DataFrame = {
+    val grams = windowHashes(df, idCol, textCol, minTokens)
+    val first = grams.groupBy(col("id"), col("h"))
+      .agg(min(col("pos")).as("first"))
+    val hits = grams.join(first, Seq("id", "h"))
+      .filter(col("pos") >= col("first") + minTokens)
+      .select(col("id"), col("pos"))
+    exciseHits(df, idCol, textCol, hits, minTokens)
+  }
+
+  /** Shared excision tail: coalesce repeat-window hits (id, pos) into
+    * maximal spans (islands trick: pos − row_number per doc — a
+    * per-doc window, parallel across docs), then rebuild each doc's
+    * text with covered tokens dropped. The rebuild is pure column math
+    * — `filter(toks, (t, i) => !exists(spans, …))` — per-row cost
+    * O(tokens × spans), both bounded by the DOC length, never by
+    * corpus size; no position explode of the corpus. Two islands < L
+    * apart yield OVERLAPPING spans — the coverage filter handles that
+    * naturally (a token drops if ANY span covers it).
+    */
+  private def exciseHits(df: DataFrame, idCol: String, textCol: String,
+      hits: DataFrame, minTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + minTokens - 1).as("e"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .join(spans, Seq("id"), "left")
+      .withColumn("kept", when(col("spans").isNull, col("toks"))
+        .otherwise(filter(col("toks"), (_, i) =>
+          !exists(col("spans"), sp =>
+            (i + 1 >= sp.getField("s")) && (i + 1 <= sp.getField("e"))))))
+      .select(col("id").as("doc_id"),
+        array_join(col("kept"), " ").as("cleaned_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_dropped"))
   }
 
   /** Per-doc hashed shingle set (id, shs) — the verify-side operand for
@@ -275,6 +385,19 @@ object ScaleDedup {
     * rows, no giant arrays. Both paths are EXACT; results are
     * identical (a zero-intersection large pair drops out of the count
     * join, which any threshold > 0 filters anyway — asserted).
+    *
+    * Precondition: `index` must be DISTINCT (id, sh) rows — the
+    * [[shingleIndex]] contract. Set sizes are `count(*)` over index
+    * rows (not `count_distinct`, which would force a second distinct
+    * aggregation the index already paid for); a non-deduplicated index
+    * would silently inflate sizes AND intersection counts on BOTH
+    * verify paths.
+    *
+    * `cand` (the size-annotated candidate list) feeds both the small-
+    * and large-set branches, so it is localCheckpoint'ed: unpinned,
+    * the whole LSH band-join lineage appeared once per branch in the
+    * plan (AQE exchange reuse happened to deduplicate it locally, but
+    * that reuse is an optimizer courtesy, not a contract).
     */
   def verifyJaccardPairs(
       candidates: DataFrame, index: DataFrame, threshold: Double,
@@ -285,6 +408,7 @@ object ScaleDedup {
     val cand = candidates.select(col("id_a"), col("id_b"))
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .localCheckpoint()
     def jaccardOf(inter: Column, szA: Column, szB: Column): Column =
       round(inter.cast("double") / (szA + szB - inter), 6)
 

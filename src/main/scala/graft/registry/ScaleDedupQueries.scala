@@ -42,6 +42,24 @@ object ScaleDedupQueries extends QueryRegistry {
       .repartition(s.sparkContext.defaultParallelism)
   }
 
+  /** Intra-doc repetition fixture: every 5th doc (with ≥ 12 tokens)
+    * gets its own first 12 tokens appended TWICE — two full repeat
+    * occurrences of a 12-token run inside ONE document, exercising
+    * multi-occurrence islands in [[ScaleDedup.scrubRepeats]]. The
+    * rebuild goes through the same lowercased tokenization the scrub
+    * operates in, so both sides window identically; the SQL twin
+    * replays the identical construction.
+    */
+  def withRepeats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val tk = graft.text.TextAnalysis.tokens(col("text"))
+    d.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0 && size(tk) >= 12,
+          array_join(concat(tk, slice(tk, 1, 12), slice(tk, 1, 12)), " "))
+          .otherwise(col("text")).as("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** Subset-duplicate fixture: every 11th doc gains a prefix-half copy
     * at doc_id + offset — containment 1.0 into its source (every
     * shingle of the prefix is in the original) while Jaccard ≈ 0.5,
@@ -52,10 +70,15 @@ object ScaleDedupQueries extends QueryRegistry {
     */
   def withSubsets(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val off = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    // offset computed INSIDE the plan (broadcast cross join on the
+    // 1-row max) — building the closure stays lazy (no eager driver
+    // job per bench trial / plan dump), and an empty fixture yields an
+    // empty copy side instead of a driver NPE.
+    val off = d.agg((max(col("doc_id")) + 1L).as("_off"))
     val tk = graft.text.TextAnalysis.tokens(col("text"))
     d.unionByName(d.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + off).as("doc_id"),
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("_off")).as("doc_id"),
         array_join(slice(tk, lit(1), ceil(size(tk) / lit(2.0)).cast("int")), " ")
           .as("text")))
       .repartition(s.sparkContext.defaultParallelism)
@@ -100,6 +123,23 @@ object ScaleDedupQueries extends QueryRegistry {
     // hash collision surfaces as a parity failure, never silently.
     "corpus_substring_spans" -> ((s, dir) =>
       ScaleDedup.duplicatedSpans(withNearDups(s, dir), "doc_id", "text",
+        minTokens = 10)),
+
+    // the excision consumer of the detection above: every doc comes
+    // back token-rebuilt with its duplicated spans removed, except the
+    // first-occurrence owner (min doc_id per duplicated window), which
+    // keeps them — all-but-first-occurrence substring dedup.
+    "corpus_scrub_spans" -> ((s, dir) =>
+      ScaleDedup.scrubSpans(withNearDups(s, dir), "doc_id", "text",
+        minTokens = 10)),
+
+    // intra-doc boilerplate excision: repeated >=10-token runs WITHIN
+    // one document (nav blocks, template runs) dropped after their
+    // first occurrence — the within-doc complement of the cross-doc
+    // scrub above, on a fixture whose every 5th doc carries its own
+    // 12-token prefix appended twice.
+    "corpus_scrub_repeats" -> ((s, dir) =>
+      ScaleDedup.scrubRepeats(withRepeats(s, dir), "doc_id", "text",
         minTokens = 10)),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -153,6 +193,17 @@ object ScaleDedupQueries extends QueryRegistry {
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 100000, text || ' zz9 yy8 xx7' FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  // the append goes through the SAME lowercased tokenization the
+  // engine's window hashing applies, so both sides window identically
+  private val repeatsSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 AND len(t) >= 12
+      |       THEN array_to_string(t || t[1:12] || t[1:12], ' ')
+      |       ELSE text END AS text
+      |FROM (SELECT doc_id, text,
+      |        string_split_regex(lower(trim(text)), '\s+') AS t
+      |      FROM documents)""".stripMargin
 
   // the prefix rejoin goes through the SAME lowercased tokenization the
   // engine's shingle index applies, so both sides shingle identically
@@ -287,6 +338,85 @@ object ScaleDedupQueries extends QueryRegistry {
       |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
       |  CAST(MAX(pos) - MIN(pos) + 10 AS BIGINT) AS span_tokens
       |FROM isl GROUP BY doc_id, k""".stripMargin,
+
+    // excision twin: same islands construction as the detection twin,
+    // but hits keep only NON-owner occurrences (owner = MIN doc_id per
+    // duplicated gram); the rebuild keeps every token position no span
+    // covers. Spark groups windows by xxhash64, this twin by the gram
+    // STRING — a hash collision surfaces as a parity failure.
+    "corpus_scrub_spans" -> s"""
+      |WITH docs AS ($nearDupsSql),
+      |tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |        FROM docs),
+      |g AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(list_slice(t, i, i + 9), ' ') AS gram
+      |  FROM tok, unnest(generate_series(1, len(t) - 9)) AS u(i)),
+      |dup AS (SELECT gram, MIN(doc_id) AS owner FROM g
+      |        GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+      |         WHERE g.doc_id <> dup.owner),
+      |isl AS (SELECT doc_id, pos,
+      |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+      |        FROM hits),
+      |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 9 AS e
+      |          FROM isl GROUP BY doc_id, k),
+      |pos AS (SELECT doc_id, i AS p, t[i] AS tk
+      |        FROM tok, unnest(generate_series(1, len(t))) AS u(i)),
+      |dropped AS (SELECT DISTINCT pos.doc_id, pos.p
+      |            FROM pos JOIN spans s ON s.doc_id = pos.doc_id
+      |              AND pos.p BETWEEN s.s AND s.e),
+      |kept AS (SELECT pos.doc_id, pos.p, pos.tk FROM pos
+      |         LEFT JOIN dropped d ON d.doc_id = pos.doc_id AND d.p = pos.p
+      |         WHERE d.p IS NULL),
+      |agg AS (SELECT doc_id,
+      |          array_to_string(list(tk ORDER BY p), ' ') AS cleaned_text,
+      |          COUNT(*) AS nk
+      |        FROM kept GROUP BY doc_id)
+      |SELECT tok.doc_id,
+      |  coalesce(a.cleaned_text, '') AS cleaned_text,
+      |  CAST(len(tok.t) - coalesce(a.nk, 0) AS BIGINT) AS n_dropped
+      |FROM tok LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // intra-doc excision twin: identical rebuild scaffolding, but a
+    // hit is an occurrence >= 10 positions after the FIRST occurrence
+    // of the same window in the SAME doc (occurrences overlapping the
+    // kept first occurrence count as part of it). Spark groups by
+    // xxhash64, this twin by the gram STRING — a hash collision
+    // surfaces as a parity failure.
+    "corpus_scrub_repeats" -> s"""
+      |WITH docs AS ($repeatsSql),
+      |tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |        FROM docs),
+      |g AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(list_slice(t, i, i + 9), ' ') AS gram
+      |  FROM tok, unnest(generate_series(1, len(t) - 9)) AS u(i)),
+      |fst AS (SELECT doc_id, gram, MIN(pos) AS f FROM g
+      |        GROUP BY doc_id, gram),
+      |hits AS (SELECT g.doc_id, g.pos FROM g JOIN fst USING (doc_id, gram)
+      |         WHERE g.pos >= fst.f + 10),
+      |isl AS (SELECT doc_id, pos,
+      |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+      |        FROM hits),
+      |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 9 AS e
+      |          FROM isl GROUP BY doc_id, k),
+      |pos AS (SELECT doc_id, i AS p, t[i] AS tk
+      |        FROM tok, unnest(generate_series(1, len(t))) AS u(i)),
+      |dropped AS (SELECT DISTINCT pos.doc_id, pos.p
+      |            FROM pos JOIN spans s ON s.doc_id = pos.doc_id
+      |              AND pos.p BETWEEN s.s AND s.e),
+      |kept AS (SELECT pos.doc_id, pos.p, pos.tk FROM pos
+      |         LEFT JOIN dropped d ON d.doc_id = pos.doc_id AND d.p = pos.p
+      |         WHERE d.p IS NULL),
+      |agg AS (SELECT doc_id,
+      |          array_to_string(list(tk ORDER BY p), ' ') AS cleaned_text,
+      |          COUNT(*) AS nk
+      |        FROM kept GROUP BY doc_id)
+      |SELECT tok.doc_id,
+      |  coalesce(a.cleaned_text, '') AS cleaned_text,
+      |  CAST(len(tok.t) - coalesce(a.nk, 0) AS BIGINT) AS n_dropped
+      |FROM tok LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "dedup_containment" -> s"""
       |WITH docs AS ($subsetsSql),

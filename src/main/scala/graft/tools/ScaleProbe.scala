@@ -71,6 +71,41 @@ object ScaleProbe {
     }
   }
 
+  /** Per-stage scaling forensics for the substring-span family
+    * (detection + excision): window-hash rows, surviving duplicated
+    * hashes, hit rows, islands (spans), and scrub output — the curve
+    * evidence for whether the two 8-byte shuffles + per-doc window
+    * shape holds at 10×. args: `spans <dir> [<dir2> ...]`.
+    */
+  private def probeSpans(spark: SparkSession, dir: String): Unit = {
+    println(s"[probe] === spans $dir ===")
+    val docs = ScaleDedupQueries.withNearDups(spark, dir)
+    val nDocs = timed("docs.count")(docs.count())
+    val grams = timed("window hashes materialize") {
+      val g = ScaleDedup.windowHashes(docs, "doc_id", "text", 10)
+      g.count(); g
+    }
+    val nGrams = grams.count()
+    val dup = timed("dup hashes (>=2 docs)") {
+      val d = grams.groupBy(col("h"))
+        .agg(countDistinct(col("id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h")).localCheckpoint()
+      d.count(); d
+    }
+    val nDup = dup.count()
+    val nHits = timed("hits join")(grams.join(dup, "h").count())
+    val nSpans = timed("islands (detection query)") {
+      graft.SparkEntry.queries("corpus_substring_spans")(spark, dir).count()
+    }
+    timed("scrub (excision query)") {
+      graft.SparkEntry.queries("corpus_scrub_spans")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(s"[probe]   rows: docs=$nDocs grams=$nGrams dupHashes=$nDup " +
+      s"hits=$nHits spans=$nSpans " +
+      f"grams/doc=${nGrams.toDouble / nDocs}%.1f hits/doc=${nHits.toDouble / nDocs}%.1f")
+  }
+
   /** A/B the two ngram-Jaccard physical plans (grouped in-group
     * expansion vs index self-join) on the benched workload. args:
     * `ab <dir> [<dir2> ...]`.
@@ -102,6 +137,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("seq")) benchSeq(spark, args(1), args.drop(2).toSeq)
     else if (args.headOption.contains("ab")) args.drop(1).foreach(abJaccard(spark, _))
+    else if (args.headOption.contains("spans")) args.drop(1).foreach(probeSpans(spark, _))
     else dirs.foreach(probe(spark, _))
     spark.stop()
   }

@@ -193,6 +193,99 @@ class ScaleDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubSpans removes non-owner spans, keeps the owner intact (hand-computed)") {
+    import spark.implicits._
+    // A (id 1) and B (id 2) share the 11-token run a..k; A is the
+    // owner (min id per duplicated window), so A keeps its text and B
+    // loses tokens 3..13. C shares nothing.
+    val a = (('a' to 'k').map(_.toString) :+ "l").mkString(" ")
+    val b = (Seq("x1", "x2") ++ ('a' to 'k').map(_.toString) :+ "y1").mkString(" ")
+    val c = (1 to 10).map(i => s"q$i").mkString(" ")
+    val docs3 = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = ScaleDedup.scrubSpans(docs3, "doc_id", "text", minTokens = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((a, 0L)))
+    assert(got(2L) === (("x1 x2 y1", 11L)))
+    assert(got(3L) === ((c, 0L)))
+  }
+
+  test("scrubSpans drops each near-dup copy's duplicated prefix end-to-end") {
+    val lens = docs.select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = ScaleDedup.scrubSpans(docs, "doc_id", "text", minTokens = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got.size === lens.size) // one row per input doc, always
+    // every +100000 copy duplicates its original's full text and is
+    // never the owner (the original's id is smaller), so at least the
+    // original's token count is excised from the copy.
+    val copies = lens.keys.filter(id => id >= 100000L && lens(id - 100000L) >= 10)
+    assert(copies.nonEmpty)
+    copies.foreach { id =>
+      assert(got(id)._2 >= lens(id - 100000L),
+        s"copy $id dropped only ${got(id)._2} of >=${lens(id - 100000L)} tokens")
+    }
+    // untouched docs come back token-rebuilt (lowercased, single-space)
+    val rebuilt = docs.select(col("doc_id"),
+        concat_ws(" ", graft.text.TextAnalysis.tokens(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.filter(_._2._2 == 0L).foreach { case (id, (txt, _)) =>
+      assert(txt === rebuilt(id), s"doc $id modified despite n_dropped=0")
+    }
+  }
+
+  test("scrubRepeats collapses periodic text to one period (hand-computed)") {
+    import spark.implicits._
+    // Doc 1: a 12-token run P repeated 3x — every window at pos >= 13
+    // recurs 12 positions earlier, so islands cover 13..36 and exactly
+    // one period survives. Doc 2: Q(10) + filler + Q — the second Q
+    // starts 11 > L past the first, dropped. Doc 3: no repeats.
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val q = (1 to 10).map(i => s"q$i").mkString(" ")
+    val docs3 = Seq(
+      (1L, s"$p $p $p"),
+      (2L, s"$q f1 $q"),
+      (3L, (1 to 15).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val got = ScaleDedup.scrubRepeats(docs3, "doc_id", "text", minTokens = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((p, 24L)))
+    assert(got(2L) === ((s"$q f1", 10L)))
+    assert(got(3L)._2 === 0L)
+  }
+
+  test("scrubRepeats excises the fixture's appended double prefix end-to-end") {
+    val fixture = ScaleDedupQueries.withRepeats(spark, TestSpark.SfDir)
+    val lens = fixture.select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = ScaleDedup.scrubRepeats(fixture, "doc_id", "text", minTokens = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.size === lens.size)
+    // every tagged doc carries its own 12-token prefix appended twice:
+    // both appended copies sit >= 12 positions after the prefix, so at
+    // least those 24 tokens are excised (more only if the base text
+    // has natural >= 10-token self-repeats).
+    val tagged = lens.keys.filter(id => id % 5 == 0 && lens(id) >= 36)
+    assert(tagged.nonEmpty)
+    tagged.foreach { id =>
+      assert(got(id) >= 24L, s"doc $id dropped only ${got(id)} of >=24 tokens")
+    }
+  }
+
+  test("span operators run ONE corpus scan per consumer-pair (pinned grams)") {
+    // windowHashes is localCheckpoint'ed: the dup aggregate and the
+    // hits join both read the checkpoint, so the executed plan carries
+    // NO parquet scan of the corpus beyond the pin itself (4 scans
+    // before the fix — the corpus was re-read and re-tokenized).
+    val plan = ScaleDedup.duplicatedSpans(docs, "doc_id", "text", 10)
+      .queryExecution.executedPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.isEmpty,
+      s"expected all consumers to read the pinned gram checkpoint, got ${scans.size} file scans")
+  }
+
   test("exact dedup groups carry duplicate counts") {
     val d = ScaleDedup.exact(
       docs.limit(0).unionByName(
