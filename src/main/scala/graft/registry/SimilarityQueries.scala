@@ -48,26 +48,35 @@ object SimilarityQueries extends QueryRegistry {
     // The 4 ANN families run under the recall-floor oracle
     // (`Knn.recallChecked`, the a8_distinct_approx pattern): the query
     // emits per query_id the exact top-1 id and decimal-exact top-k
-    // sim sum — recomputed by the DuckDB all-pairs twin — plus a
-    // boolean `recall_ok` (ANN hits at the k-th exact similarity ≥
-    // floor) the twin asserts as literal TRUE. Index parameters are
+    // sim sum — recomputed by the DuckDB all-pairs twin — plus TWO
+    // booleans the twin asserts as literal TRUE: `recall_ok` (this
+    // query's ANN hits at the k-th exact similarity ≥ minHits) and
+    // `agg_recall_ok` (hits summed over ALL 20 queries ≥ minTotalHits
+    // — catches an index that decays broadly without dipping any
+    // single query below its per-query floor). Index parameters are
     // fixture-tuned (random 64-dim vectors are near-orthogonal, so
-    // neighbor angles are wide — few planes, many tables); minHits
-    // floors sit at the measured per-query minimum across sf0.01
-    // (500 vecs), sf0.1 (2k) and the 10× replica (20k): LSH 3/4/5,
-    // IVF 2/2/4, PQ 4/4/5, IVF-PQ 2/2/4 (tools/RecallProbe).
+    // neighbor angles are wide — few planes, many tables).
+    //
+    // Floors are measured minima (tools/RecallProbe) across FOUR
+    // fixtures — sf0.01 (500 vecs), sf0.1 (2k), the rotated 10× bench
+    // replica and the sign-flip 10× verify replica (20k each):
+    // per-query LSH 3/4/4/5, IVF 2/2/3/4, PQ 4/4/2/5, IVF-PQ 2/2/3/4;
+    // aggregate LSH 93/97/96/100, IVF 79/79/82/99, PQ 99/93/82/100,
+    // IVF-PQ 80/77/76/99. minTotalHits = aggregate minimum − 3, a
+    // determinism guard for Lloyd's partition-order float sums (the
+    // rotation replica genuinely hardens PQ: its per-query floor is 2).
     "ann_lsh_topk" -> ((s, dir) => {
       val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
       Knn.recallChecked(
         Knn.lshTopK(emb, q, dim = 64, nPlanes = 3, k = 5, nTables = 12),
-        q, emb, k = 5, minHits = 3)
+        q, emb, k = 5, minHits = 3, minTotalHits = 90)
     }),
 
     "ann_ivf_topk" -> ((s, dir) => {
       val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
       Knn.recallChecked(
         Knn.ivfTopK(emb, q, nCentroids = 16, nProbe = 8, k = 5, lloydIters = 1),
-        q, emb, k = 5, minHits = 2)
+        q, emb, k = 5, minHits = 2, minTotalHits = 76)
     }),
 
     // PQ/ADC: codes-only candidate scan (m lookups per candidate, the
@@ -77,7 +86,7 @@ object SimilarityQueries extends QueryRegistry {
       Knn.recallChecked(
         Knn.pqTopK(emb, q, dim = 64, m = 16, kCode = 32, k = 5,
           lloydIters = 2, rerankFactor = 16),
-        q, emb, k = 5, minHits = 4)
+        q, emb, k = 5, minHits = 2, minTotalHits = 79)
     }),
 
     // IVF-PQ composed: residual-encoded codes bucketed by inverted
@@ -89,7 +98,7 @@ object SimilarityQueries extends QueryRegistry {
       Knn.recallChecked(
         Knn.ivfPqTopK(emb, q, dim = 64, nCentroids = 16, nProbe = 8,
           m = 16, kCode = 32, k = 5, lloydIters = 1, rerankFactor = 16),
-        q, emb, k = 5, minHits = 2)
+        q, emb, k = 5, minHits = 2, minTotalHits = 73)
     }),
 
     // semantic dedup composition: blocked cosine pairs -> connected
@@ -152,7 +161,8 @@ object SimilarityQueries extends QueryRegistry {
     |SELECT query_id,
     |  MIN(CASE WHEN rank = 1 THEN cand_id END) AS exact_top1,
     |  round(CAST(SUM(CAST(sim AS DECIMAL(18,9))) AS DOUBLE), 6) AS exact_sim_sum,
-    |  TRUE AS recall_ok
+    |  TRUE AS recall_ok,
+    |  TRUE AS agg_recall_ok
     |FROM r WHERE rank <= 5 GROUP BY query_id""".stripMargin
 
   def oracle: Map[String, String] = Map(

@@ -454,15 +454,25 @@ object Knn {
   }
 
   /** The oracle-facing form (`a8_distinct_approx` pattern): exact-side
-    * columns a DuckDB all-pairs twin recomputes, plus a boolean recall
-    * floor the twin asserts as literal TRUE. A broken ANN index flips
-    * `recall_ok` false and fails the hash gate.
+    * columns a DuckDB all-pairs twin recomputes, plus TWO boolean
+    * recall floors the twin asserts as literal TRUE. `recall_ok` is
+    * per-query (hits ≥ minHits — catches one query cratering);
+    * `agg_recall_ok` is corpus-level (sum of hits across ALL queries ≥
+    * minTotalHits — catches an index that decays broadly without
+    * dipping any single query below its per-query floor). The total is
+    * an unpartitioned window over the per-query audit rows — #queries
+    * rows, a driver-bounded set by construction, never corpus-sized.
+    * A broken ANN index flips a floor false and fails the hash gate.
     */
   def recallChecked(ann: DataFrame, queries: DataFrame, corpus: DataFrame,
-                    k: Int, minHits: Int): DataFrame =
+                    k: Int, minHits: Int, minTotalHits: Int = 0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     recallAudit(ann, queries, corpus, k)
+      .withColumn("_total", sum(col("hits")).over(w))
       .select(col("query_id"), col("exact_top1"), col("exact_sim_sum"),
-        (col("hits") >= minHits).as("recall_ok"))
+        (col("hits") >= minHits).as("recall_ok"),
+        (col("_total") >= minTotalHits).as("agg_recall_ok"))
+  }
 
   def cosineNearDupPairsBlocked(
       vectors: DataFrame, dim: Int, threshold: Double,

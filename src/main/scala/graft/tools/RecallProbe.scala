@@ -54,7 +54,7 @@ object RecallProbe {
       val h = Knn.recallAudit(ann, qs, emb, k)
         .select(col("hits")).collect().map(_.getLong(0))
       println(s"[recall] $name registry-params hits: min=${h.min} " +
-        f"avg=${h.sum.toDouble / h.length}%.2f n=${h.length}")
+        f"avg=${h.sum.toDouble / h.length}%.2f sum=${h.sum} n=${h.length}")
     }
     hitStats("ann_lsh_topk", Knn.lshTopK(emb, qs, 64, 8, k, nTables = 2))
     hitStats("lsh 3x12", Knn.lshTopK(emb, qs, 64, 3, k, nTables = 12))
