@@ -29,6 +29,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
 case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     extends UnaryExpression {
 
+  // Fail at construction with a descriptive message, not at eval time
+  // with an opaque ArrayIndexOutOfBounds: compute() derives subDim from
+  // codebooks(0)(0) and assumes every subspace is non-empty and
+  // uniform-width (an empty subspace would otherwise silently emit
+  // code 0; degenerate training input would NPE mid-query).
+  locally {
+    require(codebooks.nonEmpty, "pq_encode: codebooks must have >= 1 subspace")
+    require(codebooks.forall(_.nonEmpty),
+      "pq_encode: every subspace codebook needs >= 1 centroid " +
+        "(degenerate/empty training input?)")
+    val widths = codebooks.flatMap(_.map(_.length)).distinct
+    require(widths.sizeIs == 1 && widths.head > 0,
+      s"pq_encode: centroid widths must be uniform and positive, got $widths")
+  }
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "pq_encode"

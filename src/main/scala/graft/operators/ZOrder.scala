@@ -48,21 +48,37 @@ object ZOrder {
     * doubles (exact for ranges below 2^53, i.e. any real key domain).
     */
   def layoutBy(df: DataFrame, c1: String, c2: String, numFiles: Int,
-               bits: Int = 16): DataFrame = {
+               bits: Int = 16): DataFrame =
+    boundsOf(df, c1, c2) match {
+      case None => df // empty or all-null keys: nothing to cluster
+      case Some(b) =>
+        df.withColumn("_z", zOf(b, c1, c2, bits))
+          .repartitionByRange(numFiles, col("_z"))
+          .sortWithinPartitions(col("_z"))
+          .drop("_z")
+    }
+
+  /** Null-safe (min1, max1, min2, max2) of the two layout keys; None
+    * when the frame is empty or either key is all-null (min/max
+    * aggregates come back null — `getDouble` would NPE, mirroring the
+    * GlobalRank.withNtile empty-input guard).
+    */
+  private def boundsOf(df: DataFrame, c1: String, c2: String)
+      : Option[(Double, Double, Double, Double)] = {
     val r = df.agg(
       min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head
+    if ((0 to 3).exists(r.isNullAt)) None
+    else Some((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+  }
+
+  private def zOf(b: (Double, Double, Double, Double),
+                  c1: String, c2: String, bits: Int): Column = {
     val cells = (1L << bits) - 1
     def cell(c: String, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
       else floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * cells).cast("long")
-    val z = zValue(
-      cell(c1, r.getDouble(0), r.getDouble(1)),
-      cell(c2, r.getDouble(2), r.getDouble(3)), bits)
-    df.withColumn("_z", z)
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+    zValue(cell(c1, b._1, b._2), cell(c2, b._3, b._4), bits)
   }
 
   /** The production composition of BOTH pruning layers: hive-partition
@@ -75,20 +91,13 @@ object ZOrder {
     * `.write.partitionBy(partCol)`.
     */
   def layoutWithin(df: DataFrame, partCol: String, c1: String, c2: String,
-                   numFiles: Int, bits: Int = 16): DataFrame = {
-    val r = df.agg(
-      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
-      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head
-    val cells = (1L << bits) - 1
-    def cell(c: String, lo: Double, hi: Double): Column =
-      if (hi <= lo) lit(0L)
-      else floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * cells).cast("long")
-    val z = zValue(
-      cell(c1, r.getDouble(0), r.getDouble(1)),
-      cell(c2, r.getDouble(2), r.getDouble(3)), bits)
-    df.withColumn("_z", z)
-      .repartitionByRange(numFiles, col(partCol), col("_z"))
-      .sortWithinPartitions(col(partCol), col("_z"))
-      .drop("_z")
-  }
+                   numFiles: Int, bits: Int = 16): DataFrame =
+    boundsOf(df, c1, c2) match {
+      case None => df // empty or all-null keys: nothing to cluster
+      case Some(b) =>
+        df.withColumn("_z", zOf(b, c1, c2, bits))
+          .repartitionByRange(numFiles, col(partCol), col("_z"))
+          .sortWithinPartitions(col(partCol), col("_z"))
+          .drop("_z")
+    }
 }
