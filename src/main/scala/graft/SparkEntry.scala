@@ -26,6 +26,7 @@ object SparkEntry {
     registry.OpsQueries,
     registry.SourceQueries,
     registry.CorpusOpsQueries,
+    registry.SketchQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

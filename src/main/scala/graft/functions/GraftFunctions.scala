@@ -36,6 +36,13 @@ object GraftFunctions {
   def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks))
 
+  /** `cms_estimate(sketch, item)` — point-query a serialized
+    * Count-Min sketch column for a string item's estimated count.
+    */
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    ColumnBridge.column(CmsEstimate(
+      ColumnBridge.expression(sketch), ColumnBridge.expression(item)))
+
   /** `sample_k(c, k)` — deterministic bottom-k-by-md5 hash sample
     * aggregate (order/partitioning-independent distributed sampling).
     */
