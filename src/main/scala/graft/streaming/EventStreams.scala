@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.functions.OracleSafe._
 
@@ -74,6 +75,53 @@ object EventStreams {
           state.update((t, n))
           out.iterator
       }
+  }
+
+  case class TotalState(total: Double, n: Long)
+
+  /** [[runningTotals]] on the Spark-4 arbitrary-stateful API
+    * (`transformWithState` / state v2): a [[StatefulProcessor]] with a
+    * named [[ValueState]] replaces the GroupState closure. Semantics
+    * are IDENTICAL to the flatMapGroupsWithState form (spec-pinned
+    * batch-for-batch) — what the new API buys at scale is operational:
+    * typed named state vars a future version can add to without a
+    * state-format break, per-state TTL configs enforced by the store
+    * itself (no timeout plumbing in user code), event/processing-time
+    * timers decoupled from data arrival, and first-class RocksDB
+    * backing (the API REQUIRES the RocksDB provider — the off-heap
+    * backend a 100 TB ingest runs anyway, per RocksDbStateSpec).
+    */
+  def runningTotalsTws(events: Dataset[UserEvent], alertAt: Double): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor(alertAt),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Per-user running-total processor: one ValueState slot per key,
+    * in-batch rows applied in (ts, value) order — the same determinism
+    * rule as the GroupState form.
+    */
+  class RunningTotalProcessor(alertAt: Double)
+      extends StatefulProcessor[Long, UserEvent, UserTotal] {
+    @transient private var state: ValueState[TotalState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TotalState]("totals",
+        Encoders.product[TotalState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[UserTotal] = {
+      val prev = if (state.exists()) state.get() else TotalState(0.0, 0L)
+      var t = prev.total
+      var n = prev.n
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).map { e =>
+        t += e.value; n += 1
+        UserTotal(uid, t, n, t >= alertAt)
+      }
+      state.update(TotalState(t, n))
+      out.iterator
+    }
   }
 
   /** Stream–stream inner join with an event-time bound: each click
