@@ -34,7 +34,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "ann_lsh_topk",   // the LSH path itself is pure equi-join; the
                         // BNLJ is the in-query exact baseline of the
                         // recall-floor oracle (fixture-scale only)
-      "a7_headline_metrics")
+      "a7_headline_metrics",
+      "text_heavy_hitters_sketch", // the corpus-wide CMS blob + total
+                                   // is a ONE-ROW global aggregate
+                                   // broadcast-crossed onto the 20-row
+                                   // probe set — O(n·1) row concat,
+                                   // not an all-pairs shape
+      "text_distinct_hll")         // same: the union-sketch/global-
+                                   // exact single-row aggregates
+                                   // attach to per-source rows
 
   test("no registered query plans an all-pairs join outside the declared baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
