@@ -183,6 +183,20 @@ object CorpusOpsQueries extends QueryRegistry {
             - col("sclogc").cast("double") / col("n_tokens").cast("double"))
             .as("entropy"))),
 
+    // Per-domain cap (no source may dominate the training mix — the
+    // RefinedWeb-style quota): keep at most k=20 best-quality docs per
+    // source, quality desc with doc_id tiebreak, through the NATIVE
+    // partial/final top-k operator — at most k rows per source per
+    // input partition reach the exchange, where the window-rank form
+    // shuffles every row of a 100 TB corpus to rank then discard.
+    "corpus_domain_cap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.plans.TopK.perKey(d, Seq(col("source")),
+          Seq(col("quality").desc, col("doc_id")), k = 20)
+        .select(col("source"), col("doc_id"), col("quality"))
+    }),
+
     // Curriculum phasing: documents ranked by quality score and cut
     // into 10 equal phases (phase 1 = lowest-quality decile → train
     // first/last per strategy). Exact global NTILE via GlobalRank —
@@ -404,6 +418,25 @@ object CorpusOpsQueries extends QueryRegistry {
       |  ln(CAST(n_tokens AS DOUBLE))
       |    - CAST(sclogc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS entropy
       |FROM a""".stripMargin,
+
+    "corpus_domain_cap" -> s"""
+      |WITH t AS (SELECT doc_id, source,
+      |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS ntok,
+      |  CAST(length(text) AS DOUBLE) AS nchars,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+      |  CAST(${TextQueries.hits("en")} AS DOUBLE) AS h
+      |FROM documents),
+      |q AS (SELECT doc_id, source, round(
+      |  least(ntok / 100.0, 1.0) * 0.3 +
+      |  (CASE WHEN nchars / greatest(ntok, 1.0) BETWEEN 3.0 AND 10.0
+      |        THEN 1.0 ELSE 0.3 END) * 0.2 +
+      |  alpha / greatest(nchars, 1.0) * 0.3 +
+      |  least(h / 3.0, 1.0) * 0.2, 6) AS quality
+      |FROM t),
+      |r AS (SELECT source, doc_id, quality, row_number() OVER (
+      |        PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+      |      FROM q)
+      |SELECT source, doc_id, quality FROM r WHERE rn <= 20""".stripMargin,
 
     "corpus_curriculum" -> s"""
       |WITH t AS (SELECT doc_id,

@@ -99,6 +99,22 @@ object ScaleDedupQueries extends QueryRegistry {
         Tables.documents(s, dir).select(col("source"), col("text")),
         "source", "text")),
 
+    // source authority: fixed-iteration PageRank over the directed
+    // source-overlap graph (edge a→b weighted by shared distinct
+    // shingles) — which sources are HUBS of duplicated content versus
+    // originators. Scaled-integer arithmetic end to end, so the
+    // unrolled DuckDB twin matches hash-for-hash; every per-iteration
+    // frame is node/edge-sized (#sources ~ 20), never corpus-sized.
+    "corpus_source_authority" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("source"), col("text"))
+      val nodes = docs.select(col("source").as("id")).distinct()
+      val edges = ScaleDedup.sourceOverlap(docs, "source", "text")
+        .select(col("src_a").as("src"), col("src_b").as("dst"),
+          col("n_shared").as("w"))
+      graft.operators.PageRank.ranks(nodes, edges, iters = 5)
+        .select(col("id").as("source"), col("authority"))
+    }),
+
     // exact Jaccard (maxDocFreq=0) — the oracle-parity baseline; the
     // capped form below is the scale default.
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -321,6 +337,20 @@ object ScaleDedupQueries extends QueryRegistry {
       |SELECT src_a, src_b, CAST(i AS BIGINT) AS n_shared,
       |  CAST((CAST(i AS HUGEINT) * 2000000 + sz) // (2 * sz) AS DOUBLE) / 1000000 AS containment
       |FROM inter JOIN sizes s ON s.source = src_a""".stripMargin,
+
+    "corpus_source_authority" -> graft.operators.PageRank.oracleSql(
+      nodesSql = "SELECT DISTINCT source AS id FROM documents",
+      edgesSql = """
+        |WITH tok AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |shg AS (
+        |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i))
+        |SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        |FROM shg a JOIN shg b ON a.shingle = b.shingle AND a.source <> b.source
+        |GROUP BY 1, 2""".stripMargin,
+      iters = 5),
 
     "corpus_substring_spans" -> s"""
       |WITH docs AS ($nearDupsSql),
