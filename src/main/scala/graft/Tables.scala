@@ -29,10 +29,19 @@ object Tables {
     val df = t(spark, dir, "events")
     // Replicated fixtures (tools.ReplicateSf) store ts as a plain micros
     // TIMESTAMP — only the raw-nanos layout needs the rebuild.
+    // Driver regenerations have also shipped plain-micros files with no UTC
+    // flag, which Spark 4 reads as TIMESTAMP_NTZ; `unix_micros` and the
+    // interval-join arithmetic require TIMESTAMP. The session TZ is pinned
+    // UTC, so the cast is a metadata-only relabel (bit-identical values).
+    // Schema-on-read must tolerate writer variance across all three layouts.
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
