@@ -15,29 +15,47 @@ import org.apache.spark.sql.functions._
   *
   * Noise protocol — the box is co-tenant-noisy (recorded rounds have
   * disagreed with isolated re-runs by 10–60×), so the bench defends
-  * itself in three layers:
-  *  1. START GATE: if the 1-min loadavg exceeds SPARK_GRAFT_LOAD_GATE
-  *     (default 2.0) the bench WAITS for a quiet box, up to
-  *     SPARK_GRAFT_GATE_WAIT_SEC (default 600 s), recording the wait.
+  * itself in four layers:
+  *  1. QUIET GATE: if the EXTERNAL load exceeds SPARK_GRAFT_LOAD_GATE
+  *     busy cores (default 2.0) the bench WAITS for a quiet box, up to
+  *     SPARK_GRAFT_GATE_WAIT_SEC (default 600 s) at start, recording
+  *     the wait. The gate is RE-APPLIED before every sf1-tier query
+  *     (up to 120 s each) — round 6 proved a start-only gate is blind
+  *     to load that arrives mid-run and inflates the whole heavy tail
+  *     consistently. External load is measured as the instantaneous
+  *     /proc/stat busy fraction sampled while this process is idle,
+  *     NOT the 1-min loadavg: loadavg decays over minutes, so after
+  *     one of our own 32-thread queries a loadavg gate would wait on
+  *     the bench's own wake.
   *  2. TRIALS + RECOVERY: every query runs ≥3 trials; a query whose
-  *     median/min spread still exceeds 1.5× gets up to 2 bounded
-  *     recovery re-trials. If the flag persists, its HEADLINE number
-  *     becomes the MIN (ambient load only ever adds time, so min is
-  *     the best estimate of the code's cost) — a usable number ships
-  *     instead of a correctly-flagged useless median.
-  *  3. SELF-REPORTING: `/proc/loadavg` at start/end, per-query spread
-  *     flags (worst 5 on stdout, all in the file artifact), and a
-  *     top-level `rejected: true` when >1/3 of queries stay flagged
-  *     after recovery.
+  *     median/min spread exceeds 1.5× OR whose max/min exceeds 3×
+  *     (the round-6 advisor hole: a single 291 s outlier trial hid
+  *     behind a clean median) gets up to 2 bounded recovery re-trials.
+  *     If the flag persists, its HEADLINE number becomes the MIN
+  *     (ambient load only ever adds time, so min is the best estimate
+  *     of the code's cost).
+  *  3. CROSS-ROUND REFERENCE: each headline is compared to the min
+  *     recorded in the previous committed `bench/BENCH_local.json`.
+  *     >3× slower with elevated per-trial load ⇒ re-gate + 2 fresh
+  *     trials; if still >3× the entry ships with `suspect_load: true`
+  *     (elevated load) or just its `vs_prev` ratio (quiet box — a
+  *     genuine regression, not hidden). This catches CONSISTENT
+  *     inflation, which no within-run spread check can see (round 6:
+  *     both sf1 jaccard trials ran 13× slow under load, spread 1.13).
+  *  4. SELF-REPORTING: `/proc/loadavg` at start/end, the 1-min load
+  *     sampled at EVERY trial start (recorded per-trial in the
+  *     artifact), per-query spread/outlier flags, explicit trial
+  *     counts + `budget_capped` so a missing trial is always
+  *     explained, and a top-level `rejected: true` when >1/3 of
+  *     queries stay flagged-or-suspect after recovery.
   *
   * Artifact contract (the round-5 lesson: the single stdout line
   * outgrew the driver's ~2 KB stdout-tail capture and recorded
   * `parsed: null`): stdout carries one COMPACT line — 2-decimal
   * medians-or-mins, min values only for flagged queries, worst-5
   * noise flags — kept under ~1.6 KB, while the FULL artifact
-  * (3-decimal per-trial times, every min, every spread, gate wait)
-  * is written to `bench/BENCH_local.json` in the repo so nothing is
-  * lost.
+  * (3-decimal per-trial times + loads, every min/max/spread, gate
+  * waits, vs-prev ratios) is written to `bench/BENCH_local.json`.
   *
   * Harness contract: the metrics JSON is the ONLY line this main prints
   * to stdout (Spark logs go to stderr; build.sbt routes forked stdout
@@ -72,23 +90,25 @@ object Bench {
     "corpus_curriculum",
     "corpus_substring_spans",
     "corpus_scrub_spans",
-    "corpus_scrub_repeats")
+    "corpus_scrub_repeats",
+    "corpus_source_authority")
 
   /** The 10× scaling checkpoint: a subset chosen to answer the
     * empirical questions a 100 TB plan review asks — where the
     * composed LSH dedup crosses over the capped exact-Jaccard form,
-    * how the native top-k gap vs the window form grows with data, and
-    * (new in r5) the 10× curve of the heavy operators that had no
-    * recorded ratio: the source-overlap matrix, segment dedup, the
-    * exact-NTILE curriculum, the full IPES pipeline, and the PQ
-    * vector-index family.
+    * how the native top-k gap vs the window form grows with data,
+    * the 10× curve of the heavy operators (source-overlap matrix,
+    * segment dedup, exact-NTILE curriculum, full IPES pipeline, the
+    * PQ vector-index family), and (new in r7) the iterative PageRank
+    * over the source-overlap graph — the one registered query round 6
+    * shipped without a scale record.
     */
   private val Sf1Headline = Seq(
     "q1_agg", "w1_latest_per_group", "w1_latest_native",
     "dedup_ngram_jaccard_capped", "dedup_corpus_composed", "corpus_prep",
     "text_quality", "dedup_containment",
     "source_overlap", "dedup_segments", "corpus_curriculum",
-    "ipes_companies_full", "ann_pq_topk")
+    "ipes_companies_full", "ann_pq_topk", "corpus_source_authority")
 
   /** Build a deterministic 10× replica of the sf0.1 tables the sf1
     * subset reads, once, under target/ (reused via _DONE marker).
@@ -162,19 +182,48 @@ object Bench {
   private def load1(): Double =
     try loadavg().split("\\s+")(0).toDouble catch { case _: Throwable => 0.0 }
 
-  /** Start gate: wait (in 15 s steps, up to `maxWaitSec`) for the
-    * 1-min loadavg to drop under `gate` before the first timed trial —
-    * a run that starts on a busy box is wasted no matter how well it
-    * flags itself afterwards. Returns seconds waited. gate <= 0
-    * disables.
+  private def cpuTicks(): Option[(Long, Long)] = try {
+    // /proc/stat first line: cpu user nice system idle iowait irq ...
+    val f = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val p = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      Some((p.sum, p(3) + p(4))) // (total, idle+iowait)
+    } finally f.close()
+  } catch { case _: Throwable => None }
+
+  /** Fraction of CPU busy over a short sample window. This — not the
+    * 1-min loadavg — is the gating signal BETWEEN queries: loadavg
+    * decays over minutes, so right after one of our own 32-thread
+    * queries it still reads 8+ and a loadavg gate would wait on the
+    * bench's own wake. While this process is idle (it is, during the
+    * sample) any busy CPU is EXTERNAL load, measured instantly.
+    */
+  private def busyFrac(sampleMs: Int = 1000): Double =
+    (cpuTicks(), { Thread.sleep(sampleMs); cpuTicks() }) match {
+      case (Some((t0, i0)), Some((t1, i1))) if t1 > t0 =>
+        1.0 - (i1 - i0).toDouble / (t1 - t0)
+      case _ => 0.0
+    }
+
+  /** External-load equivalent of the 1-min loadavg: busy cores now. */
+  private def busyCores(): Double =
+    busyFrac() * Runtime.getRuntime.availableProcessors()
+
+  /** Quiet gate: wait (in 15 s steps, up to `maxWaitSec`) for the
+    * instantaneous external busy-core count to drop under `gate`
+    * before a timed trial — a number recorded on a busy box is wasted
+    * no matter how well it flags itself afterwards. Returns seconds
+    * waited. gate <= 0 disables.
     */
   private def waitForQuiet(gate: Double, maxWaitSec: Int): Int = {
     var waited = 0
-    while (gate > 0 && load1() > gate && waited < maxWaitSec) {
-      System.err.println(f"[bench] load gate: 1-min loadavg ${load1()}%.2f > " +
+    var busy = if (gate > 0) busyCores() else 0.0
+    while (gate > 0 && busy > gate && waited < maxWaitSec) {
+      System.err.println(f"[bench] load gate: $busy%.2f cores busy > " +
         f"$gate%.1f, waiting (${waited}s/${maxWaitSec}s)")
       Thread.sleep(15000)
       waited += 15
+      busy = busyCores()
     }
     waited
   }
@@ -188,12 +237,67 @@ object Bench {
   private def spreadOf(ts: Seq[Double]): Double =
     if (ts.isEmpty || ts.min <= 0) 1.0 else median(ts) / ts.min
 
+  /** max/min ratio — catches a single slow outlier trial that a clean
+    * median hides (the round-6 advisor finding: an unflagged 291 s
+    * trial inside an otherwise-quiet set).
+    */
+  private def outlierOf(ts: Seq[Double]): Double =
+    if (ts.isEmpty || ts.min <= 0) 1.0 else ts.max / ts.min
+
+  private def flagged(ts: Seq[Double]): Boolean =
+    spreadOf(ts) > 1.5 || outlierOf(ts) > 3.0
+
+  /** headline per query: median normally; MIN when a noise flag
+    * persisted through recovery (load only ever adds time, so min is
+    * the best available estimate of the code's cost on a noisy box).
+    */
+  private def headlineOf(ts: Seq[Double]): Double =
+    if (flagged(ts)) ts.min else median(ts)
+
+  /** One timed trial with the 1-min loadavg sampled at its start. */
+  private case class Trial(sec: Double, load: Double)
+
+  /** Per-query result with everything the artifact needs to defend
+    * (or indict) the number.
+    */
+  private case class QRes(trials: Seq[Trial], budgetCapped: Boolean,
+                          suspectLoad: Boolean, vsPrev: Option[Double],
+                          gateSec: Int) {
+    def secs: Seq[Double] = trials.map(_.sec)
+  }
+
+  /** Per-query mins from the previously COMMITTED bench artifact,
+    * keyed "name" / "sf1:name" — the cross-round reference that
+    * catches consistent inflation (all trials slow under load, so the
+    * within-run spread check is blind). Missing/unparseable file ⇒
+    * empty map, checks disabled.
+    */
+  private def prevMins(path: String): Map[String, Double] = try {
+    import scala.jdk.CollectionConverters._
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    def tier(field: String, prefix: String): Seq[(String, Double)] = {
+      val node = root.path(field)
+      if (!node.isObject) Seq.empty
+      else node.fields().asScala.toSeq.flatMap { e =>
+        val m = e.getValue.path("min")
+        if (m.isNumber || m.isTextual) Some(prefix + e.getKey -> m.asDouble())
+        else None
+      }
+    }
+    (tier("queries", "") ++ tier("sf1_queries", "sf1:")).toMap
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
-    val gateWaitSec = waitForQuiet(
-      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble,
+    val gate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
+    val fullPath = "bench/BENCH_local.json"
+    // Read the reference BEFORE this run overwrites the artifact.
+    val prevRef = prevMins(fullPath)
+    val gateWaitSec = waitForQuiet(gate,
       sys.env.getOrElse("SPARK_GRAFT_GATE_WAIT_SEC", "600").toInt)
     val loadStart = loadavg()
     val spark = SparkSession.builder()
@@ -209,8 +313,9 @@ object Bench {
 
     // Untimed warmup: JIT the write path, list files, load parquet
     // footers so the first timed query doesn't pay session cold-start.
-    // Reads go through Tables.* — events.parquet is TIMESTAMP(NANOS)
-    // and needs the legacy-nanos workaround a raw read would miss.
+    // Reads go through Tables.* — events.parquet has shipped as
+    // TIMESTAMP(NANOS), NTZ micros, and tz micros across driver
+    // regenerations; Tables.events normalizes all three.
     spark.range(1000000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
     val warm: Seq[(SparkSession, String) => DataFrame] = Seq(
@@ -244,62 +349,91 @@ object Bench {
     }
 
     /** Run `name` for `n` timed trials in session `s` against `dir`;
-      * returns per-trial seconds, or None (with the error recorded)
-      * if a trial fails. `budgetSec` caps the heavy tail: once ≥2
-      * trials are in and their cumulative time exceeds it, stop —
-      * min-of-2 still debiases ambient load, and the cap keeps the
-      * 10× tier inside the round's wall-clock budget.
+      * returns (per-trial results, budget-capped?), or None (with the
+      * error recorded) if a trial fails. `budgetSec` caps the heavy
+      * tail: once ≥2 trials are in and their cumulative time exceeds
+      * it, stop — min-of-2 still debiases ambient load, and the cap
+      * keeps the 10× tier inside the round's wall-clock budget. A cap
+      * is RECORDED (`budget_capped`) so a missing trial is never a
+      * mystery in the artifact.
       */
     def runTrials(s: SparkSession, dir: String, name: String, n: Int,
                   errs: scala.collection.mutable.Map[String, String],
-                  budgetSec: Double = Double.MaxValue): Option[Seq[Double]] = {
+                  budgetSec: Double = Double.MaxValue): Option[(Seq[Trial], Boolean)] = {
       SparkEntry.queries.get(name) match {
         case None => errs(name) = "query not registered"; None
         case Some(fn) =>
-          val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val ts = scala.collection.mutable.ArrayBuffer.empty[Trial]
           var trial = 0
-          while (trial < n && !errs.contains(name) &&
-                 (times.size < 2 || times.sum < budgetSec)) {
-            val t0 = System.nanoTime()
-            try {
-              fn(s, dir).write.format("noop").mode("overwrite").save()
-              times += (System.nanoTime() - t0) / 1e9
-            } catch { case e: Throwable =>
-              errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          var capped = false
+          while (trial < n && !errs.contains(name) && !capped) {
+            if (ts.size >= 2 && ts.map(_.sec).sum >= budgetSec) capped = true
+            else {
+              // external busy-cores sampled while this process is idle
+              // (recorded per-trial in the artifact's "loads")
+              val ld = busyCores()
+              val t0 = System.nanoTime()
+              try {
+                fn(s, dir).write.format("noop").mode("overwrite").save()
+                ts += Trial((System.nanoTime() - t0) / 1e9, ld)
+              } catch { case e: Throwable =>
+                errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              }
+              isolateIn(s)
+              trial += 1
             }
-            isolateIn(s)
-            trial += 1
           }
-          if (errs.contains(name)) None else Some(times.toSeq)
+          if (errs.contains(name)) None else Some((ts.toSeq, capped))
       }
     }
 
-    /** Bounded noise recovery: a query whose median/min spread exceeds
-      * 1.5× after the base trials gets up to 2 extra trials — one more
-      * clean sample is usually enough to pull median toward min (or
-      * confirm the min). Queries still flagged afterwards headline
-      * their MIN (see reporting).
+    /** Full per-query protocol: base trials, bounded noise recovery
+      * (spread or max/min outlier ⇒ up to 2 extra trials), then the
+      * cross-round reference check — >3× over the committed previous
+      * min with elevated trial-time load ⇒ re-gate + 2 fresh trials;
+      * a persistent >3× ships as `suspect_load` (elevated) or as a
+      * bare `vs_prev` ratio (quiet ⇒ genuine slowdown, not hidden).
+      * Sub-0.2 s references are exempt (pure scheduler jitter).
       */
-    def runWithRecovery(s: SparkSession, dir: String, name: String, n: Int,
-                        errs: scala.collection.mutable.Map[String, String],
-                        budgetSec: Double = Double.MaxValue): Option[Seq[Double]] =
-      runTrials(s, dir, name, n, errs, budgetSec).map { ts0 =>
+    def runQuery(s: SparkSession, dir: String, name: String, n: Int,
+                 errs: scala.collection.mutable.Map[String, String],
+                 tierPrefix: String,
+                 budgetSec: Double = Double.MaxValue): Option[QRes] =
+      runTrials(s, dir, name, n, errs, budgetSec).map { case (ts0, capped) =>
         var ts = ts0
         var extra = 0
-        while (spreadOf(ts) > 1.5 && extra < 2 && !errs.contains(name)) {
-          System.err.println(f"[bench] $name spread ${spreadOf(ts)}%.2f > 1.5, " +
+        while (flagged(ts.map(_.sec)) && extra < 2 && !errs.contains(name)) {
+          System.err.println(f"[bench] $name spread ${spreadOf(ts.map(_.sec))}%.2f / " +
+            f"outlier ${outlierOf(ts.map(_.sec))}%.2f flagged, " +
             s"recovery trial ${extra + 1}/2")
-          runTrials(s, dir, name, 1, errs).foreach(ts ++= _)
+          runTrials(s, dir, name, 1, errs).foreach { case (t, _) => ts ++= t }
           extra += 1
         }
-        ts
+        val prev = prevRef.get(tierPrefix + name)
+        var gateSec = 0
+        var suspect = false
+        prev.filter(_ > 0.2).foreach { pm =>
+          def ratio: Double = headlineOf(ts.map(_.sec)) / pm
+          if (ratio > 3.0 && !errs.contains(name)) {
+            val elevated = ts.exists(_.load > gate)
+            System.err.println(f"[bench] $name headline ${ratio}%.1fx over committed " +
+              f"min $pm%.2fs (load elevated: $elevated)")
+            if (elevated && gate > 0) {
+              gateSec = waitForQuiet(gate, 120)
+              runTrials(s, dir, name, 2, errs, budgetSec)
+                .foreach { case (t, _) => ts ++= t }
+            }
+            if (ratio > 3.0) suspect = elevated
+          }
+        }
+        QRes(ts, capped, suspect, prev.map(pm => headlineOf(ts.map(_.sec)) / pm), gateSec)
       }.filter(_ => !errs.contains(name))
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results: Seq[(String, Seq[Double])] = Headline.flatMap { name =>
-      runWithRecovery(spark, sfDir, name, trials, errors).map(name -> _)
+    val results: Seq[(String, QRes)] = Headline.flatMap { name =>
+      runQuery(spark, sfDir, name, trials, errors, "").map(name -> _)
     }
 
     // sf1 (10×) scaling run — SPARK_GRAFT_SF1=0 disables; failures are
@@ -312,7 +446,8 @@ object Bench {
     // state, not storage blocks, is the drag), which would misreport
     // the scaling CURVE the subset exists to measure.
     val sf1Errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val sf1Results: Seq[(String, Seq[Double])] =
+    var sf1GateSec = 0
+    val sf1Results: Seq[(String, QRes)] =
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "1") Seq.empty
       else {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
@@ -344,9 +479,14 @@ object Bench {
               .getOrCreate()
             spark1.sparkContext.setLogLevel("WARN")
             Sf1Headline.flatMap { name =>
+              // Per-query quiet gate (round-6 lesson: load arriving
+              // mid-run inflated the whole sf1 tail 13× and the
+              // start-only gate never saw it). 120 s cap keeps the
+              // tier bounded even on a persistently busy box.
+              sf1GateSec += waitForQuiet(gate, 120)
               // 60 s per-query trial budget: the heavy tail (composed
               // dedup, full IPES at 10×) gets 2 trials instead of 3.
-              runWithRecovery(spark1, sf1Dir, name, sf1Trials, sf1Errors,
+              runQuery(spark1, sf1Dir, name, sf1Trials, sf1Errors, "sf1:",
                 budgetSec = 60.0).map(name -> _)
             }
           } catch { case e: Throwable =>
@@ -363,52 +503,61 @@ object Bench {
     val loadEnd = loadavg()
     def f2(v: Double): String = f"$v%.2f"
     def f3(v: Double): String = f"$v%.3f"
-    def flagged(ts: Seq[Double]): Boolean = spreadOf(ts) > 1.5
-    // headline per query: median normally; MIN when the noise flag
-    // persisted through recovery (load only ever adds time, so min is
-    // the best available estimate of the code's cost on a noisy box).
-    def headlineOf(ts: Seq[Double]): Double =
-      if (flagged(ts)) ts.min else median(ts)
     def jObj(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
 
-    val qs = jObj(results.map { case (k, ts) => k -> f2(headlineOf(ts)) })
-    val sf1Qs = jObj(sf1Results.map { case (k, ts) => k -> f2(headlineOf(ts)) })
+    val qs = jObj(results.map { case (k, r) => k -> f2(headlineOf(r.secs)) })
+    val sf1Qs = jObj(sf1Results.map { case (k, r) => k -> f2(headlineOf(r.secs)) })
     val errs = jObj(errors.toSeq.map { case (k, v) => k -> s""""$v"""" })
     val sf1Errs = jObj(sf1Errors.toSeq.map { case (k, v) => k -> s""""$v"""" })
     // tier-prefixed flag list (the r5 stdout had DUPLICATE keys when a
     // query was noisy in both tiers), worst-first; stdout carries the
     // worst 5, the file artifact carries all of them.
-    val flaggedAll: Seq[(String, Seq[Double])] =
-      (results.map { case (k, ts) => k -> ts } ++
-        sf1Results.map { case (k, ts) => s"sf1:$k" -> ts })
-        .filter { case (_, ts) => flagged(ts) }
-        .sortBy { case (_, ts) => -spreadOf(ts) }
-    val noisyJs = jObj(flaggedAll.take(5).map { case (k, ts) => k -> f2(spreadOf(ts)) })
-    val minJs = jObj(flaggedAll.take(5).map { case (k, ts) => k -> f2(ts.min) })
-    val nRun = results.size + sf1Results.size
-    val rejected = nRun > 0 && flaggedAll.size * 3 > nRun
-    val total = results.map { case (_, ts) => headlineOf(ts) }.sum
+    val allTiered: Seq[(String, QRes)] =
+      results ++ sf1Results.map { case (k, r) => s"sf1:$k" -> r }
+    val flaggedAll = allTiered
+      .filter { case (_, r) => flagged(r.secs) }
+      .sortBy { case (_, r) => -(spreadOf(r.secs).max(outlierOf(r.secs))) }
+    val suspectAll = allTiered.filter { case (_, r) => r.suspectLoad }
+      .sortBy { case (_, r) => -r.vsPrev.getOrElse(0.0) }
+    val noisyJs = jObj(flaggedAll.take(5).map { case (k, r) => k -> f2(spreadOf(r.secs)) })
+    val minJs = jObj(flaggedAll.take(5).map { case (k, r) => k -> f2(r.secs.min) })
+    val suspectJs = suspectAll.take(5).map { case (k, _) => s""""$k"""" }
+      .mkString("[", ",", "]")
+    val nRun = allTiered.size
+    val badSet = (flaggedAll.map(_._1) ++ suspectAll.map(_._1)).distinct
+    val rejected = nRun > 0 && badSet.size * 3 > nRun
+    val total = results.map { case (_, r) => headlineOf(r.secs) }.sum
 
-    // FULL artifact → repo file: per-trial times, median/min/headline/
-    // spread for every query, nothing truncated.
-    val fullPath = "bench/BENCH_local.json"
+    // FULL artifact → repo file: per-trial times + loads, median/min/
+    // max/headline/spread/outlier, vs-prev ratio, budget-cap and
+    // suspect flags for every query, nothing truncated.
     try {
-      def tierJs(rs: Seq[(String, Seq[Double])]): String =
-        jObj(rs.map { case (k, ts) =>
+      def tierJs(rs: Seq[(String, QRes)]): String =
+        jObj(rs.map { case (k, r) =>
+          val ts = r.secs
           k -> jObj(Seq(
             "headline" -> f3(headlineOf(ts)),
             "median" -> f3(median(ts)),
             "min" -> f3(ts.min),
+            "max" -> f3(ts.max),
             "spread" -> f2(spreadOf(ts)),
+            "outlier" -> f2(outlierOf(ts)),
             "flagged" -> flagged(ts).toString,
-            "trials" -> ts.map(f3).mkString("[", ",", "]")))
+            "suspect_load" -> r.suspectLoad.toString,
+            "n" -> ts.size.toString,
+            "budget_capped" -> r.budgetCapped.toString,
+            "gate_sec" -> r.gateSec.toString,
+            "vs_prev" -> r.vsPrev.map(f2).getOrElse("null"),
+            "trials" -> ts.map(f3).mkString("[", ",", "]"),
+            "loads" -> r.trials.map(t => f2(t.load)).mkString("[", ",", "]")))
         })
       val full = jObj(Seq(
         "sf" -> s""""$sfDir"""",
         "trials" -> trials.toString,
         "cpus" -> cpus,
         "wait_gate_sec" -> gateWaitSec.toString,
+        "sf1_gate_sec" -> sf1GateSec.toString,
         "loadavg_start" -> s""""$loadStart"""",
         "loadavg_end" -> s""""$loadEnd"""",
         "rejected" -> rejected.toString,
@@ -424,8 +573,9 @@ object Bench {
 
     // COMPACT stdout line (the driver's stdout-tail capture keeps ~2 KB;
     // r5's line outgrew it and recorded parsed:null): 2-decimal
-    // headline numbers, mins only for the worst-5 flagged queries.
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","trials":$trials,"queries":$qs,"errors":$errs,"sf":"$sfDir","sf1_queries":$sf1Qs,"sf1_errors":$sf1Errs,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","wait_gate_sec":$gateWaitSec,"noisy":${flaggedAll.nonEmpty},"noisy_queries":$noisyJs,"min":$minJs,"rejected":$rejected,"full":"$fullPath"}""")
+    // headline numbers, mins only for the worst-5 flagged queries,
+    // names only for the worst-5 load-suspect entries.
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","trials":$trials,"queries":$qs,"errors":$errs,"sf":"$sfDir","sf1_queries":$sf1Qs,"sf1_errors":$sf1Errs,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","wait_gate_sec":$gateWaitSec,"sf1_gate_sec":$sf1GateSec,"noisy":${flaggedAll.nonEmpty},"noisy_queries":$noisyJs,"min":$minJs,"suspect":$suspectJs,"rejected":$rejected,"full":"$fullPath"}""")
     try spark.stop() catch { case _: Throwable => } // no-op if sf1 already stopped it
     if (errors.nonEmpty) sys.exit(1)
   }

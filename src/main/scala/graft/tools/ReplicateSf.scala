@@ -21,13 +21,18 @@ import graft.Tables
   * within-replica cosine structure is preserved exactly, while
   * cross-replica cosines drop far below near-dup thresholds.
   *
-  * Usage: runMain graft.tools.ReplicateSf <baseDir> <outDir> [reps]
+  * Usage: runMain graft.tools.ReplicateSf <baseDir> <outDir> [reps] [docs]
+  * The optional `docs` mode replicates ONLY the documents table —
+  * the 100× span/dedup scaling decade (500k docs from sf0.1) needs
+  * no other input, and skipping the 60M-row lineitem replica keeps
+  * the build minutes-cheap.
   */
 object ReplicateSf {
 
   def main(args: Array[String]): Unit = {
     val (base, out) = (args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 10
+    val docsOnly = args.length > 3 && args(3) == "docs"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,6 +60,25 @@ object ReplicateSf {
       println(s"[replicate] $name x1 (dimension)")
     }
 
+    def writeDocs(): Unit = write("documents", i => {
+      val d = Tables.documents(spark, base)
+      if (i == 0) d
+      else d
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), "\\s+"),
+            (t, idx) => when(idx % 2 === 0, concat(t, lit(s"_r$i"))).otherwise(t))))
+    })
+
+    if (docsOnly) {
+      assertStride(Tables.documents(spark, base), "doc_id", 1000000L)
+      require(reps <= 1000000, s"doc_id stride supports <=1e6 reps, got $reps")
+      writeDocs()
+      new java.io.File(s"$out/_DONE").createNewFile()
+      println(s"[replicate] done (docs only) -> $out")
+      return
+    }
+
     assertStride(Tables.lineitem(spark, base), "l_orderkey", 100000000L)
     assertStride(Tables.orders(spark, base), "o_orderkey", 100000000L)
     assertStride(Tables.orders(spark, base), "o_custkey", 10000000L)
@@ -72,15 +96,7 @@ object ReplicateSf {
       .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
     write("customer", i => Tables.customer(spark, base)
       .withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L)))
-    write("documents", i => {
-      val d = Tables.documents(spark, base)
-      if (i == 0) d
-      else d
-        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
-        .withColumn("text", concat_ws(" ",
-          transform(split(col("text"), "\\s+"),
-            (t, idx) => when(idx % 2 === 0, concat(t, lit(s"_r$i"))).otherwise(t))))
-    })
+    writeDocs()
     // ts re-written as a micros TIMESTAMP (Spark cannot emit the base
     // fixture's TIMESTAMP(NANOS)); Tables.events handles both layouts.
     write("events", i => Tables.events(spark, base)
