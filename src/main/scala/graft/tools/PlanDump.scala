@@ -37,13 +37,41 @@ object PlanDump {
     }
     // GRAFT_PLANDUMP_TIME=N: also execute the query N times (noop
     // write, bench-identical materialization) and print per-trial
-    // seconds — the quick solo timing the bench can't give you.
+    // seconds — the quick solo timing the bench can't give you —
+    // plus the FINAL adaptive plan's join-strategy mix per trial
+    // (AQE decides joins at runtime, so a bimodal query can be a
+    // plan flip rather than load; the pre-execution dump above only
+    // shows the initial plan).
     sys.env.get("GRAFT_PLANDUMP_TIME").map(_.toInt).foreach { n =>
+      // The write action runs its own QueryExecution (the DataFrame's
+      // own executedPlan never executes), so the final adaptive plan
+      // must be captured from the listener that sees the write's QE.
+      @volatile var lastPlan = ""
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            lastPlan = qe.executedPlan.toString
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
       (1 to n).foreach { i =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
-        println(f"[plan] $name trial $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener callbacks are async — give the bus a beat
+        Thread.sleep(300)
+        val fin = lastPlan
+        def c(p: String) = fin.split("\n").count(_.contains(p))
+        println(f"[plan] $name trial $i: $sec%.2f s  " +
+          s"joins: bhj=${c("BroadcastHashJoin")} smj=${c("SortMergeJoin")} " +
+          s"shj=${c("ShuffledHashJoin")} bnl=${c("BroadcastNestedLoopJoin")} " +
+          s"aqeShuffleReads=${c("AQEShuffleRead")} " +
+          s"final=${fin.contains("isFinalPlan=true")}")
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
