@@ -86,36 +86,81 @@ object FuzzyDedup {
       .filter(col("name_a") < col("name_b"))
   }
 
-  /** Connected components by min-label propagation over undirected
-    * edges (src, dst). Returns (id, component). Converges in
-    * O(diameter) iterations; each iteration is one join + one
-    * aggregation, checkpointed to cut lineage.
+  /** Connected components over undirected edges (src, dst) by
+    * alternating large-star / small-star contractions (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14).
+    * Returns (id, component), component = MIN id of the component,
+    * every node appearing in any input edge labeled (self-loop-only
+    * nodes map to themselves).
+    *
+    * Why not min-label propagation (the previous implementation):
+    * label prop converges in O(diameter) rounds, and the realistic
+    * worst case for a near-dup graph at 100 TB — boilerplate chains,
+    * A≈B≈C≈… — has diameter in the thousands, i.e. thousands of
+    * shuffle rounds. The star alternation contracts chains
+    * geometrically and converges in O(log² n) rounds regardless of
+    * topology (<10 in practice).
+    *
+    *   large-star: every node hooks its LARGER neighbors onto the
+    *     minimum of its closed neighborhood — one groupBy(min) +
+    *     one equi-join, no neighbor-set collection, so a hub node's
+    *     edges stay distributed across partitions;
+    *   small-star: every node hooks its smaller neighbors (and
+    *     itself) onto the minimum of its smaller neighborhood.
+    *
+    * Each round is localCheckpoint'ed (constant plan depth across
+    * iterations — the loop-frame discipline PageRank uses) and the
+    * edge frame only ever shrinks toward the star fixed point, at
+    * which every edge is (node, component-min). Convergence is an
+    * EXACT fixed-point check (two anti-join emptiness probes on the
+    * edge frame — edges are O(duplicate pairs), tiny next to corpus
+    * rows); a non-converged exit would silently under-merge, so it
+    * throws instead.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
-    var changed = 1L
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    // canonical undirected form: (a, b) with a > b, no self-loops
+    var cur = edges
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("a"),
+        least(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint(true)
+    var converged = cur.isEmpty
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val prop = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-        .groupBy("id").agg(min(col("label")).as("nbr"))
-      val next = labels.alias("l")
-        .join(prop.alias("p"), col("l.id") === col("p.id"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("p.nbr"), col("l.label"))).as("label"))
-        .localCheckpoint(true)
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+    while (!converged && iter < maxIter) {
+      // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for v > u
+      val sym = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(cur.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")) // m <= u < v: canonical
+        .distinct()
+      // small-star on the canonical (a > b) frame: m(a) = min smaller
+      // neighborhood; emit (lo, m(a)) for each lo, plus (a, m(a))
+      val ssMin = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val next = ls.join(ssMin, "a")
+        .select(col("b").as("na"), col("m").as("nb")) // m <= b: canonical
+        .unionByName(ssMin.select(col("a").as("na"), col("m").as("nb")))
+        .filter(col("na") =!= col("nb"))
+        .select(col("na").as("a"), col("nb").as("b"))
+        .distinct().localCheckpoint(true)
+      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      cur = next
       iter += 1
     }
-    sym.unpersist()
-    labels.withColumnRenamed("label", "component")
+    require(converged,
+      s"connectedComponents did not reach the star fixed point in $maxIter " +
+        "rounds — refusing to return a possibly under-merged labeling")
+    // at the fixed point every edge is (member, component-min) and
+    // roots appear only on the b side; label roots (and self-loop-only
+    // nodes) as themselves
+    val labels = cur.select(col("a").as("id"), col("b").as("component"))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Scala-side merge predicate (same semantics as the Column form). */

@@ -175,6 +175,15 @@ object ScaleDedupQueries extends QueryRegistry {
       ScaleDedup.nearDupDedup(withNearDups(s, dir), "doc_id", "text",
         n = 3, threshold = 0.6)),
 
+    // the SAME composition forced through the distributed
+    // large-star/small-star CC path (driverCcThreshold = 0) — the
+    // shape that runs when the duplicate graph outgrows the driver
+    // bound at 100 TB. Identical oracle to the composed form: the CC
+    // algorithm must be invisible in the answer.
+    "dedup_cc_distributed" -> ((s, dir) =>
+      ScaleDedup.nearDupDedup(withNearDups(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6, driverCcThreshold = 0)),
+
     // the whole training-corpus prep chain: quality/language gate ->
     // exact dedup -> near-dup dedup -> surviving doc ids.
     "corpus_prep" -> ((s, dir) =>
@@ -532,6 +541,22 @@ object ScaleDedupQueries extends QueryRegistry {
     // transitive closure over the >= 0.6 Jaccard pairs: reach(id, r)
     // holds every (node, ancestor-in-component); canonical = MIN reach.
     "dedup_corpus_composed" -> s"""
+      |WITH RECURSIVE docs AS ($nearDupsSql),
+      |${jaccardPairsSql(0.6, 0)},
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION
+      |  SELECT id_b AS a, id_a AS b FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM docs
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      |SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
+
+    // identical twin for the forced-distributed-CC form: the CC
+    // implementation (driver union-find vs star alternation) must not
+    // be observable in the canonical assignment.
+    "dedup_cc_distributed" -> s"""
       |WITH RECURSIVE docs AS ($nearDupsSql),
       |${jaccardPairsSql(0.6, 0)},
       |edges AS (

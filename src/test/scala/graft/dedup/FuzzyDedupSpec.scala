@@ -70,7 +70,45 @@ class FuzzyDedupSpec extends AnyFunSuite {
       s"missed: ${exhaustiveEdges.diff(blockedEdges)}")
   }
 
-  test("distributed label propagation agrees with driver union-find") {
+  test("distributed CC converges on a 200-node chain within the round budget") {
+    // The worst case that motivated the large-star/small-star rewrite:
+    // a path graph's diameter equals its length, so the previous
+    // min-label propagation needed one shuffle round PER HOP (200 here
+    // — past maxIter, which under-merged silently). The star
+    // alternation contracts the chain geometrically; this must
+    // converge inside the default budget and label every node with
+    // the chain minimum. Random edge order, so canonical (a > b)
+    // normalization is exercised both ways.
+    val rnd = new scala.util.Random(7)
+    val chain = rnd.shuffle((0 until 199).map { i =>
+      val (a, b) = (f"n$i%03d", f"n${i + 1}%03d")
+      if (rnd.nextBoolean()) (a, b) else (b, a)
+    }.toVector)
+    val got = FuzzyDedup.connectedComponents(chain.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size === 200)
+    assert(got.values.toSet === Set("n000"))
+  }
+
+  test("distributed CC agrees with union-find on random multi-component graphs") {
+    // property net over the star alternation: 60 random graphs with
+    // mixed singletons, chains, and dense pockets must match driver
+    // union-find exactly (same min-canonical contract).
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 60) {
+      val n = 2 + rnd.nextInt(40)
+      val edges = Array.fill(rnd.nextInt(60))(
+        (f"v${rnd.nextInt(n)}%02d", f"v${rnd.nextInt(n)}%02d"))
+      val got = FuzzyDedup.connectedComponents(edges.toSeq.toDF("src", "dst"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val uf = FuzzyDedup.unionFind(edges.filter(e => e._1 != e._2))
+      val allNodes = (edges.map(_._1) ++ edges.map(_._2)).toSet
+      val want = allNodes.map(x => x -> uf.getOrElse(x, x)).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("distributed CC agrees with driver union-find on the name fixture") {
     val edges = FuzzyDedup.allPairs(fixture.toDF("name"), "name")
       .filter(FuzzyDedup.isDuplicate(col("name_a"), col("name_b")))
       .select(col("name_a").as("src"), col("name_b").as("dst"))
