@@ -454,23 +454,70 @@ object ScaleDedup {
     * sharing any band bucket. Then verify with exact Jaccard
     * ([[verifyJaccardPairs]]) if precision matters.
     */
-  def minhashCandidatesFromIndex(
-      index: DataFrame, k: Int = 16, bands: Int = 8): DataFrame = {
-    // rows = k/bands sets the LSH S-curve threshold at (1/bands)^(1/rows)
-    // — e.g. bands=8, rows=2 → ≈0.35, catching pairs down to ~0.5
-    // Jaccard with high recall.
+  /** (id, band, band_hash) LSH bucket keys over a shingle index —
+    * shared by the self-join candidate path and the asymmetric
+    * new-vs-reference path. rows = k/bands sets the LSH S-curve
+    * threshold at (1/bands)^(1/rows) — e.g. bands=8, rows=2 → ≈0.35,
+    * catching pairs down to ~0.5 Jaccard with high recall. The band
+    * string/hash construction is replayed verbatim by the DuckDB
+    * XXH64 oracle (minhashBandedCtes) — do not change one without
+    * the other.
+    */
+  def bandHashes(index: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sigs = minhashSignatures(index, k)
-    val banded = sigs.select(col("id"),
+    minhashSignatures(index, k).select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, concat_ws(",",
           transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  def minhashCandidatesFromIndex(
+      index: DataFrame, k: Int = 16, bands: Int = 8): DataFrame = {
+    val banded = bandHashes(index, k, bands)
     val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Incremental near-dup screen: which NEW docs duplicate a frozen
+    * REFERENCE corpus — the daily-refresh shape of a training
+    * pipeline, where re-running the full self-join over corpus ∪
+    * batch would redo O(corpus) work to answer an O(batch) question.
+    * Returns (id_ref, id_new, jaccard) for every cross pair at or
+    * above `threshold`.
+    *
+    * Shape: both sides build the standard shingle index; candidates
+    * come from an ASYMMETRIC band join (new × ref only — no new×new,
+    * no ref×ref, so candidate volume is proportional to true cross
+    * duplication, not corpus size), then the exact-Jaccard verify
+    * runs over the unioned index. At 100 TB the reference side's
+    * index and band hashes are write-once artifacts: nothing here
+    * recomputes per batch except the (small) new side and the
+    * cross join on (band, band_hash) — which Catalyst plans as a
+    * plain equi-join, broadcastable when the batch is small.
+    *
+    * Caller contract: id spaces of the two sides are disjoint (the
+    * verify pass unions both indexes; colliding ids would merge
+    * shingle sets across sides and inflate sizes).
+    */
+  def dedupAgainstReference(
+      newDf: DataFrame, refDf: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6,
+      k: Int = 64, bands: Int = 32): DataFrame = {
+    val idxNew = shingleIndex(newDf, idCol, textCol, n).localCheckpoint()
+    val idxRef = shingleIndex(refDf, idCol, textCol, n).localCheckpoint()
+    val cand = bandHashes(idxNew, k, bands)
+      .select(col("band"), col("band_hash"), col("id").as("id_new"))
+      .join(bandHashes(idxRef, k, bands)
+        .select(col("band"), col("band_hash"), col("id").as("id_ref")),
+        Seq("band", "band_hash"))
+      .select(col("id_ref").as("id_a"), col("id_new").as("id_b"))
+      .distinct()
+    verifyJaccardPairs(cand, idxNew.unionByName(idxRef), threshold)
+      .select(col("id_a").as("id_ref"), col("id_b").as("id_new"), col("jaccard"))
   }
 
   /** LSH candidate pairs straight from a corpus (convenience form). */

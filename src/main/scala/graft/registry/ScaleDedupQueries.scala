@@ -184,6 +184,21 @@ object ScaleDedupQueries extends QueryRegistry {
       ScaleDedup.nearDupDedup(withNearDups(s, dir), "doc_id", "text",
         n = 3, threshold = 0.6, driverCcThreshold = 0)),
 
+    // incremental screen: the near-dup forks (doc_id >= 100000 in the
+    // withNearDups fixture) play the NEW batch, the originals the
+    // frozen reference corpus — the asymmetric band join must find
+    // every cross near-dup without any new×new / ref×ref work. The
+    // exact-Jaccard twin's pair set is restricted to cross pairs.
+    "dedup_against_reference" -> ((s, dir) => {
+      val all = withNearDups(s, dir)
+      ScaleDedup.dedupAgainstReference(
+          all.filter(col("doc_id") >= 100000),
+          all.filter(col("doc_id") < 100000),
+          "doc_id", "text", n = 3, threshold = 0.6)
+        .select(col("id_ref").as("id_a"), col("id_new").as("id_b"),
+          col("jaccard"))
+    }),
+
     // the whole training-corpus prep chain: quality/language gate ->
     // exact dedup -> near-dup dedup -> surviving doc ids.
     "corpus_prep" -> ((s, dir) =>
@@ -552,6 +567,16 @@ object ScaleDedupQueries extends QueryRegistry {
       |  UNION
       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
       |SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
+
+    // the asymmetric screen's twin: the full exact-Jaccard pair set,
+    // restricted to (reference, new-batch) cross pairs — LSH at
+    // k=64/bands=32 is effectively lossless (miss odds < 1e-6/pair),
+    // so the engine's banded candidates must reproduce it exactly.
+    "dedup_against_reference" -> s"""
+      |WITH docs AS ($nearDupsSql),
+      |${jaccardPairsSql(0.6, 0)}
+      |SELECT id_a, id_b, jaccard FROM pairs
+      |WHERE id_a < 100000 AND id_b >= 100000""".stripMargin,
 
     // identical twin for the forced-distributed-CC form: the CC
     // implementation (driver union-find vs star alternation) must not
