@@ -91,7 +91,8 @@ object Bench {
     "corpus_substring_spans",
     "corpus_scrub_spans",
     "corpus_scrub_repeats",
-    "corpus_source_authority")
+    "corpus_source_authority",
+    "emb_kmeans_cluster")
 
   /** The 10× scaling checkpoint: a subset chosen to answer the
     * empirical questions a 100 TB plan review asks — where the
@@ -108,7 +109,8 @@ object Bench {
     "dedup_ngram_jaccard_capped", "dedup_corpus_composed", "corpus_prep",
     "text_quality", "dedup_containment",
     "source_overlap", "dedup_segments", "corpus_curriculum",
-    "ipes_companies_full", "ann_pq_topk", "corpus_source_authority")
+    "ipes_companies_full", "ann_pq_topk", "corpus_source_authority",
+    "emb_kmeans_cluster")
 
   /** Build a deterministic 10× replica of the sf0.1 tables the sf1
     * subset reads, once, under target/ (reused via _DONE marker).

@@ -187,6 +187,44 @@ object MmStreamQueries extends QueryRegistry {
       } finally q.stop()
       s.table(name)
     }),
+    // Streaming router against a FROZEN k-means index: centroids come
+    // from the batch-trained Clustering artifact (k × dim doubles,
+    // shipped as expression literals — the write-once index shape),
+    // and each arriving vector is assigned by a per-row codegen
+    // argmin — no shuffle, no state, so the plan streams in append
+    // mode untouched. Routed output is bit-identical to the batch
+    // assignment (same 6-dp dot-product chain), so the twin IS the
+    // emb_kmeans_cluster SQL.
+    "stream_cluster_route" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val emb = Tables.embeddings(s, dir)
+      val cents = graft.similarity.Clustering.kmeansCentroids(emb, k = 8, iters = 2)
+      // float cast: the MemoryStream fixture is Array[Float]-typed and
+      // must stay collectable under a double-embedding writer layout
+      val rows = emb
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("float")).as("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val name = "graft_route_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val routed = mem.toDF().toDF("vec_id", "embedding")
+        .withColumn("r",
+          graft.similarity.Clustering.routeToCentroids(cents, col("embedding")))
+        .select(col("vec_id"), col("r").getField("cid").as("cluster"),
+          col("r").getField("d2").as("dist2"))
+      val q = routed.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        val (b1, b2) = rows.partition(_._1 % 2 == 0)
+        mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+    }),
   )
 
   private val contentSql =
@@ -194,6 +232,11 @@ object MmStreamQueries extends QueryRegistry {
       |  WHEN 1 THEN 'PK worddoc' ELSE text END""".stripMargin.replace("\n", " ")
 
   def oracle: Map[String, String] = Map(
+    // routed == batch assignment by construction (same literal math)
+    "stream_cluster_route" -> s"""
+      |WITH ${SimilarityQueries.kmeansCtes(8, 2)}
+      |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM af""".stripMargin,
+
     "mm_metadata" -> s"""
       |SELECT doc_id,
       |  octet_length(encode($contentSql)) AS size_bytes,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.similarity.Knn
+import graft.similarity.{Clustering, Knn}
 
 /** Similarity-search extension family over `embeddings` (64-dim float
   * vectors). Brute-force cosine top-k and perturbation near-dup pairs
@@ -101,11 +101,56 @@ object SimilarityQueries extends QueryRegistry {
         q, emb, k = 5, minHits = 2, minTotalHits = 73)
     }),
 
+    // Incremental ANN against a FROZEN reference index — the
+    // similarity-side sibling of dedup_against_reference: the daily
+    // batch probes an IVF index trained on the frozen corpus only. At
+    // scale the centroids and the assigned code/list table are
+    // write-once artifacts of the reference corpus; per-batch cost
+    // tracks the batch (each query reads ~nProbe/nCentroids of the
+    // list table through the equi-join), never the corpus. The batch
+    // here is the vec_id % 10 == 7, < 200 slice (20 queries); the
+    // index never sees it. Floors RecallProbe-measured on sf0.001/
+    // 0.01/0.1: per-query min 2/2/2, totals 74/82/73 → 2 and 73−3.
+    "ann_incremental_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ref = emb.filter(col("vec_id") % 10 =!= 7)
+      val batch = emb.filter(col("vec_id") % 10 === 7 && col("vec_id") < 200)
+      Knn.recallChecked(
+        Knn.ivfTopK(ref, batch, nCentroids = 16, nProbe = 8, k = 5, lloydIters = 1),
+        batch, ref, k = 5, minHits = 2, minTotalHits = 70)
+    }),
+
     // semantic dedup composition: blocked cosine pairs -> connected
     // components -> canonical per vector.
     "emb_semantic_dedup" -> ((s, dir) =>
       Knn.semanticDedup(withPerturbed(s, dir), dim = 64, threshold = 0.99,
         nPlanes = 8, nTables = 4)),
+
+    // Deterministic k-means over the embedding corpus — the topic-
+    // bucketing step of a curation pipeline, under a FULL twin (the
+    // recall-floor IVF family deliberately is not bit-replayable; this
+    // one is: lowest-id seeds, 6-dp-rounded dot-product distances,
+    // decimal-exact centroid means — see graft.similarity.Clustering).
+    "emb_kmeans_cluster" -> ((s, dir) =>
+      Clustering.kmeansAssign(Tables.embeddings(s, dir), k = 8, iters = 2)),
+
+    // per-cluster distance z-scores: the embedding-space outlier gate
+    // (mislabeled/degenerate vectors sit far from their cluster mean).
+    "emb_cluster_outliers" -> ((s, dir) =>
+      Clustering.distanceOutliers(
+        Clustering.kmeansAssign(Tables.embeddings(s, dir), k = 8, iters = 2))),
+
+    // per-cluster occupancy: the mixture-balance diagnostic.
+    "emb_cluster_balance" -> ((s, dir) =>
+      Clustering.clusterBalance(
+        Clustering.kmeansAssign(Tables.embeddings(s, dir), k = 8, iters = 2))),
+
+    // cluster-stratified deterministic sample: balanced subset across
+    // topic buckets (native per-key top-k on the hash order).
+    "emb_cluster_sample" -> ((s, dir) =>
+      Clustering.stratifiedSample(
+        Clustering.kmeansAssign(Tables.embeddings(s, dir), k = 8, iters = 2),
+        perCluster = 3)),
 
     // chunk → embed → mean-pool: roll per-chunk vectors into one
     // document vector — the embedding-aggregation step between
@@ -141,6 +186,51 @@ object SimilarityQueries extends QueryRegistry {
     s"round($d / ($na * $nb), 6)"
   }
 
+  /** Squared-L2 in the exact operation order the Spark side runs:
+    * (|e|² − 2⟨e,c⟩) + |c|², each dot an index-ordered double sum,
+    * rounded to 6 dp — the cross-engine assignment key.
+    */
+  private def d2Sql(e: String, c: String): String =
+    s"round(${dotSql.format(e, e)} - 2.0 * ${dotSql.format(e, c)} + " +
+      s"${dotSql.format(c, c)}, 6)"
+
+  /** CTE chain replaying [[graft.similarity.Clustering.kmeansAssign]]
+    * with `iters` Lloyd iterations unrolled (the PageRank-twin
+    * pattern). Emits `v` (cast vectors), `c0..c$iters` (centroids) and
+    * `af(vec_id, cid, d2)` — the final assignment.
+    */
+  private[registry] def kmeansCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+      |       FROM (SELECT * FROM v ORDER BY vec_id LIMIT $k)),
+      |""".stripMargin
+    for (i <- 0 until iters) {
+      sb ++= s"""a$i AS (
+        |  SELECT vec_id, e, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM (SELECT v.vec_id, v.e, c.cid, ${d2Sql("v.e", "c.c")} AS d2
+        |          FROM v, c$i c))
+        |  WHERE rn = 1),
+        |c${i + 1} AS (
+        |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+        |    SELECT cid, d.pos,
+        |      round(CAST(SUM(CAST(e[d.pos] AS DECIMAL(18,9))) AS DOUBLE)
+        |            / COUNT(*), 6) AS m
+        |    FROM a$i, unnest(generate_series(1, len(e))) AS d(pos)
+        |    GROUP BY cid, d.pos)
+        |  GROUP BY cid),
+        |""".stripMargin
+    }
+    sb ++= s"""af AS (
+      |  SELECT vec_id, cid, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM (SELECT v.vec_id, c.cid, ${d2Sql("v.e", "c.c")} AS d2
+      |          FROM v, c$iters c))
+      |  WHERE rn = 1)""".stripMargin
+    sb.toString
+  }
+
   /** Shared DuckDB twin for the 4 recall-checked ANN queries: replay
     * the EXACT side all-pairs (fine at fixture scale), aggregate to
     * the same per-query columns, assert the recall floor as TRUE —
@@ -166,10 +256,77 @@ object SimilarityQueries extends QueryRegistry {
     |FROM r WHERE rank <= 5 GROUP BY query_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "emb_kmeans_cluster" -> s"""
+      |WITH ${kmeansCtes(8, 2)}
+      |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM af""".stripMargin,
+
+    // same math as Clustering.distanceOutliers: decimal-exact Σd² and
+    // Σd⁴ (6-dp d² ⇒ both sums exact), variance arithmetic in double
+    // on identical inputs, z rounded to 6 dp, singletons never flag.
+    "emb_cluster_outliers" -> s"""
+      |WITH ${kmeansCtes(8, 2)},
+      |stats AS (
+      |  SELECT cid, COUNT(*) AS n,
+      |    CAST(SUM(CAST(d2 AS DECIMAL(18,9))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(d2 AS DECIMAL(18,9)) * CAST(d2 AS DECIMAL(18,9)))
+      |         AS DOUBLE) AS s2
+      |  FROM af GROUP BY cid),
+      |st AS (
+      |  SELECT cid, mean_d,
+      |    sqrt(greatest(s2 / n - mean_d * mean_d, 0.0)) AS std_d
+      |  FROM (SELECT cid, n, s2, s1 / n AS mean_d FROM stats)),
+      |z AS (
+      |  SELECT af.vec_id, af.cid, af.d2,
+      |    CASE WHEN st.std_d > 0
+      |         THEN round((af.d2 - st.mean_d) / st.std_d, 6)
+      |         ELSE 0.0 END AS z
+      |  FROM af JOIN st ON st.cid = af.cid)
+      |SELECT vec_id, cid AS cluster, d2 AS dist2, z, abs(z) > 2.0 AS is_outlier
+      |FROM z""".stripMargin,
+
+    "emb_cluster_balance" -> s"""
+      |WITH ${kmeansCtes(8, 2)}
+      |SELECT cid AS cluster, COUNT(*) AS n,
+      |  round(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS share
+      |FROM af GROUP BY cid""".stripMargin,
+
+    // Spark orders by signed xxhash64(vec_id) — longHashCte emits the
+    // identical signed BIGINT, so the per-cluster ranks line up.
+    "emb_cluster_sample" -> s"""
+      |WITH ${kmeansCtes(8, 2)},
+      |${XxHashOracleSql.longHashCte("kh", "af", Seq("cid", "vec_id"),
+         "vec_id", "CAST(42 AS UBIGINT)", "h64")}
+      |SELECT cid AS cluster, vec_id, rank FROM (
+      |  SELECT cid, vec_id,
+      |    row_number() OVER (PARTITION BY cid ORDER BY h64, vec_id) AS rank
+      |  FROM kh)
+      |WHERE rank <= 3""".stripMargin,
+
     "ann_lsh_topk" -> annRecallSql,
     "ann_ivf_topk" -> annRecallSql,
     "ann_pq_topk" -> annRecallSql,
     "ann_ivfpq_topk" -> annRecallSql,
+
+    // same ground-truth shape, restricted to the batch/reference
+    // split: queries are the held-out batch, candidates the frozen
+    // reference corpus the index was built on.
+    "ann_incremental_topk" -> s"""
+      |WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id % 10 = 7 AND vec_id < 200),
+      |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce
+      |      FROM embeddings WHERE vec_id % 10 <> 7),
+      |scored AS (
+      |  SELECT query_id, cand_id, ${cosineSql("qe", "ce")} AS sim
+      |  FROM c, q WHERE query_id <> cand_id),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+      |      FROM scored)
+      |SELECT query_id,
+      |  MIN(CASE WHEN rank = 1 THEN cand_id END) AS exact_top1,
+      |  round(CAST(SUM(CAST(sim AS DECIMAL(18,9))) AS DOUBLE), 6) AS exact_sim_sum,
+      |  TRUE AS recall_ok,
+      |  TRUE AS agg_recall_ok
+      |FROM r WHERE rank <= 5 GROUP BY query_id""".stripMargin,
 
     "emb_cosine_topk" -> s"""
       |WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

@@ -1,0 +1,187 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Deterministic distributed k-means over an embedding column, built so
+  * the whole Lloyd iteration is replayable bit-for-bit by a DuckDB twin
+  * (the unrolled-CTE pattern the PageRank oracle uses):
+  *
+  *  - seeds are the k lowest `vec_id` vectors (no RNG, no hash replay
+  *    needed on the oracle side);
+  *  - assignment distance is squared L2 via three index-ordered dot
+  *    products (|x|² − 2⟨x,c⟩ + |c|²) rounded to 6 dp — both engines
+  *    run the identical IEEE chain, ties break on the lowest cluster
+  *    id;
+  *  - centroid updates are decimal-exact means per (cluster, dim) —
+  *    `sum(DECIMAL(18,9))` is order-independent, so the recomputed
+  *    centroids are equal across engines and partitionings, and every
+  *    later iteration stays deterministic.
+  *
+  * Scale shape ([[Knn.ivfCentroids]] is the recall-floor sibling): the
+  * corpus never shuffles during assignment (centroids broadcast, argmin
+  * through the native partial/final top-k — at most one row per vector
+  * per partition reaches the exchange); the update shuffles only the
+  * (cluster, dim)-keyed partial sums (map-side combine bounds the
+  * exchange at k × dim rows per partition). Per-iteration
+  * localCheckpoint keeps plan depth constant, the PageRank loop rule.
+  * Production callers cap Lloyd training with `trainCap` (train on a
+  * deterministic hash-sample, assign the full corpus — the
+  * [[Knn.pqCodebooks]] recipe); the registered oracle query trains on
+  * the full fixture so the twin needs no hash replay of the sample.
+  */
+object Clustering {
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dotProduct(a, b)
+
+  /** Squared L2 distance rounded to 6 dp — the cross-engine-stable
+    * assignment key (see class doc).
+    */
+  private def dist2(e: Column, c: Column): Column =
+    round(dot(e, e) - lit(2.0) * dot(e, c) + dot(c, c), 6)
+
+  private def asDouble(e: Column): Column = transform(e, _.cast("double"))
+
+  /** (cid, c_emb) seed centroids: the k lowest-id vectors. */
+  private def seedCentroids(v: DataFrame, k: Int): DataFrame =
+    v.orderBy(col("vec_id")).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select(col("cid"), col("e").as("c_emb"))
+
+  /** Assign every vector to its nearest centroid: broadcast nested loop
+    * + native top-1 — the corpus-sized side never shuffles.
+    */
+  private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = v.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2(col("e"), col("c_emb")))
+    graft.plans.TopK.perKey(scored,
+      Seq(col("vec_id")), Seq(col("d2").asc, col("cid").asc), 1)
+      .select(col("vec_id"), col("e"), col("cid"), col("d2"))
+  }
+
+  /** Decimal-exact per-(cluster, dim) means, reassembled to arrays. A
+    * cluster that loses every member drops out (k shrinks), identically
+    * on the oracle side.
+    */
+  private def recompute(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("e")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(round(sum(col("col").cast(DecimalType(18, 9))).cast(DoubleType) /
+        count(lit(1)), 6).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("s"))
+      .select(col("cid"), transform(col("s"), x => x.getField("m")).as("c_emb"))
+
+  /** Lloyd-refined cluster assignment: (vec_id, cluster, dist2).
+    *
+    * @param trainCap if > 0, Lloyd updates see only the `trainCap`
+    *                 lowest-xxhash64 vectors (the corpus-scale form —
+    *                 training cost stops tracking corpus size); the
+    *                 final assignment always covers every vector.
+    */
+  def kmeansAssign(vectors: DataFrame, k: Int, iters: Int,
+                   trainCap: Int = 0): DataFrame = {
+    val v = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .localCheckpoint() // read once: seeds + every iteration + final assign
+    assign(v, trainedCentroids(v, k, iters, trainCap))
+      .select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
+  }
+
+  private def trainedCentroids(v: DataFrame, k: Int, iters: Int,
+                               trainCap: Int): DataFrame = {
+    val train =
+      if (trainCap > 0)
+        v.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+          .limit(trainCap).localCheckpoint()
+      else v
+    (0 until iters).foldLeft(seedCentroids(train, k)) {
+      (cents, _) => recompute(assign(train, cents)).localCheckpoint()
+    }
+  }
+
+  /** The trained centroids as driver-side values — the write-once
+    * frozen-index artifact a streaming router ships as expression
+    * literals (k × dim doubles, a few KB; never joined).
+    */
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int,
+                      trainCap: Int = 0): Seq[(Int, Seq[Double])] =
+    trainedCentroids(
+      vectors.select(col("vec_id"), asDouble(col("embedding")).as("e")),
+      k, iters, trainCap)
+      .orderBy(col("cid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+
+  /** (cluster, dist2) assignment against FROZEN centroid literals: the
+    * per-row argmin is one array_min over k (d2, cid) structs, every
+    * d2 the same 6-dp dot-product chain as [[kmeansAssign]] — so the
+    * routed result is bit-identical to the batch assignment. Pure
+    * per-row codegen math, no shuffle, no state: safe in a streaming
+    * plan (the native top-k physical operator is batch-only).
+    */
+  def routeToCentroids(cents: Seq[(Int, Seq[Double])], emb: Column): Column = {
+    val e = transform(emb, _.cast("double"))
+    array_min(array(cents.map { case (cid, c) =>
+      val cl = typedlit(c)
+      struct(dist2(e, cl).as("d2"), lit(cid).as("cid"))
+    }: _*))
+  }
+
+  /** Per-cluster distance z-scores over a [[kmeansAssign]] result:
+    * (vec_id, cluster, dist2, z, is_outlier). Mean and variance come
+    * from decimal-exact sums of the 6-dp `dist2` (d² ≤ 6 dp ⇒ d⁴ ≤ 12
+    * dp — both sums are exact, so the double-precision variance
+    * arithmetic runs on identical inputs in both engines). Flagging is
+    * TWO-sided (|z| > threshold): the far tail is junk/mislabeled
+    * content, the ultra-near tail is degenerate or duplicated vectors
+    * sitting unnaturally close to the cluster mean — on the fixture
+    * the planted near-dup copies surface exactly there. Singleton /
+    * zero-variance clusters get z = 0 and never flag. The groupBy is
+    * k-sized; the join back broadcasts it.
+    */
+  def distanceOutliers(assigned: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val d = col("dist2").cast(DecimalType(18, 9))
+    val stats = assigned.groupBy(col("cluster")).agg(
+      count(lit(1)).as("n"),
+      sum(d).cast(DoubleType).as("s1"),
+      sum(d * d).cast(DoubleType).as("s2"))
+      .withColumn("mean_d", col("s1") / col("n"))
+      .withColumn("var_d",
+        greatest(col("s2") / col("n") - col("mean_d") * col("mean_d"), lit(0.0)))
+      .select(col("cluster"), col("mean_d"), sqrt(col("var_d")).as("std_d"))
+    assigned.join(broadcast(stats), "cluster")
+      .withColumn("z", when(col("std_d") > 0,
+        round((col("dist2") - col("mean_d")) / col("std_d"), 6)).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("cluster"), col("dist2"), col("z"),
+        (abs(col("z")) > zThreshold).as("is_outlier"))
+  }
+
+  /** Per-cluster occupancy shares over a [[kmeansAssign]] result:
+    * (cluster, n, share) — the balance diagnostic a mixture designer
+    * reads before weighting topic buckets. k-sized output; the global
+    * total is a window over the k aggregated rows, never corpus-sized.
+    */
+  def clusterBalance(assigned: DataFrame): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+    assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n") / sum(col("n")).over(w), 6))
+      .select(col("cluster"), col("n"), col("share"))
+  }
+
+  /** Cluster-stratified deterministic sample: the `perCluster`
+    * lowest-xxhash64 vectors of each cluster — the balanced-subset
+    * selection step between clustering and training-mix assembly.
+    * Native partial/final top-k: at most `perCluster` rows per cluster
+    * per partition reach the exchange (a window rank would shuffle the
+    * full assignment).
+    */
+  def stratifiedSample(assigned: DataFrame, perCluster: Int): DataFrame =
+    graft.plans.TopK.perKey(
+      assigned.withColumn("h", xxhash64(col("vec_id"))),
+      Seq(col("cluster")), Seq(col("h").asc, col("vec_id").asc), perCluster)
+      .select(col("cluster"), col("vec_id"), col("rank"))
+}

@@ -64,5 +64,18 @@ object RecallProbe {
     hitStats("ann_pq_topk", Knn.pqTopK(emb, qs, 64, 16, 32, k, 2, 16))
     hitStats("ann_ivfpq_topk", Knn.ivfPqTopK(emb, qs, 64, 16, 8, 16, 32, k, 1, 16))
     hitStats("ivfpq 16/12 rr32", Knn.ivfPqTopK(emb, qs, 64, 16, 12, 16, 32, k, 1, 32))
+
+    // incremental split at the ann_incremental_topk registry params:
+    // index trains on the frozen reference slice only; the held-out
+    // batch probes it. Ground truth = exact top-k within the reference
+    // corpus (what the index can possibly return).
+    val ref = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7 && col("vec_id") < 200)
+    val incH = Knn.recallAudit(
+        Knn.ivfTopK(ref, batch, 16, 8, k, 1), batch, ref, k)
+      .select(col("hits")).collect().map(_.getLong(0))
+    println(s"[recall] ann_incremental_topk registry-params hits: " +
+      f"min=${incH.min} avg=${incH.sum.toDouble / incH.length}%.2f " +
+      s"sum=${incH.sum} n=${incH.length}")
   }
 }

@@ -40,9 +40,18 @@ class PlanShapeSpec extends AnyFunSuite {
                                    // broadcast-crossed onto the 20-row
                                    // probe set — O(n·1) row concat,
                                    // not an all-pairs shape
-      "text_distinct_hll")         // same: the union-sketch/global-
+      "text_distinct_hll",         // same: the union-sketch/global-
                                    // exact single-row aggregates
                                    // attach to per-source rows
+      // the k-means family: assignment is the ann_ivf_topk shape — the
+      // k-row centroid set broadcasts over the streamed corpus (the
+      // corpus never shuffles; an equi-join would have nothing to key
+      // on). stream_cluster_route is NOT here: its literal argmin
+      // plans no join at all.
+      "emb_kmeans_cluster", "emb_cluster_outliers", "emb_cluster_sample",
+      "emb_cluster_balance",
+      "ann_incremental_topk")      // IVF probe against the frozen
+                                   // index — same centroid BNLJ
 
   test("no registered query plans an all-pairs join outside the declared baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

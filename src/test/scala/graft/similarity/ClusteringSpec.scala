@@ -1,0 +1,79 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Determinism and geometry of the oracle-replayable k-means family. */
+class ClusteringSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Two well-separated blobs around (±10, 0, 0, 0): k-means with k=2
+    * must put each blob in one cluster regardless of seeds.
+    */
+  private def blobs = (0 until 20).map { i =>
+    val sign = if (i % 2 == 0) 1.0f else -1.0f
+    val jitter = (i % 5) * 0.01f
+    (i.toLong, Array(sign * 10.0f + jitter, jitter, -jitter, 0.1f * sign))
+  }.toDF("vec_id", "embedding")
+
+  test("kmeans separates well-separated blobs") {
+    val assigned = Clustering.kmeansAssign(blobs, k = 2, iters = 2)
+    val byCluster = assigned
+      .withColumn("side", when(col("vec_id") % 2 === 0, "pos").otherwise("neg"))
+      .groupBy(col("cluster"))
+      .agg(countDistinct(col("side")).as("sides"))
+      .select(max(col("sides"))).as[Long].head()
+    assert(byCluster === 1L, "a cluster mixed the two blobs")
+  }
+
+  test("assignment is identical across partitioning layouts") {
+    val a = Clustering.kmeansAssign(blobs.repartition(1), k = 2, iters = 2)
+      .orderBy("vec_id").collect().toSeq
+    val b = Clustering.kmeansAssign(blobs.repartition(7), k = 2, iters = 2)
+      .orderBy("vec_id").collect().toSeq
+    assert(a === b, "partitioning changed the assignment — decimal means broken")
+  }
+
+  test("trainCap trains on a subset but assigns every vector") {
+    val assigned = Clustering.kmeansAssign(blobs, k = 2, iters = 2, trainCap = 8)
+    assert(assigned.count() === 20L)
+    assert(assigned.select(countDistinct(col("cluster"))).as[Long].head() === 2L)
+  }
+
+  test("distanceOutliers flags the planted far point and only it") {
+    val planted = blobs.unionByName(
+      Seq((99L, Array(30.0f, 25.0f, -20.0f, 8.0f))).toDF("vec_id", "embedding"))
+    // flagging is two-sided; the planted point must be the only
+    // FAR-side flag (z > 0) — near-side flags are duplicate detection
+    val flagged = Clustering.distanceOutliers(
+        Clustering.kmeansAssign(planted, k = 2, iters = 2))
+      .filter(col("is_outlier") && col("z") > 0)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(flagged === Set(99L), s"expected only the planted far outlier, got $flagged")
+  }
+
+  test("routeToCentroids matches the batch assignment bit-for-bit") {
+    val batch = Clustering.kmeansAssign(blobs, k = 2, iters = 2)
+      .orderBy("vec_id").collect().toSeq
+    val cents = Clustering.kmeansCentroids(blobs, k = 2, iters = 2)
+    val routed = blobs
+      .withColumn("r", Clustering.routeToCentroids(cents, col("embedding")))
+      .select(col("vec_id"), col("r").getField("cid").as("cluster"),
+        col("r").getField("d2").as("dist2"))
+      .orderBy("vec_id").collect().toSeq
+    assert(routed === batch, "literal-argmin route drifted from batch assignment")
+  }
+
+  test("stratifiedSample returns perCluster rows per cluster, hash-stable") {
+    val assigned = Clustering.kmeansAssign(blobs, k = 2, iters = 2)
+    val s1 = Clustering.stratifiedSample(assigned, perCluster = 3)
+    assert(s1.groupBy(col("cluster")).count().select(min(col("count")))
+      .as[Long].head() === 3L)
+    val s2 = Clustering.stratifiedSample(assigned.repartition(5), perCluster = 3)
+    assert(s1.orderBy("cluster", "rank").collect().toSeq ===
+      s2.orderBy("cluster", "rank").collect().toSeq)
+  }
+}

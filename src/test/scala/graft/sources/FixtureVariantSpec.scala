@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, Tables, TestSpark}
+
+/** Whole-surface schema-on-read tolerance: every registered query must
+  * ANALYZE against realistic writer-variant fixture layouts.
+  *
+  * FixtureToleranceSpec covers the one drift that actually bit (the
+  * events TIMESTAMP_NTZ regeneration) in depth; this spec generalizes
+  * the lesson to the rest of the star schema. A driver fixture
+  * regeneration owns the writer, so any value-preserving physical
+  * encoding — int32 vs int64 ids, float32 vs float64 measures, DATE vs
+  * TIMESTAMP date columns, DOUBLE vs FLOAT embeddings — is a layout we
+  * may be handed next round. `Tables` normalizes numeric widths to the
+  * canonical schema on read (exact widenings only), so every query
+  * sees one schema no matter which of these layouts shipped.
+  *
+  * Analysis is asserted for the full registry (catches strictly-typed
+  * expression arms like `unix_micros`, the round-6 failure mode, at
+  * spec time instead of correctness-artifact time). Value identity is
+  * asserted for a hash-bearing query on the narrowed layout — width
+  * normalization is exactly what keeps xxhash64-based oracles layout
+  * independent (xxhash64 hashes the physical width: int32 doc_ids
+  * would otherwise change every minhash/winnowing fingerprint).
+  */
+class FixtureVariantSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val tableNames = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def canonicalRead(name: String): DataFrame = name match {
+    case "events" => Tables.events(spark, TestSpark.SfDir)
+    case n        => spark.read.parquet(s"${TestSpark.SfDir}/$n.parquet")
+  }
+
+  /** Narrow every 64-bit numeric to its 32-bit layout (values at
+    * sf0.001 all fit), preserving values exactly.
+    */
+  private def narrowed(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case LongType   => d.withColumn(f.name, col(f.name).cast(IntegerType))
+        case DoubleType => d // float32 narrowing is NOT value-preserving;
+                            // measures get their own variant below
+        case _ => d
+      }
+    }
+
+  private def variant(layout: String, name: String, df: DataFrame): DataFrame =
+    layout match {
+      case "narrow-ints" => narrowed(df)
+      case "date32" => name match {
+        case "orders"   => df.withColumn("o_orderdate", col("o_orderdate").cast(DateType))
+        case "lineitem" => df.withColumn("l_shipdate", col("l_shipdate").cast(DateType))
+        case _ => df
+      }
+      case "tz-ts" =>
+        df.schema.fields.foldLeft(df) { (d, f) =>
+          if (f.dataType == TimestampNTZType)
+            d.withColumn(f.name, col(f.name).cast(TimestampType))
+          else d
+        }
+      case "double-emb" => name match {
+        case "embeddings" =>
+          df.withColumn("embedding", transform(col("embedding"), _.cast(DoubleType)))
+        case _ => df
+      }
+    }
+
+  private def writeVariant(layout: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-variant-$layout").toString
+    for (name <- tableNames)
+      variant(layout, name, canonicalRead(name))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    dir
+  }
+
+  for (layout <- Seq("narrow-ints", "date32", "tz-ts", "double-emb")) {
+    test(s"all registered queries analyze against the $layout fixture layout") {
+      val dir = writeVariant(layout)
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        try {
+          fn(spark, dir).queryExecution.assertAnalyzed()
+          None
+        } catch {
+          case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage.take(200)}")
+        }
+      }
+      assert(failures.isEmpty,
+        s"$layout: ${failures.size} queries failed analysis:\n${failures.mkString("\n")}")
+    }
+  }
+
+  test("hash-bearing results are identical on the narrow-ints layout (width normalization)") {
+    val dir = writeVariant("narrow-ints")
+    for (q <- Seq("dedup_minhash", "text_winnow_fingerprint")) {
+      val want = SparkEntry.queries(q)(spark, TestSpark.SfDir)
+      val got = SparkEntry.queries(q)(spark, dir)
+      assert(got.schema == want.schema, s"$q: schema drifted on narrow layout")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$q: values drifted on narrow layout — width normalization broken")
+    }
+  }
+}
