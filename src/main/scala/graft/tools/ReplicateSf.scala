@@ -79,6 +79,34 @@ object ReplicateSf {
       return
     }
 
+    // `emb` mode: embeddings-only replica for the clustering/ANN
+    // scaling decade. The default path's dim-class sign flip supports
+    // at most `dim` distinct replicas (past that, replicas are exact
+    // duplicates — a spurious near-dup explosion); here each replica
+    // gets an independent ±1 diagonal from splitmix64(i, d):
+    // orthogonal (within-replica cosines preserved exactly — ±1f
+    // multiplication is float-exact), and cross-replica pairs
+    // decorrelate like random vectors for every i.
+    if (args.length > 3 && args(3) == "emb") {
+      assertStride(Tables.embeddings(spark, base), "vec_id", 1000000L)
+      def signs(i: Int, dim: Int): Seq[Float] = (0 until dim).map { d =>
+        var z = i.toLong * 0x9E3779B97F4A7C15L + d.toLong
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
+      }
+      write("embeddings", i => {
+        val e = Tables.embeddings(spark, base)
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+        if (i == 0) e
+        else e.withColumn("embedding",
+          zip_with(col("embedding"), typedlit(signs(i, 64)), (x, s) => x * s))
+      })
+      new java.io.File(s"$out/_DONE").createNewFile()
+      println(s"[replicate] done (embeddings only) -> $out")
+      return
+    }
+
     assertStride(Tables.lineitem(spark, base), "l_orderkey", 100000000L)
     assertStride(Tables.orders(spark, base), "o_orderkey", 100000000L)
     assertStride(Tables.orders(spark, base), "o_custkey", 10000000L)
