@@ -55,6 +55,50 @@ class ClusteringSpec extends AnyFunSuite {
     assert(flagged === Set(99L), s"expected only the planted far outlier, got $flagged")
   }
 
+  test("every vector lands on its true nearest centroid (plain-Scala replay)") {
+    val cents = Clustering.kmeansCentroids(blobs, k = 2, iters = 2)
+    val got = Clustering.kmeansAssign(blobs, k = 2, iters = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val data = blobs.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (((id, e), (gid, gc, gd)) <- data.zip(got)) {
+      assert(id === gid)
+      // same operation order as the engine: three index-order dots
+      val want = cents.map { case (cid, c) =>
+        val dee = e.foldLeft(0.0)((a, x) => a + x * x)
+        val dec = e.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+        val dcc = c.foldLeft(0.0)((a, x) => a + x * x)
+        (round6(dee - 2.0 * dec + dcc), cid)
+      }.min
+      assert((want._2, want._1) === ((gc, gd)),
+        s"vec $id: expected cluster ${want._2} d2 ${want._1}, got $gc $gd")
+    }
+  }
+
+  test("the streaming route plan is joinless and stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Clustering.kmeansCentroids(blobs, k = 2, iters = 2)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .withColumn("r", Clustering.routeToCentroids(cents, col("embedding")))
+      .select(col("vec_id"), col("r").getField("cid").as("cluster"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_route_planspec").start()
+    try {
+      mem.addData((1L, Array(10f, 0f, 0f, 0.1f)))
+      q.processAllAvailable()
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming
+          .runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!plan.contains("Join") && !plan.contains("StateStore"),
+        s"route plan gained a join or state store:\n$plan")
+    } finally q.stop()
+  }
+
   test("routeToCentroids matches the batch assignment bit-for-bit") {
     val batch = Clustering.kmeansAssign(blobs, k = 2, iters = 2)
       .orderBy("vec_id").collect().toSeq
