@@ -27,9 +27,15 @@ object Verify {
       // in ONE task — at sf1 that turned minute-queries into hours);
       // repartition inserts a shuffle so compute keeps its parallelism
       // and only the final file write is single-task.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query seconds on stderr: at replica scale one hot query
+        // can dominate the whole dump — make it visible, not silent
+        System.err.println(
+          f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
