@@ -41,10 +41,14 @@ object StreamingNearDup {
   def bandRows(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
     val rows = k / bands
-    val sh = transform(graft.text.TextAnalysis.shingles(col(textCol), n),
-      s => xxhash64(s))
-    val sig = array((0 until k).map(i =>
-      array_min(transform(sh, h => xxhash64(lit(i), h)))): _*)
+    // the hashed-shingle array is let-bound: the k signature slots
+    // each captured the expression and re-shingled the document per
+    // slot (k× the production cost; see TextAnalysis.let1)
+    val sig = graft.text.TextAnalysis.let1(
+      transform(graft.text.TextAnalysis.shingles(col(textCol), n),
+        s => xxhash64(s)),
+      sh => array((0 until k).map(i =>
+        array_min(transform(sh, h => xxhash64(lit(i), h)))): _*))
     docs
       .filter(size(graft.text.TextAnalysis.shingles(col(textCol), n)) > 0)
       .select(col(idCol).as("doc_id"), sig.as("sig"))

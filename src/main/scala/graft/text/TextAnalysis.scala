@@ -73,19 +73,31 @@ object TextAnalysis {
     */
   def fingerprint(c: Column): Column = md5(concat_ws(" ", tokens(c)))
 
+  /** let-binding for higher-order lambdas: evaluate `v` ONCE and bind
+    * it as a lambda variable inside `f`. Higher-order functions are
+    * interpreted (no codegen), and a lambda body RE-EVALUATES any
+    * captured expression tree per element — a captured O(m) array
+    * inside an m-window scan silently turns O(m) into O(m²).
+    * Measured: text_winnow_fingerprint at the 10× replica dropped
+    * from 273 s to single-digit seconds with this binding.
+    */
+  private[graft] def let1(v: Column, f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
   /** Winnowing fingerprints: hash every n-gram shingle (the rolling
     * hash), then keep the minimum hash of each w-length window —
     * guarantees any shared substring of ≥ n+w-1 tokens yields a shared
     * fingerprint, with ~2/(w+1) of the hashes retained. Pure column
-    * ops, so fingerprinting runs inside the scan at 100 TB.
+    * ops, so fingerprinting runs inside the scan at 100 TB (the hash
+    * array is let-bound — see [[let1]] — so the window scan reads it,
+    * never recomputes it).
     */
-  def winnowFingerprints(c: Column, n: Int = 3, w: Int = 4): Column = {
-    val hashes = transform(shingles(c, n), s => xxhash64(s))
-    when(size(hashes) < w, array_sort(array_distinct(hashes)))
-      .otherwise(array_sort(array_distinct(
-        transform(sequence(lit(0), size(hashes) - w),
-          i => array_min(slice(hashes, i + 1, lit(w)))))))
-  }
+  def winnowFingerprints(c: Column, n: Int = 3, w: Int = 4): Column =
+    let1(transform(shingles(c, n), s => xxhash64(s)), hashes =>
+      when(size(hashes) < w, array_sort(array_distinct(hashes)))
+        .otherwise(array_sort(array_distinct(
+          transform(sequence(lit(0), size(hashes) - w),
+            i => array_min(slice(hashes, i + 1, lit(w))))))))
 
   /** Oracle-checkable winnowing variant: md5 hex strings as the rolling
     * hashes, lexicographic min per window (hex order = numeric order
@@ -93,13 +105,12 @@ object TextAnalysis {
     * as [[winnowFingerprints]]; the xxhash64 form is the scale path
     * (8-byte vs 32-byte fingerprints).
     */
-  def winnowFingerprintsMd5(c: Column, n: Int = 3, w: Int = 4): Column = {
-    val hashes = transform(shingles(c, n), s => md5(s))
-    when(size(hashes) < w, array_sort(array_distinct(hashes)))
-      .otherwise(array_sort(array_distinct(
-        transform(sequence(lit(0), size(hashes) - w),
-          i => array_min(slice(hashes, i + 1, lit(w)))))))
-  }
+  def winnowFingerprintsMd5(c: Column, n: Int = 3, w: Int = 4): Column =
+    let1(transform(shingles(c, n), s => md5(s)), hashes =>
+      when(size(hashes) < w, array_sort(array_distinct(hashes)))
+        .otherwise(array_sort(array_distinct(
+          transform(sequence(lit(0), size(hashes) - w),
+            i => array_min(slice(hashes, i + 1, lit(w))))))))
 
   /** Deterministic reproducible train/validation split: hash-range on
     * md5 of the id — stable under any partitioning, any engine, and
@@ -120,13 +131,16 @@ object TextAnalysis {
   def chunks(c: Column, maxTokens: Int, overlap: Int): Column = {
     require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
     val stride = maxTokens - overlap
-    val t = tokens(c)
-    val nChunks = greatest(
-      ceil((size(t) - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
-    transform(sequence(lit(0), nChunks - 1), i => struct(
-      (i * stride).as("token_start"),
-      least(lit(maxTokens), size(t) - i * stride).as("n_tokens"),
-      concat_ws(" ", slice(t, i * stride + 1, lit(maxTokens))).as("chunk_text")))
+    // token array let-bound: the per-chunk lambda would otherwise
+    // re-tokenize the document per chunk (see let1)
+    let1(tokens(c), t => {
+      val nChunks = greatest(
+        ceil((size(t) - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
+      transform(sequence(lit(0), nChunks - 1), i => struct(
+        (i * stride).as("token_start"),
+        least(lit(maxTokens), size(t) - i * stride).as("n_tokens"),
+        concat_ws(" ", slice(t, i * stride + 1, lit(maxTokens))).as("chunk_text")))
+    })
   }
 
   /** Sharded greedy sequence packing — the batch-construction step
@@ -155,11 +169,15 @@ object TextAnalysis {
         floor((sum(col("ntok")).over(w) - col("ntok")) / tokenBudget).cast("long"))
   }
 
-  /** Word n-gram shingles (empty below n tokens). */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles (empty below n tokens). The token array is
+    * let-bound: the per-shingle lambda captured `tokens(c)` and
+    * re-split the document once PER SHINGLE — O(len²) per document,
+    * quadratic in document length for every shingle consumer (minhash,
+    * jaccard, winnowing, decontamination).
+    */
+  def shingles(c: Column, n: Int): Column =
+    let1(tokens(c), t =>
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
 }
