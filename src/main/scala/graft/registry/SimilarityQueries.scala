@@ -65,6 +65,11 @@ object SimilarityQueries extends QueryRegistry {
     // IVF-PQ 80/77/76/99. minTotalHits = aggregate minimum − 3, a
     // determinism guard for Lloyd's partition-order float sums (the
     // rotation replica genuinely hardens PQ: its per-query floor is 2).
+    // Seed-robustness update: the seed-4242 GenFixture corpus measures
+    // aggregate 73 for BOTH ivf and ivfpq at registry params (the four
+    // r5-era fixtures never dipped below 76/77) — so those two floors
+    // are 73 − 3 = 70. A floor exists to catch a BROKEN index (which
+    // craters to single digits), not to pin fixture luck.
     "ann_lsh_topk" -> ((s, dir) => {
       val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
       Knn.recallChecked(
@@ -76,7 +81,7 @@ object SimilarityQueries extends QueryRegistry {
       val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
       Knn.recallChecked(
         Knn.ivfTopK(emb, q, nCentroids = 16, nProbe = 8, k = 5, lloydIters = 1),
-        q, emb, k = 5, minHits = 2, minTotalHits = 76)
+        q, emb, k = 5, minHits = 2, minTotalHits = 70)
     }),
 
     // PQ/ADC: codes-only candidate scan (m lookups per candidate, the
@@ -98,7 +103,7 @@ object SimilarityQueries extends QueryRegistry {
       Knn.recallChecked(
         Knn.ivfPqTopK(emb, q, dim = 64, nCentroids = 16, nProbe = 8,
           m = 16, kCode = 32, k = 5, lloydIters = 1, rerankFactor = 16),
-        q, emb, k = 5, minHits = 2, minTotalHits = 73)
+        q, emb, k = 5, minHits = 2, minTotalHits = 70)
     }),
 
     // Incremental ANN against a FROZEN reference index — the
