@@ -105,6 +105,45 @@ object ScaleDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Winnow-fingerprint overlap pairs — the MOSS-style document-pair
+    * detector: docs sharing ≥ `minShared` winnowing fingerprints
+    * (each fingerprint witnesses a shared run of ≥ n+w−1 tokens, so
+    * `n_shared` approximates how much VERBATIM material two docs
+    * share, where Jaccard measures set similarity). Same inverted-
+    * index plan as [[ngramJaccardPairsSelfJoin]] but over the winnowed
+    * fingerprint set — ~2/(w+1) the index size of the full shingle
+    * index, which is the point of winnowing at corpus scale: the
+    * self-join and both shuffles shrink by the same factor while the
+    * shared-substring guarantee holds. Hot boilerplate fingerprints
+    * drop via the same anti-join doc-frequency cap. The md5 hash
+    * domain matches [[graft.text.TextAnalysis.winnowFingerprintsMd5]]
+    * so the DuckDB twin replays the chain exactly; a production
+    * deployment uses the xxhash64 domain (8-byte keys) — identical
+    * plan, smaller rows.
+    */
+  def winnowPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4, minShared: Long = 5,
+      maxDocFreq: Long = 1000): DataFrame = {
+    val idx = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.winnowFingerprintsMd5(col(textCol), n, w)).as("fp"))
+      .localCheckpoint() // feeds the hot-list aggregate AND the self-join
+    val capped = if (maxDocFreq > 0) {
+      // fingerprints are distinct per doc by construction, so the
+      // plain count IS the doc frequency
+      val hot = idx.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
+        .select(col("fp"))
+      idx.join(hot, Seq("fp"), "left_anti")
+    } else idx
+    capped.select(col("fp"), col("id").as("id_a"))
+      .join(capped.select(col("fp"), col("id").as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The production Jaccard-pairs plan: pair counts from
     * `idx ⋈ idx ON sh` — two shuffles of 8-byte (sh, id) rows, then a
     * map-side-combinable partial count per pair. The doc-frequency cap

@@ -205,6 +205,14 @@ object ScaleDedupQueries extends QueryRegistry {
       ScaleDedup.prepareCorpus(withNearDups(s, dir), "doc_id", "text",
         minQuality = 0.5, lang = "en", n = 3, threshold = 0.6)),
 
+    // MOSS-style winnow-fingerprint overlap pairs: how much VERBATIM
+    // material two docs share (each shared fingerprint witnesses a
+    // shared >= n+w-1-token run) — the plagiarism-detection complement
+    // of the Jaccard set-similarity pairs, on an index ~2/(w+1) the
+    // size of the full shingle index.
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      ScaleDedup.winnowPairs(withNearDups(s, dir), "doc_id", "text")),
+
     // eval-set decontamination: an eval doc (id % 10 == 0) is
     // contaminated to the degree it shares n-gram shingles with the
     // train side — the overlap check run before publishing a held-out
@@ -616,6 +624,36 @@ object ScaleDedupQueries extends QueryRegistry {
       |  FROM h GROUP BY id)
       |SELECT id, $bits AS simhash_bits FROM v""".stripMargin
     },
+
+    // replays the winnow chain of text_winnow_md5 over the near-dup
+    // fixture, then the capped inverted-index pair join. Fingerprints
+    // are distinct per doc (list_distinct), so COUNT(*) per fp is the
+    // doc frequency and COUNT(*) per pair the shared-fp count.
+    "dedup_winnow_pairs" -> s"""
+      |WITH d AS ($nearDupsSql),
+      |tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |  FROM d),
+      |h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_transform(generate_series(1, len(t) - 2),
+      |                i -> md5(array_to_string(t[i:i+2], ' '))) END AS hs
+      |  FROM tok),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) < 4 THEN list_sort(list_distinct(hs))
+      |         ELSE list_sort(list_distinct(list_transform(
+      |                generate_series(1, len(hs) - 3),
+      |                i -> list_min(hs[i:i+3])))) END AS fps
+      |  FROM h),
+      |e AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+      |keep AS (SELECT f FROM e GROUP BY f HAVING COUNT(*) <= 1000),
+      |ee AS (SELECT e.doc_id, e.f FROM e JOIN keep USING (f))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM ee a JOIN ee b ON a.f = b.f AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin,
 
     "corpus_decontaminate" -> """
       |WITH tok AS (

@@ -18,6 +18,40 @@ class ScaleDedupSpec extends AnyFunSuite {
     ScaleDedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("winnowPairs finds every engineered copy pair and honors the cap") {
+    import spark.implicits._
+    // a copy contains every original token window, so the shared-fp
+    // count of an engineered pair equals the ORIGINAL's fingerprint
+    // count — every %7 original with >= minShared fingerprints must
+    // pair with its +100000 copy, and none below can
+    val pairs = ScaleDedup.winnowPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val engineered = pairs.filter { case (a, b, _) => b == a + 100000 }
+    val expected = docs
+      .filter(col("doc_id") < 100000 && col("doc_id") % 7 === 0)
+      .select(size(graft.text.TextAnalysis.winnowFingerprintsMd5(col("text")))
+        .as("nfp"))
+      .filter(col("nfp") >= 5).count().toInt
+    assert(engineered.length === expected)
+    assert(engineered.forall(_._3 >= 5))
+    // hot-fingerprint cap: a boilerplate run shared by all 40 docs
+    // creates corpus-wide fingerprints; capping at 10 must strictly
+    // shrink the pair set (subsets of docs can still legitimately
+    // share window minima under the cap), and a cap of 1 excludes
+    // EVERY shared fingerprint (df >= 2 by definition) — zero pairs
+    val boiler = (0 until 40).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i BOIL ER PLATE RUN OF TOKENS W X Y Z " +
+        s"delta$i eps$i zeta$i eta$i theta$i iota$i kappa$i")).toDF("doc_id", "text")
+    val noCap = ScaleDedup.winnowPairs(boiler, "doc_id", "text",
+      minShared = 1, maxDocFreq = 0).count()
+    val capped = ScaleDedup.winnowPairs(boiler, "doc_id", "text",
+      minShared = 1, maxDocFreq = 10).count()
+    val capAll = ScaleDedup.winnowPairs(boiler, "doc_id", "text",
+      minShared = 1, maxDocFreq = 1).count()
+    assert(noCap > 0 && capped < noCap && capAll === 0L,
+      s"cap failed: noCap=$noCap capped=$capped capAll=$capAll")
+  }
+
   test("engineered near-dups are all found by exact jaccard") {
     // every doc_id % 7 == 0 original pairs with its +100000 copy; the
     // corpus also contains genuine word-salad near-dups, which is fine.
