@@ -18,11 +18,14 @@ object Tables {
     * `xxhash64(int)` and `xxhash64(bigint)` hash different byte widths,
     * so an int32 `doc_id` would silently break every minhash/LSH/
     * winnowing twin. Normalizing on read keeps query results a function
-    * of the VALUES, not the writer's encoding choices. All casts here
-    * are exact widenings (int→long, float→double are value-preserving
-    * IEEE/integral embeddings), never narrowing.
+    * of the VALUES, not the writer's encoding choices. Exact widenings
+    * (int→long, float→double) cast directly; every other realistic
+    * layout — a narrowing-width writer, DECIMAL, VARCHAR — casts
+    * through a per-row round-trip guard that throws on the first value
+    * the cast would corrupt, so an unexpected layout fails loudly
+    * instead of wrapping/truncating silently.
     */
-  private val canonicalNumerics: Map[String, Map[String, DataType]] = Map(
+  private[graft] val canonicalNumerics: Map[String, Map[String, DataType]] = Map(
     "region"   -> Map("r_regionkey" -> IntegerType),
     "nation"   -> Map("n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType),
     "customer" -> Map("c_custkey" -> LongType, "c_nationkey" -> IntegerType,
@@ -43,20 +46,99 @@ object Tables {
     "embeddings" -> Map("vec_id" -> LongType, "label" -> IntegerType),
   )
 
-  private val widenable: Set[DataType] =
-    Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+  private def width(dt: DataType): Int = dt match {
+    case ByteType => 1; case ShortType => 2; case IntegerType => 4
+    case LongType => 8; case FloatType => 4; case DoubleType => 8
+    case _ => 0
+  }
+  private def integral(dt: DataType): Boolean =
+    dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
 
-  /** Cast any column whose read type differs from its canonical numeric
-    * type, provided both are plain numerics (a decimal or string writer
-    * layout would deserve its own audited arm, not a blind cast).
+  /** Casts that embed every representable value exactly: integral into
+    * a same-or-wider integral, float into double, and integrals whose
+    * full range fits the target mantissa (≤int32 into double's 52
+    * bits, ≤int16 into float's 23). Everything else is *checked*.
+    */
+  private def exactWidening(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f, t) if integral(f) && integral(t) => width(f) <= width(t)
+    case (FloatType, DoubleType)              => true
+    case (f, DoubleType) if integral(f)       => width(f) <= 4
+    case (f, FloatType) if integral(f)        => width(f) <= 2
+    case _                                    => false
+  }
+
+  /** Cast toward the canonical type with a per-row round-trip guard:
+    * the value must survive `from → want → from` bit-exactly or the
+    * scan throws OUR error (raise_error inside codegen). This is the
+    * audited arm for layouts that are *usually* value-preserving but
+    * can silently corrupt in the tail — int64 written for a canonical
+    * int32 column (wraps under non-ANSI cast), DECIMAL prices (exact
+    * into double only up to ~15 significant digits), int64 ids into
+    * double (exact only below 2^53). Both directions go through
+    * `try_cast` (NULL-on-error in BOTH ANSI modes) so an overflow
+    * surfaces as our named diagnostic rather than mode-dependently as
+    * CAST_OVERFLOW or a silent wrap. One comparison per row, and only
+    * on drifted layouts — the canonical fast path is untouched.
+    */
+  private def checkedCast(c: org.apache.spark.sql.Column, from: DataType,
+                          want: DataType, table: String, cName: String) = {
+    import org.apache.spark.sql.functions._
+    val casted = c.try_cast(want)
+    when(c.isNull, casted)
+      .when(casted.isNotNull && (casted.try_cast(from) <=> c), casted)
+      .otherwise(raise_error(concat(
+        lit(s"[graft.Tables] $table.$cName: ${from.sql} -> ${want.sql} " +
+          "writer-layout cast is not value-preserving for value "),
+        c.cast(StringType))))
+  }
+
+  /** VARCHAR writer layout: the canonical interpretation of a numeric
+    * string is its parse — but a parse that *truncates* ("12.5" into
+    * an integral column), *overflows*, or fails outright must throw
+    * OUR diagnostic instead of being mode-dependent (ANSI throws
+    * CAST_INVALID_INPUT, non-ANSI silently truncates or nulls).
+    * `try_cast` runs ANSI-strict validation with NULL-on-error in
+    * both modes — a fractional string never try_casts to an integral
+    * type — so the single NULL check covers truncation, overflow, and
+    * garbage; fractional targets take the nearest-double parse (the
+    * canonical value, identical to DuckDB's reader).
+    */
+  private def stringCast(c: org.apache.spark.sql.Column, want: DataType,
+                         table: String, cName: String) = {
+    import org.apache.spark.sql.functions._
+    val casted = c.try_cast(want)
+    val err = raise_error(concat(
+      lit(s"[graft.Tables] $table.$cName: STRING -> ${want.sql} " +
+        "writer-layout cast is lossy or unparseable for value "), c))
+    when(c.isNull, casted).when(casted.isNotNull, casted).otherwise(err)
+  }
+
+  /** Cast any column whose read type differs from its canonical
+    * numeric type. Exact widenings cast blindly; plain-numeric
+    * narrowings, DECIMAL, and VARCHAR layouts cast through a per-row
+    * value-preservation guard that throws rather than wrap/truncate;
+    * anything else (a layout no realistic writer produces for these
+    * columns) fails loudly at read time instead of skipping
+    * normalization and corrupting every downstream hash oracle.
     */
   private def normalizeNumerics(df: DataFrame, name: String): DataFrame =
     canonicalNumerics.get(name).fold(df) { m =>
       m.foldLeft(df) { case (d, (cName, want)) =>
         d.schema.fields.find(_.name == cName) match {
-          case Some(f) if f.dataType != want && widenable(f.dataType) =>
-            d.withColumn(cName, org.apache.spark.sql.functions.col(cName).cast(want))
-          case _ => d
+          case None => d
+          case Some(f) if f.dataType == want => d
+          case Some(f) =>
+            val c = org.apache.spark.sql.functions.col(cName)
+            val normalized = f.dataType match {
+              case from if exactWidening(from, want) => c.cast(want)
+              case from if width(from) > 0 => checkedCast(c, from, want, name, cName)
+              case from: DecimalType       => checkedCast(c, from, want, name, cName)
+              case StringType              => stringCast(c, want, name, cName)
+              case other => throw new IllegalArgumentException(
+                s"[graft.Tables] $name.$cName: unsupported writer layout " +
+                  s"${other.sql} for canonical ${want.sql}")
+            }
+            d.withColumn(cName, normalized)
         }
       }
     }

@@ -200,15 +200,18 @@ object MmStreamQueries extends QueryRegistry {
       implicit val sqlCtx = s.sqlContext
       val emb = Tables.embeddings(s, dir)
       val cents = graft.similarity.Clustering.kmeansCentroids(emb, k = 8, iters = 2)
-      // float cast: the MemoryStream fixture is Array[Float]-typed and
-      // must stay collectable under a double-embedding writer layout
+      // double-typed fixture: the stream must carry the EXACT values
+      // the batch assignment and the DuckDB twin consume — a float
+      // truncation here would diverge the routed dist2 under a
+      // double-precision writer layout (float→double widens exactly,
+      // so this collect is layout-safe in both directions)
       val rows = emb
         .select(col("vec_id"),
-          transform(col("embedding"), _.cast("float")).as("embedding"))
+          transform(col("embedding"), _.cast("double")).as("embedding"))
         .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Array[Float])]
+        .MemoryStream[(Long, Array[Double])]
       val name = "graft_route_" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       val routed = mem.toDF().toDF("vec_id", "embedding")

@@ -25,6 +25,16 @@ import graft.dedup.ScaleDedup
   */
 object ScaleDedupQueries extends QueryRegistry {
 
+  /** dedup_winnow_pairs parameters — one set of vals interpolated into
+    * BOTH the registry call and the generated DuckDB twin (the
+    * kmeansCtes pattern), so a parameter change cannot silently
+    * diverge the two sides.
+    */
+  private val WinnowN = 3
+  private val WinnowW = 4
+  private val WinnowMinShared = 5L
+  private val WinnowMaxDocFreq = 1000L
+
   private def withExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
@@ -211,7 +221,9 @@ object ScaleDedupQueries extends QueryRegistry {
     // of the Jaccard set-similarity pairs, on an index ~2/(w+1) the
     // size of the full shingle index.
     "dedup_winnow_pairs" -> ((s, dir) =>
-      ScaleDedup.winnowPairs(withNearDups(s, dir), "doc_id", "text")),
+      ScaleDedup.winnowPairs(withNearDups(s, dir), "doc_id", "text",
+        n = WinnowN, w = WinnowW, minShared = WinnowMinShared,
+        maxDocFreq = WinnowMaxDocFreq)),
 
     // eval-set decontamination: an eval doc (id % 10 == 0) is
     // contaminated to the degree it shares n-gram shingles with the
@@ -636,24 +648,24 @@ object ScaleDedupQueries extends QueryRegistry {
       |  FROM d),
       |h AS (
       |  SELECT doc_id,
-      |    CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
-      |         ELSE list_transform(generate_series(1, len(t) - 2),
-      |                i -> md5(array_to_string(t[i:i+2], ' '))) END AS hs
+      |    CASE WHEN len(t) < $WinnowN THEN CAST([] AS VARCHAR[])
+      |         ELSE list_transform(generate_series(1, len(t) - ${WinnowN - 1}),
+      |                i -> md5(array_to_string(t[i:i+${WinnowN - 1}], ' '))) END AS hs
       |  FROM tok),
       |fp AS (
       |  SELECT doc_id,
-      |    CASE WHEN len(hs) < 4 THEN list_sort(list_distinct(hs))
+      |    CASE WHEN len(hs) < $WinnowW THEN list_sort(list_distinct(hs))
       |         ELSE list_sort(list_distinct(list_transform(
-      |                generate_series(1, len(hs) - 3),
-      |                i -> list_min(hs[i:i+3])))) END AS fps
+      |                generate_series(1, len(hs) - ${WinnowW - 1}),
+      |                i -> list_min(hs[i:i+${WinnowW - 1}])))) END AS fps
       |  FROM h),
       |e AS (SELECT doc_id, unnest(fps) AS f FROM fp),
-      |keep AS (SELECT f FROM e GROUP BY f HAVING COUNT(*) <= 1000),
+      |keep AS (SELECT f FROM e GROUP BY f HAVING COUNT(*) <= $WinnowMaxDocFreq),
       |ee AS (SELECT e.doc_id, e.f FROM e JOIN keep USING (f))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(COUNT(*) AS BIGINT) AS n_shared
       |FROM ee a JOIN ee b ON a.f = b.f AND a.doc_id < b.doc_id
-      |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin,
+      |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared""".stripMargin,
 
     "corpus_decontaminate" -> """
       |WITH tok AS (

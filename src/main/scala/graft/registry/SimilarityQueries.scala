@@ -31,19 +31,23 @@ object SimilarityQueries extends QueryRegistry {
       Knn.bruteForceTopK(queriesDf(s, dir), Tables.embeddings(s, dir), k = 5)),
 
     // blocked (multi-table LSH + exact verify) but oracle-checked
-    // against the full all-pairs SQL. Candidate recall at cosine c is
-    // 1 − (1 − (1 − θ/π)^nPlanes)^nTables with θ = arccos(c): at 8
-    // planes × 4 tables that is a ~1.6e−6 miss for pairs at c≈0.9999
-    // but ~0.9% AT the 0.99 boundary — so the stage is lossless only
-    // for pairs well above threshold. The full-oracle match holds on
-    // this fixture because every true pair is a perturbed copy at
-    // cos≈0.9999, and random 64-dim pairs concentrate at |cos| ≈
-    // N(0, 1/64) (0.99 is ~8σ — no boundary mass exists). A corpus
-    // with pairs near the threshold needs more tables: the miss
-    // probability shrinks with the nTables-th power.
+    // against the full all-pairs SQL. The plane count is AUTO-derived
+    // from the corpus size (Knn.autoPlanes: ceil(log2(n/8)) — 7 at
+    // sf0.01, 9 at sf0.1, 15 at the 100× replica), which holds bucket
+    // occupancy ~constant so the candidate stage stays linear in n at
+    // registry defaults — no manual plane bump at any scale. Candidate
+    // recall at cosine c is 1 − (1 − (1 − θ/π)^planes)^nTables with
+    // θ = arccos(c): for perturbed-copy pairs at c≈0.9999 the miss is
+    // ~1e−6 at 7 planes and still ~2e−5 at 16 planes × 4 tables, but
+    // ~0.9% for pairs AT the 0.99 boundary — the stage is lossless
+    // only for pairs well above threshold. The full-oracle match holds
+    // on this fixture because every true pair is a perturbed copy and
+    // random 64-dim pairs concentrate at |cos| ≈ N(0, 1/64) (0.99 is
+    // ~8σ — no boundary mass exists). A corpus with boundary-pair mass
+    // needs more tables: miss shrinks with the nTables-th power.
     "emb_near_dup" -> ((s, dir) =>
       Knn.cosineNearDupPairsBlocked(withPerturbed(s, dir), dim = 64,
-        threshold = 0.99, nPlanes = 8, nTables = 4)),
+        threshold = 0.99, nTables = 4)),
 
     // The 4 ANN families run under the recall-floor oracle
     // (`Knn.recallChecked`, the a8_distinct_approx pattern): the query
@@ -125,11 +129,12 @@ object SimilarityQueries extends QueryRegistry {
         batch, ref, k = 5, minHits = 2, minTotalHits = 70)
     }),
 
-    // semantic dedup composition: blocked cosine pairs -> connected
-    // components -> canonical per vector.
+    // semantic dedup composition: blocked cosine pairs (auto-scaled
+    // plane count — see emb_near_dup) -> connected components ->
+    // canonical per vector.
     "emb_semantic_dedup" -> ((s, dir) =>
       Knn.semanticDedup(withPerturbed(s, dir), dim = 64, threshold = 0.99,
-        nPlanes = 8, nTables = 4)),
+        nTables = 4)),
 
     // Deterministic k-means over the embedding corpus — the topic-
     // bucketing step of a curation pipeline, under a FULL twin (the

@@ -20,12 +20,16 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *    centroids are equal across engines and partitionings, and every
   *    later iteration stays deterministic.
   *
-  * Scale shape ([[Knn.ivfCentroids]] is the recall-floor sibling): the
-  * corpus never shuffles during assignment (centroids broadcast, argmin
-  * through the native partial/final top-k — at most one row per vector
-  * per partition reaches the exchange); the update shuffles only the
-  * (cluster, dim)-keyed partial sums (map-side combine bounds the
-  * exchange at k × dim rows per partition). Per-iteration
+  * Scale shape ([[Knn.ivfCentroids]] is the recall-floor sibling):
+  * assignment broadcasts the centroids and takes the argmin through
+  * the native partial/final top-k — the partial stage cuts the scored
+  * k-way expansion back to at most ONE row per vector per partition
+  * before the exchange, but the final stage requires
+  * ClusteredDistribution on vec_id, so one corpus-cardinality shuffle
+  * (vector rows incl. their embedding arrays, deduplicated to top-1
+  * per partition) does cross per Lloyd iteration; the update shuffles
+  * only the (cluster, dim)-keyed partial sums (map-side combine
+  * bounds the exchange at k × dim rows per partition). Per-iteration
   * localCheckpoint keeps plan depth constant, the PageRank loop rule.
   * Production callers cap Lloyd training with `trainCap` (train on a
   * deterministic hash-sample, assign the full corpus — the
@@ -52,8 +56,11 @@ object Clustering {
         row_number().over(Window.orderBy(col("vec_id"))) - 1)
       .select(col("cid"), col("e").as("c_emb"))
 
-  /** Assign every vector to its nearest centroid: broadcast nested loop
-    * + native top-1 — the corpus-sized side never shuffles.
+  /** Assign every vector to its nearest centroid: broadcast nested
+    * loop + native top-1. The partial top-k stage collapses the
+    * k-way scored expansion to ≤1 row per vector per partition before
+    * the vec_id exchange — one corpus-cardinality shuffle, never a
+    * k×corpus one (see the class doc's scale-shape note).
     */
   private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = v.crossJoin(broadcast(centroids))

@@ -67,6 +67,25 @@ object Knn {
       (java.lang.Math.floorMod(z, 100000L).toDouble / 100000.0) - 0.5
     }
 
+  /** Sign-bit plane count derived from the corpus size. Buckets hold
+    * ~n/2^planes vectors, so in-bucket candidate pairs grow like
+    * n²/2^planes per table — holding expected occupancy at
+    * `targetOccupancy` (planes = ceil(log2(n/occupancy))) keeps the
+    * candidate stage LINEAR in n as the corpus scales. This replaces
+    * the fixture-tuned constant that was the one quantified scale
+    * cliff: EmbScaleProbe measured 8 planes at 222k vectors leaving
+    * 868 vectors/bucket (469M candidate pairs — quadratic) vs
+    * 4.3/bucket at 16 planes. Planes control occupancy ONLY; recall
+    * is bought with nTables (miss probability falls with its power),
+    * so growing planes with log2(n) trades a per-table recall factor
+    * that nTables restores, never correctness (candidates are always
+    * exact-verified). Floor 4 keeps tiny corpora from collapsing to a
+    * couple of buckets.
+    */
+  def autoPlanes(n: Long, targetOccupancy: Int = 8): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0)).toInt)
+
   /** Sign-bit bucket id from `nPlanes` hyperplanes of table `table`. */
   def lshBucket(emb: Column, dim: Int, nPlanes: Int, table: Int = 0): Column =
     (0 until nPlanes).map { p =>
@@ -204,7 +223,7 @@ object Knn {
     */
   def semanticDedup(
       vectors: DataFrame, dim: Int, threshold: Double,
-      nPlanes: Int = 8, nTables: Int = 4,
+      nPlanes: Int = 0, nTables: Int = 4,
       driverCcThreshold: Int = 1000000): DataFrame = {
     val pairs = cosineNearDupPairsBlocked(vectors, dim, threshold, nPlanes, nTables)
     graft.dedup.ScaleDedup.assignCanonical(
@@ -474,11 +493,20 @@ object Knn {
         (col("_total") >= minTotalHits).as("agg_recall_ok"))
   }
 
+  /** `nPlanes <= 0` (the default) derives the plane count from the
+    * corpus size via [[autoPlanes]] — one extra count() job, which on
+    * a parquet-backed corpus is metadata-only and on a derived frame
+    * is one cheap pass, either way negligible next to the candidate
+    * join it right-sizes. Pass an explicit positive count only for
+    * probing/tuning (EmbScaleProbe) — a fixture-tuned constant is how
+    * the quadratic cliff happens.
+    */
   def cosineNearDupPairsBlocked(
       vectors: DataFrame, dim: Int, threshold: Double,
-      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+      nPlanes: Int = 0, nTables: Int = 4): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(vectors.count())
     val bucketed = bucketedAll(
-      vectors.select(col("vec_id"), col("embedding")), dim, nPlanes, nTables)
+      vectors.select(col("vec_id"), col("embedding")), dim, planes, nTables)
       .select(col("tbl"), col("bucket"), col("vec_id"))
     val l = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
     val r = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))

@@ -13,15 +13,17 @@ import graft.similarity.Knn
   * n²/2^nPlanes: at 2k vectors 8 planes is comfortable (≈9/bucket);
   * at 200k the same 8 planes leave ≈780/bucket — a quadratic
   * candidate explosion. nPlanes must track log₂(n) (+tables to buy
-  * back boundary recall).
+  * back boundary recall) — which is exactly what the registry default
+  * now does ([[Knn.autoPlanes]]); pass `auto` to probe that path and
+  * confirm occupancy stays flat across 1×/10×/100× with NO manual
+  * plane bump.
   *
-  * Usage: runMain graft.tools.EmbScaleProbe <sfDir> <nPlanes> <nTables> [time]
+  * Usage: runMain graft.tools.EmbScaleProbe <sfDir> <nPlanes|auto> <nTables> [time]
   */
 object EmbScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val nPlanes = args(1).toInt
     val nTables = args(2).toInt
     val timeIt = args.length > 3 && args(3) == "time"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "24")
@@ -34,6 +36,7 @@ object EmbScaleProbe {
 
     val vecs = graft.registry.SimilarityQueries.withPerturbed(spark, dir)
     val n = vecs.count()
+    val nPlanes = if (args(1) == "auto") Knn.autoPlanes(n) else args(1).toInt
 
     // per-(table, bucket) occupancy and implied candidate-pair count —
     // computed from the bucketing alone (cheap even when the pair join
@@ -53,8 +56,11 @@ object EmbScaleProbe {
     if (timeIt) {
       for (t <- 1 to 2) {
         val t0 = System.nanoTime()
+        // `auto` exercises the registry-default path end-to-end
+        // (nPlanes = 0 → semanticDedup derives the count itself)
         val cnt = Knn.semanticDedup(vecs, dim = 64, threshold = 0.99,
-          nPlanes = nPlanes, nTables = nTables).count()
+          nPlanes = if (args(1) == "auto") 0 else nPlanes,
+          nTables = nTables).count()
         println(f"[embprobe] semanticDedup trial $t: " +
           f"${(System.nanoTime() - t0) / 1e9}%.2f s rows=$cnt")
       }

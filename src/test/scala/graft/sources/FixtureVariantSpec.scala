@@ -52,9 +52,35 @@ class FixtureVariantSpec extends AnyFunSuite {
       }
     }
 
+  /** Columns Tables normalizes for this table, keyed by canonical
+    * type — the set a decimal/varchar writer layout may legally alter
+    * (anything outside it would reach queries unnormalized).
+    */
+  private def canonicalCols(name: String): Map[String, DataType] =
+    Tables.canonicalNumerics.getOrElse(name, Map.empty)
+
+  private val integralTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
+
   private def variant(layout: String, name: String, df: DataFrame): DataFrame =
     layout match {
       case "narrow-ints" => narrowed(df)
+      // NUMBER-style export layout (Oracle/Snowflake writers ship
+      // integral keys as DECIMAL): every canonical-integral column as
+      // DECIMAL(18,0) — value-preserving, so Tables' checked cast must
+      // restore canonical types with identical values.
+      case "decimal-ids" =>
+        canonicalCols(name).foldLeft(df) { case (d, (c, want)) =>
+          if (integralTypes(want)) d.withColumn(c, col(c).cast(DecimalType(18, 0)))
+          else d
+        }
+      // CSV-ish stringly layout: every canonical numeric as VARCHAR.
+      // Integral strings round-trip exactly; double strings parse back
+      // bit-identically (Java shortest-round-trip formatting).
+      case "varchar-nums" =>
+        canonicalCols(name).foldLeft(df) { case (d, (c, _)) =>
+          d.withColumn(c, col(c).cast(StringType))
+        }
       case "date32" => name match {
         case "orders"   => df.withColumn("o_orderdate", col("o_orderdate").cast(DateType))
         case "lineitem" => df.withColumn("l_shipdate", col("l_shipdate").cast(DateType))
@@ -81,7 +107,8 @@ class FixtureVariantSpec extends AnyFunSuite {
     dir
   }
 
-  for (layout <- Seq("narrow-ints", "date32", "tz-ts", "double-emb")) {
+  for (layout <- Seq("narrow-ints", "date32", "tz-ts", "double-emb",
+                     "decimal-ids", "varchar-nums")) {
     test(s"all registered queries analyze against the $layout fixture layout") {
       val dir = writeVariant(layout)
       val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -97,14 +124,67 @@ class FixtureVariantSpec extends AnyFunSuite {
     }
   }
 
-  test("hash-bearing results are identical on the narrow-ints layout (width normalization)") {
-    val dir = writeVariant("narrow-ints")
-    for (q <- Seq("dedup_minhash", "text_winnow_fingerprint")) {
-      val want = SparkEntry.queries(q)(spark, TestSpark.SfDir)
-      val got = SparkEntry.queries(q)(spark, dir)
-      assert(got.schema == want.schema, s"$q: schema drifted on narrow layout")
-      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
-        s"$q: values drifted on narrow layout — width normalization broken")
+  for (layout <- Seq("narrow-ints", "decimal-ids", "varchar-nums")) {
+    test(s"hash-bearing results are identical on the $layout layout") {
+      val dir = writeVariant(layout)
+      for (q <- Seq("dedup_minhash", "text_winnow_fingerprint")) {
+        val want = SparkEntry.queries(q)(spark, TestSpark.SfDir)
+        val got = SparkEntry.queries(q)(spark, dir)
+        assert(got.schema == want.schema, s"$q: schema drifted on $layout layout")
+        assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+          s"$q: values drifted on $layout layout — normalization broken")
+      }
     }
+  }
+
+  /** The guard's OTHER contract: a layout the cast would corrupt must
+    * throw at scan time, never wrap/truncate silently. Each poison
+    * table is the real fixture with one value the canonical cast
+    * cannot preserve.
+    */
+  private def writePoison(mutate: DataFrame => DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-poison").toString
+    mutate(canonicalRead("nation"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    dir
+  }
+
+  private def expectRaise(dir: String): Unit = {
+    val e = intercept[Exception] {
+      Tables.nation(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("[graft.Tables]")),
+      s"expected the value-preservation guard to raise, got: $e")
+  }
+
+  test("int64-for-int32 writer layout with an overflowing value throws (no silent wrap)") {
+    expectRaise(writePoison(df =>
+      df.withColumn("n_nationkey",
+        when(col("n_nationkey") === 0, lit(1L << 35))
+          .otherwise(col("n_nationkey").cast(LongType)))))
+  }
+
+  test("fractional DECIMAL for an integral column throws (no silent truncation)") {
+    expectRaise(writePoison(df =>
+      df.withColumn("n_nationkey",
+        (col("n_nationkey").cast(DecimalType(12, 2)) + lit(0.5))
+          .cast(DecimalType(12, 2)))))
+  }
+
+  test("non-integral VARCHAR for an integral column throws (no silent truncation)") {
+    expectRaise(writePoison(df =>
+      df.withColumn("n_nationkey",
+        when(col("n_nationkey") === 0, lit("7.5"))
+          .otherwise(col("n_nationkey").cast(StringType)))))
+  }
+
+  test("unparseable VARCHAR for an integral column throws (no silent null)") {
+    expectRaise(writePoison(df =>
+      df.withColumn("n_nationkey",
+        when(col("n_nationkey") === 0, lit("oops"))
+          .otherwise(col("n_nationkey").cast(StringType)))))
   }
 }
