@@ -35,10 +35,31 @@ object ScaleDedupQueries extends QueryRegistry {
   private val WinnowMinShared = 5L
   private val WinnowMaxDocFreq = 1000L
 
+  /** 1/DocSampleMod deterministic slice for the `_sampled` scale-twin
+    * queries — shared between the Spark predicate and the generated
+    * SQL (and with TextQueries' sampled winnow twin).
+    */
+  private[registry] val DocSampleMod = 8
+
   private def withExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** The near-dup fixture over the deterministic 1/[[DocSampleMod]]
+    * xxhash64 slice of the base corpus, duplicates planted AFTER
+    * sampling so every sampled doc_id % 7 == 0 contributes a pair at
+    * any scale (sampling before planting would keep each side of a
+    * pair independently — 1/mod² pair survival).
+    */
+  def withNearDupsSampled(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(pmod(xxhash64(col("doc_id")), lit(DocSampleMod)) === 0)
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz9 yy8 xx7")).as("text")))
       .repartition(s.sparkContext.defaultParallelism)
   }
 
@@ -142,6 +163,15 @@ object ScaleDedupQueries extends QueryRegistry {
     "dedup_minhash" -> ((s, dir) =>
       ScaleDedup.minhashCandidates(withNearDups(s, dir), "doc_id", "text")),
 
+    // the full banded-minhash chain over the deterministic
+    // 1/DocSampleMod hash slice: the scale-record twin. At replica
+    // scale the full-corpus XXH64 replay is oracle-side intractable;
+    // this runs the COMPLETE chain over a slice DuckDB replays at any
+    // corpus size, so the 10× record carries a real hash check for the
+    // minhash family instead of a documented exclusion.
+    "dedup_minhash_sampled" -> ((s, dir) =>
+      ScaleDedup.minhashCandidates(withNearDupsSampled(s, dir), "doc_id", "text")),
+
     // substring-level dedup: maximal >=10-token runs shared verbatim
     // across docs (boilerplate/quote blocks that survive doc-level
     // Jaccard because the host docs differ). Spark detects duplicate
@@ -171,6 +201,13 @@ object ScaleDedupQueries extends QueryRegistry {
     "dedup_simhash" -> ((s, dir) =>
       ScaleDedup.simhashPairs(
         ScaleDedup.simhash(withNearDups(s, dir), "doc_id", "text"),
+        maxHamming = 3)),
+
+    // simhash scale-record twin over the same hash slice (see
+    // dedup_minhash_sampled).
+    "dedup_simhash_sampled" -> ((s, dir) =>
+      ScaleDedup.simhashPairs(
+        ScaleDedup.simhash(withNearDupsSampled(s, dir), "doc_id", "text"),
         maxHamming = 3)),
 
     // the md5-hash simhash twin under a FULL oracle (bit-exact
@@ -354,6 +391,81 @@ object ScaleDedupQueries extends QueryRegistry {
       |  FROM xxb_src m JOIN xxb_out o ON o.xid = m.xid)""".stripMargin
   }
 
+  /** CTE chain selecting the deterministic xxhash64 sub-corpus and
+    * planting the same near-dup copies `withNearDupsSampled` plants —
+    * the `docs` a sampled twin consumes. Sampling is replayed with the
+    * longHashCte XXH64 chain (Spark's seed-42 xxhash64 over the long
+    * doc_id), so the slice is bit-identical cross-engine. Purpose: at
+    * replica scale the FULL minhash/simhash replays are oracle-side
+    * intractable (single-node DuckDB over tens of millions of hash
+    * rows); the 1/$DocSampleMod slice keeps the complete chain —
+    * shingle → signature → band → pair — under a tractable full twin
+    * at ANY corpus size, making the scale record exclusion-free.
+    */
+  private[registry] val sampledNearDupsCtes: String =
+    s"""${XxHashOracleSql.longHashCte("dsel", "documents", Seq("doc_id", "text"),
+         "doc_id", "CAST(42 AS UBIGINT)", "h64")},
+      |dsamp AS (
+      |  SELECT doc_id, text FROM dsel
+      |  WHERE ((h64 % $DocSampleMod) + $DocSampleMod) % $DocSampleMod = 0),
+      |docs AS (
+      |  SELECT doc_id, text FROM dsamp
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' zz9 yy8 xx7' FROM dsamp
+      |  WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Full XXH64 banded-minhash replay over the given `docs` CTE chain:
+    * slot-salted signature mins, band hashes, candidate pair join.
+    */
+  private def minhashTwin(docsCtes: String): String = s"""
+    |WITH RECURSIVE $docsCtes,
+    |$minhashBandedCtes
+    |SELECT DISTINCT l.id AS id_a, r.id AS id_b
+    |FROM banded l
+    |JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id""".stripMargin
+
+  /** Full XXH64 replay of SimHash hamming pairs over the given `docs`
+    * CTE chain: per-token hash (every occurrence votes), 64 bit-votes,
+    * fingerprint assembled in the unsigned domain, 16-bit-chunk
+    * blocking, hamming <= 3.
+    */
+  private def simhashTwin(docsCtes: String): String = {
+    val votes = (0 until 64)
+      .map(j => s"CAST(SUM(CASE WHEN (hu >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$j")
+      .mkString(",\n|    ")
+    val assemble = (0 until 64)
+      .map(j => s"CASE WHEN v$j > 0 THEN CAST(${BigInt(1) << j} AS UHUGEINT) ELSE CAST(0 AS UHUGEINT) END")
+      .mkString(" + ")
+    s"""
+    |WITH RECURSIVE $docsCtes,
+    |toku AS (
+    |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+    |  FROM docs),
+    |xxt_src AS MATERIALIZED (
+    |  SELECT row_number() OVER () AS xid, token AS s,
+    |         CAST(42 AS UBIGINT) AS useed, doc_id
+    |  FROM toku),
+    |${XxHashOracleSql.stringHashCtes("xxt")},
+    |th AS MATERIALIZED (
+    |  SELECT m.doc_id AS id,
+    |    CAST((CAST(o.hash64 AS HUGEINT) + 18446744073709551616) % 18446744073709551616 AS UBIGINT) AS hu
+    |  FROM xxt_src m JOIN xxt_out o ON o.xid = m.xid),
+    |v AS (
+    |  SELECT id,
+    |    $votes
+    |  FROM th GROUP BY id),
+    |fp AS MATERIALIZED (
+    |  SELECT id, CAST(($assemble) % 18446744073709551616 AS UBIGINT) AS shu FROM v),
+    |ch AS MATERIALIZED (
+    |  SELECT id, shu, u.chunk, (shu >> (u.chunk * 16)) & 65535 AS cv
+    |  FROM fp, unnest([0, 1, 2, 3]) u(chunk))
+    |SELECT id_a, id_b, hamming FROM (
+    |  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+    |    CAST(bit_count(xor(l.shu, r.shu)) AS INT) AS hamming
+    |  FROM ch l JOIN ch r ON l.chunk = r.chunk AND l.cv = r.cv AND l.id < r.id)
+    |WHERE hamming <= 3""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" -> s"""
       |WITH docs AS ($exactDupsSql)
@@ -526,52 +638,15 @@ object ScaleDedupQueries extends QueryRegistry {
     // comma-joined signature slice with Spark's int-chained seed, join
     // on (band, band_hash). Seeds constant-folded via Spark's own
     // XXH64 so they cannot drift from the engine.
-    "dedup_minhash" -> s"""
-      |WITH RECURSIVE docs AS ($nearDupsSql),
-      |$minhashBandedCtes
-      |SELECT DISTINCT l.id AS id_a, r.id AS id_b
-      |FROM banded l
-      |JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id""".stripMargin,
+    "dedup_minhash" -> minhashTwin(s"docs AS ($nearDupsSql)"),
 
-    // Full XXH64 replay of SimHash hamming pairs: per-token hash (every
-    // occurrence votes), 64 bit-votes, fingerprint assembled in the
-    // unsigned domain, 16-bit-chunk blocking, hamming <= 3.
-    "dedup_simhash" -> {
-      val votes = (0 until 64)
-        .map(j => s"CAST(SUM(CASE WHEN (hu >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$j")
-        .mkString(",\n|    ")
-      val assemble = (0 until 64)
-        .map(j => s"CASE WHEN v$j > 0 THEN CAST(${BigInt(1) << j} AS UHUGEINT) ELSE CAST(0 AS UHUGEINT) END")
-        .mkString(" + ")
-      s"""
-      |WITH RECURSIVE docs AS ($nearDupsSql),
-      |toku AS (
-      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
-      |  FROM docs),
-      |xxt_src AS MATERIALIZED (
-      |  SELECT row_number() OVER () AS xid, token AS s,
-      |         CAST(42 AS UBIGINT) AS useed, doc_id
-      |  FROM toku),
-      |${XxHashOracleSql.stringHashCtes("xxt")},
-      |th AS MATERIALIZED (
-      |  SELECT m.doc_id AS id,
-      |    CAST((CAST(o.hash64 AS HUGEINT) + 18446744073709551616) % 18446744073709551616 AS UBIGINT) AS hu
-      |  FROM xxt_src m JOIN xxt_out o ON o.xid = m.xid),
-      |v AS (
-      |  SELECT id,
-      |    $votes
-      |  FROM th GROUP BY id),
-      |fp AS MATERIALIZED (
-      |  SELECT id, CAST(($assemble) % 18446744073709551616 AS UBIGINT) AS shu FROM v),
-      |ch AS MATERIALIZED (
-      |  SELECT id, shu, u.chunk, (shu >> (u.chunk * 16)) & 65535 AS cv
-      |  FROM fp, unnest([0, 1, 2, 3]) u(chunk))
-      |SELECT id_a, id_b, hamming FROM (
-      |  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
-      |    CAST(bit_count(xor(l.shu, r.shu)) AS INT) AS hamming
-      |  FROM ch l JOIN ch r ON l.chunk = r.chunk AND l.cv = r.cv AND l.id < r.id)
-      |WHERE hamming <= 3""".stripMargin
-    },
+    // the SAME replay over the xxhash64-sampled sub-corpus — the twin
+    // that stays DuckDB-tractable at replica scale (see
+    // sampledNearDupsCtes).
+    "dedup_minhash_sampled" -> minhashTwin(sampledNearDupsCtes),
+
+    "dedup_simhash" -> simhashTwin(s"docs AS ($nearDupsSql)"),
+    "dedup_simhash_sampled" -> simhashTwin(sampledNearDupsCtes),
 
     // transitive closure over the >= 0.6 Jaccard pairs: reach(id, r)
     // holds every (node, ancestor-in-component); canonical = MIN reach.

@@ -26,6 +26,29 @@ object SimilarityQueries extends QueryRegistry {
         transform(col("embedding"), x => x * 1.0001 + 0.001).as("embedding")))
   }
 
+  /** 1/EmbSampleMod deterministic slice for the `_sampled` scale-twin
+    * queries — shared between the Spark predicate and the generated
+    * SQL. The all-pairs cosine twins are O(n²) list-dots in DuckDB —
+    * fine at fixture scale, intractable at a 10×/100× replica; the
+    * hash slice keeps the full LSH→verify→CC chain under a real
+    * ground-truth check at any corpus size.
+    */
+  private[registry] val EmbSampleMod = 16
+
+  /** [[withPerturbed]] over the xxhash64 slice, perturbed copies
+    * planted AFTER sampling so every sampled vec_id % 9 == 0
+    * contributes a true near-dup pair at any scale.
+    */
+  def withPerturbedSampled(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .filter(pmod(xxhash64(col("vec_id")), lit(EmbSampleMod)) === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+    base.unionByName(base.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * 1.0001 + 0.001).as("embedding")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> ((s, dir) =>
       Knn.bruteForceTopK(queriesDf(s, dir), Tables.embeddings(s, dir), k = 5)),
@@ -47,6 +70,13 @@ object SimilarityQueries extends QueryRegistry {
     // needs more tables: miss shrinks with the nTables-th power.
     "emb_near_dup" -> ((s, dir) =>
       Knn.cosineNearDupPairsBlocked(withPerturbed(s, dir), dim = 64,
+        threshold = 0.99, nTables = 4)),
+
+    // the blocked near-dup chain over the deterministic 1/EmbSampleMod
+    // hash slice — the scale-record twin (full all-pairs SQL over the
+    // slice stays tractable at any corpus size).
+    "emb_near_dup_sampled" -> ((s, dir) =>
+      Knn.cosineNearDupPairsBlocked(withPerturbedSampled(s, dir), dim = 64,
         threshold = 0.99, nTables = 4)),
 
     // The 4 ANN families run under the recall-floor oracle
@@ -135,6 +165,11 @@ object SimilarityQueries extends QueryRegistry {
     "emb_semantic_dedup" -> ((s, dir) =>
       Knn.semanticDedup(withPerturbed(s, dir), dim = 64, threshold = 0.99,
         nTables = 4)),
+
+    // semantic-dedup scale-record twin over the same hash slice.
+    "emb_semantic_dedup_sampled" -> ((s, dir) =>
+      Knn.semanticDedup(withPerturbedSampled(s, dir), dim = 64,
+        threshold = 0.99, nTables = 4)),
 
     // Deterministic k-means over the embedding corpus — the topic-
     // bucketing step of a curation pipeline, under a FULL twin (the
@@ -265,6 +300,21 @@ object SimilarityQueries extends QueryRegistry {
     |  TRUE AS agg_recall_ok
     |FROM r WHERE rank <= 5 GROUP BY query_id""".stripMargin
 
+  /** CTE chain for the sampled twins: the xxhash64-selected base slice
+    * (same longHashCte replay as the Spark predicate) with the same
+    * perturbed copies planted after sampling.
+    */
+  private val sampledBaseCtes: String =
+    s"""${XxHashOracleSql.longHashCte("vsel", "embeddings", Seq("vec_id", "embedding"),
+         "vec_id", "CAST(42 AS UBIGINT)", "h64")},
+      |base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM vsel
+      |  WHERE ((h64 % $EmbSampleMod) + $EmbSampleMod) % $EmbSampleMod = 0),
+      |pert AS (SELECT vec_id + 100000 AS vec_id,
+      |           list_transform(e, x -> x * 1.0001 + 0.001) AS e
+      |         FROM base WHERE vec_id % 9 = 0),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "emb_kmeans_cluster" -> s"""
       |WITH ${kmeansCtes(8, 2)}
@@ -360,6 +410,31 @@ object SimilarityQueries extends QueryRegistry {
       |  ${cosineSql("a.e", "b.e")} AS sim
       |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
       |WHERE ${cosineSql("a.e", "b.e")} >= 0.99""".stripMargin,
+
+    "emb_near_dup_sampled" -> s"""
+      |WITH $sampledBaseCtes
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ${cosineSql("a.e", "b.e")} AS sim
+      |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+      |WHERE ${cosineSql("a.e", "b.e")} >= 0.99""".stripMargin,
+
+    // transitive closure over the sampled >= 0.99 pairs, singletons
+    // map to themselves — the emb_semantic_dedup twin on the slice.
+    "emb_semantic_dedup_sampled" -> s"""
+      |WITH RECURSIVE $sampledBaseCtes,
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+      |  WHERE ${cosineSql("a.e", "b.e")} >= 0.99),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION
+      |  SELECT id_b AS a, id_a AS b FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT vec_id, vec_id FROM allv
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      |SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
 
     "emb_chunk_mean_pool" -> """
       |WITH tok AS (

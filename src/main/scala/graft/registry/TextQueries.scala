@@ -35,6 +35,19 @@ object TextQueries extends QueryRegistry {
         col("doc_id"),
         size(TextAnalysis.winnowFingerprints(col("text"))).as("n_fingerprints"))),
 
+    // the same XXH64 winnowing over the deterministic
+    // 1/ScaleDedupQueries.DocSampleMod hash slice — the scale-record
+    // twin that stays DuckDB-tractable at replica scale (the full
+    // replay is oracle-side intractable there; this keeps the complete
+    // shingle→window-min→distinct chain under a real hash check).
+    "text_winnow_sampled" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(pmod(xxhash64(col("doc_id")),
+          lit(ScaleDedupQueries.DocSampleMod)) === 0)
+        .select(
+          col("doc_id"),
+          size(TextAnalysis.winnowFingerprints(col("text"))).as("n_fingerprints"))),
+
     // context-window chunking: one row per (doc, chunk), 64-token
     // windows advancing by 56 (8-token overlap).
     "corpus_chunk" -> ((s, dir) =>
@@ -395,6 +408,40 @@ object TextQueries extends QueryRegistry {
       |  FROM hs)
       |SELECT d.doc_id, CAST(coalesce(f.n_fingerprints, 0) AS INT) AS n_fingerprints
       |FROM documents d LEFT JOIN fp f ON f.doc_id = d.doc_id""".stripMargin,
+
+    // identical replay restricted to the xxhash64-sampled slice; the
+    // sampling itself is replayed through the longHashCte XXH64 chain
+    // so both engines select the same docs bit-for-bit.
+    "text_winnow_sampled" -> s"""
+      |WITH RECURSIVE ${XxHashOracleSql.longHashCte("dsel", "documents",
+           Seq("doc_id", "text"), "doc_id", "CAST(42 AS UBIGINT)", "h64")},
+      |docs AS (
+      |  SELECT doc_id, text FROM dsel
+      |  WHERE ((h64 % ${ScaleDedupQueries.DocSampleMod}) + ${ScaleDedupQueries.DocSampleMod}) % ${ScaleDedupQueries.DocSampleMod} = 0),
+      |tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |  FROM docs),
+      |pos AS (
+      |  SELECT doc_id, u.i, array_to_string(t[u.i:u.i+2], ' ') AS s
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |xxw_src AS MATERIALIZED (
+      |  SELECT row_number() OVER () AS xid, s, CAST(42 AS UBIGINT) AS useed,
+      |         doc_id, i
+      |  FROM pos),
+      |${XxHashOracleSql.stringHashCtes("xxw")},
+      |hs AS (
+      |  SELECT m.doc_id, list(o.hash64 ORDER BY m.i) AS hs
+      |  FROM xxw_src m JOIN xxw_out o ON o.xid = m.xid
+      |  GROUP BY m.doc_id),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) < 4 THEN len(list_distinct(hs))
+      |         ELSE len(list_distinct(list_transform(
+      |                generate_series(1, len(hs) - 3),
+      |                i -> list_min(hs[i:i+3])))) END AS n_fingerprints
+      |  FROM hs)
+      |SELECT d.doc_id, CAST(coalesce(f.n_fingerprints, 0) AS INT) AS n_fingerprints
+      |FROM docs d LEFT JOIN fp f ON f.doc_id = d.doc_id""".stripMargin,
 
     "text_winnow_md5" -> """
       |WITH tok AS (
