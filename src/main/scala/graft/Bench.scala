@@ -92,7 +92,14 @@ object Bench {
     "corpus_scrub_spans",
     "corpus_scrub_repeats",
     "corpus_source_authority",
-    "emb_kmeans_cluster")
+    "emb_kmeans_cluster",
+    // r7 additions, benched from r8 on: winnow-overlap pairs,
+    // incremental dedup/ANN against a frozen reference, the k-means
+    // outlier gate
+    "dedup_winnow_pairs",
+    "dedup_against_reference",
+    "emb_cluster_outliers",
+    "ann_incremental_topk")
 
   /** The 10× scaling checkpoint: a subset chosen to answer the
     * empirical questions a 100 TB plan review asks — where the
@@ -110,7 +117,9 @@ object Bench {
     "text_quality", "dedup_containment",
     "source_overlap", "dedup_segments", "corpus_curriculum",
     "ipes_companies_full", "ann_pq_topk", "corpus_source_authority",
-    "emb_kmeans_cluster")
+    "emb_kmeans_cluster",
+    // r8: the r7 dedup additions join the 10× tier
+    "dedup_winnow_pairs", "dedup_against_reference")
 
   /** Build a deterministic 10× replica of the sf0.1 tables the sf1
     * subset reads, once, under target/ (reused via _DONE marker).

@@ -112,10 +112,16 @@ object FuzzyDedup {
     * iterations — the loop-frame discipline PageRank uses) and the
     * edge frame only ever shrinks toward the star fixed point, at
     * which every edge is (node, component-min). Convergence is an
-    * EXACT fixed-point check (two anti-join emptiness probes on the
-    * edge frame — edges are O(duplicate pairs), tiny next to corpus
-    * rows); a non-converged exit would silently under-merge, so it
-    * throws instead.
+    * EXACT fixed-point check, cheaply: both frames are DISTINCT sets,
+    * and distinct sets of equal cardinality are equal iff one
+    * set-difference is empty — so the per-round cost is one count on
+    * the fresh checkpoint (nearly free) plus ONE anti-join emptiness
+    * probe that only runs when the counts match at all (early rounds
+    * shrink the frame, so the probe is usually skipped entirely; the
+    * r7 form ran TWO except probes every round and carried a ~30%
+    * premium over the driver path at the 100× replica). A
+    * non-converged exit would silently under-merge, so it throws
+    * instead.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val nodes = edges.select(col("src").as("id"))
@@ -127,7 +133,8 @@ object FuzzyDedup {
       .select(greatest(col("src"), col("dst")).as("a"),
         least(col("src"), col("dst")).as("b"))
       .distinct().localCheckpoint(true)
-    var converged = cur.isEmpty
+    var curCount = cur.count()
+    var converged = curCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for v > u
@@ -148,8 +155,10 @@ object FuzzyDedup {
         .filter(col("na") =!= col("nb"))
         .select(col("na").as("a"), col("nb").as("b"))
         .distinct().localCheckpoint(true)
-      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == curCount && next.except(cur).isEmpty
       cur = next
+      curCount = nextCount
       iter += 1
     }
     require(converged,

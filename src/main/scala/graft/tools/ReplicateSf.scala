@@ -107,6 +107,23 @@ object ReplicateSf {
       return
     }
 
+    // `orders` mode: orders-only replica for the IPES-flagship scaling
+    // decade — ipes_companies_full synthesizes its bronze from orders
+    // alone, and the o_custkey shift keeps the distinct-name set FIXED
+    // (1e7 ≡ 0 mod 40, so the Vendor-N names repeat identically) while
+    // filings multiply: exactly the shape whose candidate-pair count
+    // must stay linear in distinct names, not filings.
+    if (args.length > 3 && args(3) == "orders") {
+      assertStride(Tables.orders(spark, base), "o_orderkey", 100000000L)
+      assertStride(Tables.orders(spark, base), "o_custkey", 10000000L)
+      write("orders", i => Tables.orders(spark, base)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
+      new java.io.File(s"$out/_DONE").createNewFile()
+      println(s"[replicate] done (orders only) -> $out")
+      return
+    }
+
     assertStride(Tables.lineitem(spark, base), "l_orderkey", 100000000L)
     assertStride(Tables.orders(spark, base), "o_orderkey", 100000000L)
     assertStride(Tables.orders(spark, base), "o_custkey", 10000000L)
