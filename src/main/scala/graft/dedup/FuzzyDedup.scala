@@ -136,6 +136,17 @@ object FuzzyDedup {
     var curCount = cur.count()
     var converged = curCount == 0L
     var iter = 0
+    // Partition the loop frame by EDGE COUNT, not the session default:
+    // a star round is ~6 tiny stages, and at fixture scale (1e5 edges)
+    // 32-way task scheduling dominates the round — ~50k edges/partition
+    // keeps small graphs on few tasks while a 1e9-edge graph still
+    // spreads across the full parallelism (capped there). The same
+    // size-adaptive coalescing AQE applies to shuffle reads, applied to
+    // the checkpointed frame AQE cannot see.
+    def parts(edges: Long): Int = math.max(1, math.min(
+      cur.sparkSession.sparkContext.defaultParallelism,
+      (edges / 50000L + 1).toInt))
+    cur = cur.coalesce(parts(curCount)).localCheckpoint(true)
     while (!converged && iter < maxIter) {
       // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for v > u
       val sym = cur.select(col("a").as("u"), col("b").as("v"))
@@ -154,7 +165,7 @@ object FuzzyDedup {
         .unionByName(ssMin.select(col("a").as("na"), col("m").as("nb")))
         .filter(col("na") =!= col("nb"))
         .select(col("na").as("a"), col("nb").as("b"))
-        .distinct().localCheckpoint(true)
+        .distinct().coalesce(parts(curCount)).localCheckpoint(true)
       val nextCount = next.count()
       converged = nextCount == curCount && next.except(cur).isEmpty
       cur = next
