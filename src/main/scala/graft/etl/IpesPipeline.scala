@@ -18,9 +18,18 @@ import graft.functions.GraftFunctions
   *
   * Scale: the only shuffles are (1) the canonical-name dedup join
   * (broadcast — |distinct names| is tiny relative to rows), (2) the
-  * groupBy canonical name. Filings-per-company skew would show up in
-  * the collect_list; at 100 TB pair it with AQE skew handling or cap
-  * list length with slice().
+  * groupBy canonical name — and that groupBy aggregates SCALARS only.
+  * The r7 form collected the per-name filing list inside the phase-1
+  * aggregation (behind a localCheckpoint, so column pruning could
+  * never drop it): one aggregation buffer then held every filing of a
+  * name — ~330k structs/name at the 100× orders replica — and OOM'd
+  * the executor. Now the star outputs (`companies`, `filings`) touch
+  * no collect_list at all (the fact table is a broadcast join against
+  * the canonical map + gated ids over the row-level checkpoint), and
+  * only the `nested` JSON form — whose CONTRACT is a per-company
+  * array — builds its lists, lazily, when actually written.
+  * Filings-per-company skew in that one consumer is the documented
+  * residual; cap with slice() if a company's array must be bounded.
   */
 object IpesPipeline {
 
@@ -52,13 +61,21 @@ object IpesPipeline {
         .otherwise(split(col("document_urls"), "; ")).as("document_urls"),
       col("detail_url"))
 
-    // Phase 1 — ONE pass over bronze: pre-aggregate per raw normalized
-    // name, then materialize (localCheckpoint). The dedup stage runs an
-    // eager edge-collect action and the final outputs run their own —
-    // without the checkpoint each action would re-scan bronze and
-    // re-run the regex chain; with it, bronze is scanned exactly once
-    // and the blocks are freed by the ContextCleaner on GC.
-    val perName = base
+    // Phase 1 — ONE pass over bronze, materialized at ROW level
+    // (partition-parallel, spills to disk — per-task memory stays
+    // bounded no matter how filings skew across names). Every later
+    // consumer (name aggregation, dedup edge-collect, fact join,
+    // nested lists) reads this checkpoint, so bronze is scanned and
+    // the regex chain run exactly once.
+    val baseP = base.select(
+        col("company_name"), col("normalized_raw"),
+        col("submission_type"), col("date_received"), filingStruct.as("f"))
+      .localCheckpoint()
+
+    // Scalar-only per-name pre-aggregation: every aggregate is
+    // constant-size per group (the r7 collect_list here is what OOM'd
+    // at 100× — see the class doc). Name-domain-sized output.
+    val perName = baseP
       .groupBy(col("normalized_raw"))
       .agg(
         max_by(col("company_name"),
@@ -67,9 +84,7 @@ object IpesPipeline {
         count(lit(1)).as("filing_count"),
         bool_or(Normalize.isApplicationType(col("submission_type")))
           .as("is_applicant"),
-        max(col("date_received")).as("_latest"),
-        collect_list(struct(col("date_received").as("_k"), filingStruct.as("f")))
-          .as("_fs"))
+        max(col("date_received")).as("_latest"))
       .localCheckpoint()
 
     // J3 over the pre-aggregated name domain (no extra bronze pass).
@@ -87,9 +102,8 @@ object IpesPipeline {
         ratioThreshold, exhaustive)
     }).withColumnRenamed("canonical", "normalized_name")
 
-    // Phase 2 — merge dedup'd groups: all aggregates re-combine
-    // losslessly (max of max, sum of counts, or of ors, flatten of
-    // lists), sorted newest-first at the end for determinism.
+    // Phase 2 — merge dedup'd groups: scalar aggregates re-combine
+    // losslessly (max of max, sum of counts, or of ors).
     val grouped = perName
       .join(broadcast(canon), perName("normalized_raw") === canon("name"))
       .groupBy(col("normalized_name"))
@@ -99,10 +113,7 @@ object IpesPipeline {
             col("entity_name"))).as("entity_name"),
         sum(col("filing_count")).as("filing_count"),
         bool_or(col("is_applicant")).as("is_applicant"),
-        max(col("_latest")).as("_latest"),
-        reverse(array_sort(flatten(collect_list(col("_fs"))))).as("_sorted"))
-      .withColumn("filings", transform(col("_sorted"), x => x.getField("f")))
-      .drop("_sorted")
+        max(col("_latest")).as("_latest"))
 
     val gated = grouped
       .withColumn("is_individual", Normalize.isLikelyIndividual(col("entity_name")))
@@ -111,21 +122,25 @@ object IpesPipeline {
       .withColumn("latest_filing_date", coalesce(col("_latest"), lit("")))
       .drop("is_individual", "_latest")
 
-    val nested = (if (withId)
+    val keyed = (if (withId)
       gated.withColumn("id", GraftFunctions.uuid5(col("normalized_name")))
     else gated.withColumn("id", col("normalized_name")))
-      .select("id", "entity_name", "normalized_name", "entity_type",
-        "is_applicant", "filing_count", "latest_filing_date", "filings")
 
-    val companies = nested.select(
+    val companies = keyed.select(
       col("id"), col("entity_name"), col("normalized_name"),
       col("entity_type"), col("filing_count"), col("latest_filing_date"))
 
-    // J5: nest → fact rows (one per filing, FK to the company).
-    val filings = nested
-      .select(col("id").as("company_id"), explode(col("filings")).as("f"))
+    // Fact rows straight off the row-level checkpoint: canonicalize
+    // each filing's name (broadcast — name-domain sized), keep only
+    // gated companies (broadcast — company-domain sized), emit one row
+    // per filing. No per-group state anywhere on this path.
+    val canonRows = baseP
+      .join(broadcast(canon), baseP("normalized_raw") === canon("name"))
+    val idMap = broadcast(keyed.select(col("normalized_name"), col("id")))
+    val filings = canonRows
+      .join(idMap, "normalized_name")
       .select(
-        col("company_id"),
+        col("id").as("company_id"),
         col("f.filing_id").as("filing_id"),
         col("f.date_received").as("date_received"),
         col("f.docket_number").as("docket_number"),
@@ -133,6 +148,23 @@ object IpesPipeline {
         col("f.filing_status").as("status"),
         coalesce(try_element_at(col("f.document_urls"), lit(1)), lit(""))
           .as("primary_doc_url"))
+
+    // Nested JSON form: the one consumer whose contract IS a
+    // per-company array — its collect_list is LAZY (runs only when
+    // nested is written), sorted newest-first with the same
+    // (date, filing-struct) comparator as before.
+    val lists = canonRows
+      .join(idMap.select(col("normalized_name")), "normalized_name")
+      .groupBy(col("normalized_name"))
+      .agg(reverse(array_sort(
+        collect_list(struct(col("date_received").as("_k"), col("f").as("f")))))
+        .as("_sorted"))
+      .withColumn("filings", transform(col("_sorted"), x => x.getField("f")))
+      .drop("_sorted")
+    val nested = keyed
+      .join(lists, "normalized_name")
+      .select("id", "entity_name", "normalized_name", "entity_type",
+        "is_applicant", "filing_count", "latest_filing_date", "filings")
 
     Structured(companies, filings, nested)
   }
