@@ -107,6 +107,23 @@ object ReplicateSf {
       return
     }
 
+    // `events` mode: events-only replica for the event-analytics
+    // scaling decade (funnel/retention/sessionize/anomaly/transitions
+    // read only this table). event_id and user_id shift together so
+    // each replica is a disjoint user population with the SAME
+    // behavioral mix — sessions/funnels multiply, per-user history
+    // does not (the realistic growth shape for event data).
+    if (args.length > 3 && args(3) == "events") {
+      assertStride(Tables.events(spark, base), "event_id", 1000000L)
+      assertStride(Tables.events(spark, base), "user_id", 1000000L)
+      write("events", i => Tables.events(spark, base)
+        .withColumn("event_id", col("event_id") + lit(i * 1000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+      new java.io.File(s"$out/_DONE").createNewFile()
+      println(s"[replicate] done (events only) -> $out")
+      return
+    }
+
     // `orders` mode: orders-only replica for the IPES-flagship scaling
     // decade — ipes_companies_full synthesizes its bronze from orders
     // alone, and the o_custkey shift keeps the distinct-name set FIXED
