@@ -63,8 +63,15 @@ object Clustering {
     * k×corpus one (see the class doc's scale-shape note).
     */
   private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = v.crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("e"), col("c_emb")))
+    // |e|² once per vector and |c|² once per centroid BEFORE the
+    // k-way expansion: the scored pair runs ONE dot loop, not three.
+    // Same expression tree as [[dist2]] — round((e² − 2d) + c², 6) —
+    // so the assignment key is bit-identical to the oracle's formula.
+    val scored = v.withColumn("e_n2", dot(col("e"), col("e")))
+      .crossJoin(broadcast(
+        centroids.withColumn("c_n2", dot(col("c_emb"), col("c_emb")))))
+      .withColumn("d2",
+        round(col("e_n2") - lit(2.0) * dot(col("e"), col("c_emb")) + col("c_n2"), 6))
     graft.plans.TopK.perKey(scored,
       Seq(col("vec_id")), Seq(col("d2").asc, col("cid").asc), 1)
       .select(col("vec_id"), col("e"), col("cid"), col("d2"))

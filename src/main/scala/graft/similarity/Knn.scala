@@ -30,6 +30,18 @@ object Knn {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
+  /** Cosine from PRE-COMPUTED per-vector norms: one dot-product loop
+    * per pair instead of three. `cosine(a, b)` re-runs the norm loops
+    * for every candidate pair, so a vector meeting p partners pays
+    * 2p+1 loops; attaching `norm(e)` per side BEFORE the pair join
+    * pays 1 loop per vector + 1 per pair. Bit-identical to [[cosine]]:
+    * the norm is the same index-order sqrt(dot(e,e)) double wherever
+    * it is evaluated, and Catalyst does not migrate a below-join
+    * projection above the join, so the per-vector placement sticks.
+    */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
+
   /** Rank scored candidates per query through the native partial/final
     * top-k operator: at most k rows per query per input partition reach
     * the exchange — the window form would shuffle every scored pair.
@@ -41,11 +53,14 @@ object Knn {
 
   /** Exact top-k neighbors for each query vector (excluding self). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_nrm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("sim",
+        cosinePre(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
     rankTopK(scored, k)
   }
 
@@ -112,20 +127,26 @@ object Knn {
   def lshTopK(vectors: DataFrame, queries: DataFrame, dim: Int,
               nPlanes: Int = 8, k: Int = 10, nTables: Int = 2): DataFrame = {
     val c = bucketedAll(
-      vectors.select(col("vec_id").as("cand_id"), col("embedding")),
+      vectors.select(col("vec_id").as("cand_id"), col("embedding"),
+        norm(col("embedding")).as("c_nrm")),
       dim, nPlanes, nTables)
-      .select(col("tbl"), col("bucket"), col("cand_id"), col("embedding").as("c_emb"))
+      .select(col("tbl"), col("bucket"), col("cand_id"),
+        col("embedding").as("c_emb"), col("c_nrm"))
     val q = bucketedAll(
-      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      queries.select(col("vec_id").as("query_id"), col("embedding"),
+        norm(col("embedding")).as("q_nrm")),
       dim, nPlanes, nTables)
-      .select(col("tbl"), col("bucket"), col("query_id"), col("embedding").as("q_emb"))
+      .select(col("tbl"), col("bucket"), col("query_id"),
+        col("embedding").as("q_emb"), col("q_nrm"))
     val scored = c.join(q, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       // a pair co-bucketing in several tables must score once: dedup
       // with ONE shuffle (groupBy carrying the embeddings as first())
       .groupBy(col("query_id"), col("cand_id"))
-      .agg(first(col("q_emb")).as("q_emb"), first(col("c_emb")).as("c_emb"))
-      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .agg(first(col("q_emb")).as("q_emb"), first(col("c_emb")).as("c_emb"),
+        first(col("q_nrm")).as("q_nrm"), first(col("c_nrm")).as("c_nrm"))
+      .withColumn("sim",
+        cosinePre(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
     rankTopK(scored, k)
   }
 
@@ -157,8 +178,10 @@ object Knn {
     * loop over the tiny centroid set — corpus never shuffles).
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("embedding"), col("c_emb")))
+    val scored = vectors.withColumn("v_nrm", norm(col("embedding")))
+      .crossJoin(broadcast(centroids.withColumn("c_nrm", norm(col("c_emb")))))
+      .withColumn("csim",
+        cosinePre(col("embedding"), col("c_emb"), col("v_nrm"), col("c_nrm")))
     graft.plans.TopK.perKey(scored,
       Seq(col("vec_id")), Seq(col("csim").desc, col("cid").asc), 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
@@ -173,17 +196,21 @@ object Knn {
               lloydIters: Int = 1): DataFrame = {
     val centroids = ivfCentroids(vectors, nCentroids, lloydIters).localCheckpoint()
     val assigned = ivfAssign(vectors, centroids)
-      .select(col("cid"), col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      .select(col("cid"), col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
     val probeScored = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("q_emb"), col("c_emb")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .crossJoin(broadcast(centroids.withColumn("cc_nrm", norm(col("c_emb")))))
+      .withColumn("csim",
+        cosinePre(col("q_emb"), col("c_emb"), col("q_nrm"), col("cc_nrm")))
     val probes = graft.plans.TopK.perKey(probeScored,
       Seq(col("query_id")), Seq(col("csim").desc, col("cid").asc), nProbe)
-      .select(col("cid"), col("query_id"), col("q_emb"))
+      .select(col("cid"), col("query_id"), col("q_emb"), col("q_nrm"))
     val scored = assigned.join(probes, Seq("cid"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("sim",
+        cosinePre(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
     rankTopK(scored, k)
   }
 
@@ -193,10 +220,12 @@ object Knn {
     * [[cosineNearDupPairsBlocked]].
     */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      norm(col("embedding")).as("na"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      norm(col("embedding")).as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("e_a"), col("e_b")))
+      .withColumn("sim", cosinePre(col("e_a"), col("e_b"), col("na"), col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
@@ -363,11 +392,13 @@ object Knn {
 
     // exact re-rank of the shortlist only
     val scored = cands
-      .join(vectors.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
-        "cand_id")
+      .join(vectors.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm")), "cand_id")
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"))), "query_id")
-      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))),
+        "query_id")
+      .withColumn("sim",
+        cosinePre(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
     rankTopK(scored, k)
   }
 
@@ -436,11 +467,13 @@ object Knn {
 
     // exact re-rank of the shortlist only
     val scored = cands
-      .join(vectors.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
-        "cand_id")
+      .join(vectors.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm")), "cand_id")
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"))), "query_id")
-      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))),
+        "query_id")
+      .withColumn("sim",
+        cosinePre(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
     rankTopK(scored, k)
   }
 
@@ -513,10 +546,12 @@ object Knn {
     val cands = l.join(r, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      norm(col("embedding")).as("na"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      norm(col("embedding")).as("nb"))
     cands.join(a, "id_a").join(b, "id_b")
-      .withColumn("sim", cosine(col("e_a"), col("e_b")))
+      .withColumn("sim", cosinePre(col("e_a"), col("e_b"), col("na"), col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

@@ -1,0 +1,112 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Streaming-at-scale probe: replays an events fixture through the
+  * registered Structured Streaming shapes as a REAL file-source stream
+  * (time-ordered micro-batches, AvailableNow) and records the metrics
+  * that decide whether the plan survives 100 TB of events:
+  *
+  *   - throughput (rows/s end-to-end through the state store),
+  *   - MAX state rows across batches (the executor-memory bound: for
+  *     tumbling windows it must track windows-in-flight, for keyed
+  *     dedup the watermark horizon — never total history),
+  *   - rows dropped by watermark (must stay 0 on an in-order replay —
+  *     a non-zero count means the replay order or watermark is wrong
+  *     and the throughput number would be fake),
+  *   - streamed output rows vs the batch run of the SAME transform
+  *     (append mode holds back windows the final watermark has not
+  *     passed, so streamed ≤ batch with the gap bounded by the
+  *     trailing watermark delay — both counts are printed).
+  *
+  * Replay realism: the fixture's parquet is range-partitioned by `ts`
+  * into `nFiles` part files; the file source lists same-mtime files in
+  * path order, and range partition i holds the i-th time slice, so
+  * micro-batches advance in event time exactly like a live ingest.
+  *
+  * Usage: runMain graft.tools.StreamScaleProbe <fixtureDir> [label]
+  *   [nFiles] [maxFilesPerTrigger]
+  * Prints one JSON line per query — collected into bench/STREAM_SCALE.md.
+  */
+object StreamScaleProbe {
+
+  private def rmrf(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val label = if (args.length > 1) args(1) else "tier"
+    val nFiles = if (args.length > 2) args(2).toInt else 64
+    val filesPerTrigger = if (args.length > 3) args(3).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- one-time prepare: time-ordered part files under target/
+    val prepared = Paths.get(s"target/streamprobe/$label-events")
+    if (!Files.exists(prepared.resolve("_DONE"))) {
+      rmrf(prepared)
+      Tables.events(spark, dir)
+        .repartitionByRange(nFiles, col("ts"))
+        .write.mode("overwrite").parquet(prepared.toString)
+      Files.createFile(prepared.resolve("_DONE"))
+    }
+    val batchEvents = spark.read.parquet(prepared.toString)
+    val totalRows = batchEvents.count()
+
+    def stream(): DataFrame = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(prepared.toString)
+
+    def run(name: String, q: DataFrame => DataFrame,
+            batchRows: => Long): Unit = {
+      val ckpt = Paths.get(s"target/streamprobe/$label-ckpt-$name")
+      rmrf(ckpt)
+      val t0 = System.nanoTime()
+      val sq = q(stream()).writeStream
+        .format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val wallS = (System.nanoTime() - t0) / 1e9
+      val progs = sq.recentProgress.toSeq
+      require(progs.size < 100,
+        s"recentProgress window overflow (${progs.size} batches) — raise maxFilesPerTrigger")
+      val inRows = progs.map(_.numInputRows).sum
+      val outRows = progs.flatMap(p => Option(p.sink)).map(_.numOutputRows).sum
+      val maxState = (0L +: progs.map(_.stateOperators.map(_.numRowsTotal).sum)).max
+      val dropped = progs.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+      println(
+        s"""{"probe":"stream_scale","tier":"$label","query":"$name",""" +
+        s""""total_rows":$totalRows,"input_rows":$inRows,"batches":${progs.size},""" +
+        s""""wall_s":${f"$wallS%.1f"},"rows_per_s":${(inRows / wallS).toLong},""" +
+        s""""max_state_rows":$maxState,"dropped_late":$dropped,""" +
+        s""""stream_out_rows":$outRows,"batch_out_rows":$batchRows}""")
+    }
+
+    run("tumbling_hourly", df => EventStreams.tumblingCounts(df, "1 hour"),
+      EventStreams.tumblingCounts(batchEvents, "1 hour").count())
+    run("dedup_ttl", df => EventStreams.streamingDedupTtl(df, "event_id"),
+      EventStreams.streamingDedupTtl(batchEvents, "event_id").count())
+    run("sessions", df => EventStreams.sessionCounts(df),
+      EventStreams.sessionCounts(batchEvents).count())
+    spark.stop()
+  }
+}
