@@ -64,6 +64,21 @@ object StreamScaleProbe {
       Tables.events(spark, dir)
         .repartitionByRange(nFiles, col("ts"))
         .write.mode("overwrite").parquet(prepared.toString)
+      // The file source orders same-batch files by MODIFICATION TIME,
+      // not path — a single write job stamps near-identical mtimes in
+      // arbitrary order, which would scramble the time-ordered replay
+      // (observed: 1.6% of rows arrived behind the watermark). Restamp
+      // part files with strictly increasing mtimes in path order: part
+      // file i of a range partitioning IS time slice i.
+      import scala.jdk.CollectionConverters._
+      val parts = Files.list(prepared).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString)
+      val base = System.currentTimeMillis() - parts.size * 2000L
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      }
       Files.createFile(prepared.resolve("_DONE"))
     }
     val batchEvents = spark.read.parquet(prepared.toString)
@@ -103,8 +118,10 @@ object StreamScaleProbe {
 
     run("tumbling_hourly", df => EventStreams.tumblingCounts(df, "1 hour"),
       EventStreams.tumblingCounts(batchEvents, "1 hour").count())
+    // batch twin: dropDuplicatesWithinWatermark is streaming-only; its
+    // batch semantics on an already-unique key are plain dropDuplicates
     run("dedup_ttl", df => EventStreams.streamingDedupTtl(df, "event_id"),
-      EventStreams.streamingDedupTtl(batchEvents, "event_id").count())
+      batchEvents.dropDuplicates("event_id").count())
     run("sessions", df => EventStreams.sessionCounts(df),
       EventStreams.sessionCounts(batchEvents).count())
     spark.stop()
