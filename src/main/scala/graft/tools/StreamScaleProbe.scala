@@ -124,6 +124,43 @@ object StreamScaleProbe {
       batchEvents.dropDuplicates("event_id").count())
     run("sessions", df => EventStreams.sessionCounts(df),
       EventStreams.sessionCounts(batchEvents).count())
+
+    // stream–stream attribution: the most state-hungry shape (BOTH
+    // sides buffer inside the watermark). Views and clicks are two
+    // independent file sources over the same time-ordered files, so
+    // the sides advance in rough event-time lockstep like two real
+    // ingest topics.
+    def views(df: DataFrame): DataFrame = df
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    def clicks(df: DataFrame): DataFrame = df
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val ckpt = Paths.get(s"target/streamprobe/$label-ckpt-attribution")
+    rmrf(ckpt)
+    val t0 = System.nanoTime()
+    val sq = EventStreams.attributionJoin(views(stream()), clicks(stream()))
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    val wallS = (System.nanoTime() - t0) / 1e9
+    val progs = sq.recentProgress.toSeq
+    val inRows = progs.map(_.numInputRows).sum
+    val outRows = progs.flatMap(p => Option(p.sink)).map(_.numOutputRows).sum
+    val maxState = (0L +: progs.map(_.stateOperators.map(_.numRowsTotal).sum)).max
+    val dropped = progs.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+    val batchRows =
+      EventStreams.attributionJoin(views(batchEvents), clicks(batchEvents)).count()
+    println(
+      s"""{"probe":"stream_scale","tier":"$label","query":"attribution_join",""" +
+      s""""total_rows":$totalRows,"input_rows":$inRows,"batches":${progs.size},""" +
+      s""""wall_s":${f"$wallS%.1f"},"rows_per_s":${(inRows / wallS).toLong},""" +
+      s""""max_state_rows":$maxState,"dropped_late":$dropped,""" +
+      s""""stream_out_rows":$outRows,"batch_out_rows":$batchRows}""")
     spark.stop()
   }
 }
