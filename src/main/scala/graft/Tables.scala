@@ -143,8 +143,71 @@ object Tables {
       }
     }
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeNumerics(spark.read.parquet(s"$dir/$name.parquet"), name)
+  /** Canonical TIMESTAMP columns per table. The round-6 drift hit
+    * `events.ts`; `o_orderdate`/`l_shipdate` are the same threat class
+    * (a regeneration that drops the UTC flag reads as TIMESTAMP_NTZ,
+    * one that writes TIMESTAMP(NANOS) reads as raw long) — normalize
+    * them all through one audited arm instead of an events-only fix.
+    */
+  private[graft] val canonicalTimestamps: Map[String, Seq[String]] = Map(
+    "orders"   -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"),
+    "events"   -> Seq("ts"),
+  )
+
+  /** Writer layouts observed or realistic for a canonical TIMESTAMP:
+    * - TIMESTAMP: canonical, untouched.
+    * - TIMESTAMP_NTZ (micros, no UTC flag): the session TZ is pinned
+    *   UTC, so the cast is a metadata-only relabel (bit-identical).
+    * - long (TIMESTAMP(NANOS) via the legacy nanos-as-long conf, which
+    *   [[t]] sets for every read): rebuild micros with integer
+    *   division — `DIV`, not `/`, since double division loses
+    *   precision above 2^53 ns. A plain int64 column carrying MICROS
+    *   would be silently misread as nanos here, so the rebuilt value
+    *   must land in a sane year range or the scan throws our named
+    *   diagnostic (micros-as-nanos lands in 1970).
+    * - DATE: midnight-UTC widening — exact (a date has no time to
+    *   lose) and cross-engine consistent (DuckDB compares date vs
+    *   timestamp through the same midnight cast).
+    * - anything else (e.g. VARCHAR dates, ambiguous parse): fail
+    *   loudly at read time.
+    */
+  private def normalizeTimestamps(df: DataFrame, name: String): DataFrame =
+    canonicalTimestamps.get(name).fold(df) { cols =>
+      import org.apache.spark.sql.functions._
+      cols.foldLeft(df) { (d, cName) =>
+        d.schema.fields.find(_.name == cName).fold(d) { f =>
+          f.dataType match {
+            case TimestampType => d
+            case TimestampNTZType =>
+              d.withColumn(cName, col(cName).cast(TimestampType))
+            case LongType =>
+              val rebuilt = expr(s"timestamp_micros($cName DIV 1000)")
+              d.withColumn(cName,
+                when(col(cName).isNull, rebuilt)
+                  .when(year(rebuilt).between(1970, 2200), rebuilt)
+                  .otherwise(raise_error(concat(
+                    lit(s"[graft.Tables] $name.$cName: int64 writer layout " +
+                      "is not nanos-since-epoch (rebuilt year out of range) " +
+                      "for value "), col(cName).cast(StringType)))))
+            case DateType =>
+              d.withColumn(cName, col(cName).cast(TimestampType))
+            case other => throw new IllegalArgumentException(
+              s"[graft.Tables] $name.$cName: unsupported writer layout " +
+                s"${other.sql} for canonical TIMESTAMP")
+          }
+        }
+      }
+    }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // TIMESTAMP(NANOS) columns reject Spark's vectorized reader outright;
+    // with the legacy conf they read as raw long and the timestamp arm
+    // above rebuilds them. Harmless for every other layout.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTimestamps(
+      normalizeNumerics(spark.read.parquet(s"$dir/$name.parquet"), name), name)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
@@ -153,32 +216,12 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy conf) and
-    * rebuild a micros timestamp with integer division — `DIV` not `/`,
-    * since double division loses precision above 2^53 ns.
+  /** The base fixture ships `ts` as TIMESTAMP(NANOS), replicas as plain
+    * micros TIMESTAMP, and one driver regeneration shipped NTZ — all
+    * three (plus DATE) are normalized by the shared timestamp arm in
+    * [[t]] / [[normalizeTimestamps]].
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t(spark, dir, "events")
-    // Replicated fixtures (tools.ReplicateSf) store ts as a plain micros
-    // TIMESTAMP — only the raw-nanos layout needs the rebuild.
-    // Driver regenerations have also shipped plain-micros files with no UTC
-    // flag, which Spark 4 reads as TIMESTAMP_NTZ; `unix_micros` and the
-    // interval-join arithmetic require TIMESTAMP. The session TZ is pinned
-    // UTC, so the cast is a metadata-only relabel (bit-identical values).
-    // Schema-on-read must tolerate writer variance across all three layouts.
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast(
-            org.apache.spark.sql.types.TimestampType))
-      case _ => df
-    }
-  }
+  def events(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }

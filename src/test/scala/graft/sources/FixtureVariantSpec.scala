@@ -92,6 +92,17 @@ class FixtureVariantSpec extends AnyFunSuite {
             d.withColumn(f.name, col(f.name).cast(TimestampType))
           else d
         }
+      // The round-6 drift class, applied to EVERY canonical timestamp
+      // column (not just events.ts): a regeneration that drops the UTC
+      // flag ships TIMESTAMP_NTZ. Session TZ is pinned UTC, so the
+      // on-disk micros are identical — Tables must relabel on read.
+      case "ntz-ts" =>
+        Tables.canonicalTimestamps.getOrElse(name, Nil).foldLeft(df) {
+          (d, c) =>
+            if (d.schema.fieldNames.contains(c))
+              d.withColumn(c, col(c).cast(TimestampNTZType))
+            else d
+        }
       case "double-emb" => name match {
         case "embeddings" =>
           df.withColumn("embedding", transform(col("embedding"), _.cast(DoubleType)))
@@ -107,7 +118,7 @@ class FixtureVariantSpec extends AnyFunSuite {
     dir
   }
 
-  for (layout <- Seq("narrow-ints", "date32", "tz-ts", "double-emb",
+  for (layout <- Seq("narrow-ints", "date32", "tz-ts", "ntz-ts", "double-emb",
                      "decimal-ids", "varchar-nums")) {
     test(s"all registered queries analyze against the $layout fixture layout") {
       val dir = writeVariant(layout)
@@ -128,6 +139,23 @@ class FixtureVariantSpec extends AnyFunSuite {
     test(s"hash-bearing results are identical on the $layout layout") {
       val dir = writeVariant(layout)
       for (q <- Seq("dedup_minhash", "text_winnow_fingerprint")) {
+        val want = SparkEntry.queries(q)(spark, TestSpark.SfDir)
+        val got = SparkEntry.queries(q)(spark, dir)
+        assert(got.schema == want.schema, s"$q: schema drifted on $layout layout")
+        assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+          s"$q: values drifted on $layout layout — normalization broken")
+      }
+    }
+  }
+
+  // Timestamp-layout identity: DATE is exact (fixture dates are
+  // midnight-only, and a date32 has no time to lose) and NTZ is a
+  // UTC relabel of the same micros — every timestamp-consuming query
+  // must return identical values on either drifted layout.
+  for (layout <- Seq("date32", "ntz-ts")) {
+    test(s"timestamp-consuming results are identical on the $layout layout") {
+      val dir = writeVariant(layout)
+      for (q <- Seq("a5_max_date", "w5_latest_run")) {
         val want = SparkEntry.queries(q)(spark, TestSpark.SfDir)
         val got = SparkEntry.queries(q)(spark, dir)
         assert(got.schema == want.schema, s"$q: schema drifted on $layout layout")
