@@ -178,9 +178,13 @@ object CorpusOpsQueries extends QueryRegistry {
           count(lit(1)).cast("long").as("vocab"),
           sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)
             .cast("decimal(30,9)")).as("sclogc"))
+        // round(…, 6): ln() may differ from DuckDB's libm in the last
+        // ulp (first observed at the 100× docs replica — n_tokens
+        // values the smaller corpora never hit); every cross-engine
+        // double output carries this tolerance.
         .select(col("source"), col("n_tokens"), col("vocab"),
-          (log(col("n_tokens").cast("double"))
-            - col("sclogc").cast("double") / col("n_tokens").cast("double"))
+          round(log(col("n_tokens").cast("double"))
+            - col("sclogc").cast("double") / col("n_tokens").cast("double"), 6)
             .as("entropy"))),
 
     // Per-domain cap (no source may dominate the training mix — the
@@ -415,8 +419,8 @@ object CorpusOpsQueries extends QueryRegistry {
       |      AS DECIMAL(30,9))) AS sclogc
       |  FROM c GROUP BY 1)
       |SELECT source, n_tokens, vocab,
-      |  ln(CAST(n_tokens AS DOUBLE))
-      |    - CAST(sclogc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS entropy
+      |  round(ln(CAST(n_tokens AS DOUBLE))
+      |    - CAST(sclogc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS entropy
       |FROM a""".stripMargin,
 
     "corpus_domain_cap" -> s"""
