@@ -29,4 +29,120 @@ object RangeJoin {
       .filter(col(tsCol).between(col(startCol), col(endCol)))
       .drop("_b")
   }
+
+  /** Per-interval COUNT + exact decimal SUM of the points inside
+    * [start, end] (inclusive) WITHOUT enumerating (point, interval)
+    * matches. [[bucketed]] + groupBy is the general range JOIN — its
+    * cost is |matches|, which for aggregate-only consumers is pure
+    * waste: at the 100× events replica (10M points, 500k one-hour
+    * intervals over the same 30 days) the match set is ~7 BILLION
+    * pairs for a 500k-row answer.
+    *
+    * Multi-resolution decomposition instead (the segment-tree /
+    * time-series-engine trick): pre-aggregate points at a `fine`
+    * bucket width and at a coarse width `fine × factor`, then cover
+    * each interval with
+    *   - whole COARSE buckets in its interior (≤ len/(fine·factor)+1),
+    *   - whole FINE buckets at the two edges (< 2·factor),
+    *   - and the ≤ 2 partial fine buckets at the very ends, resolved
+    *     by an exact point join on those bucket ids (≈ 2 × points-per-
+    *     fine-bucket pairs — the ONLY per-point work).
+    * Join volume drops from |matches| to |intervals| × (factor + len/
+    * (fine·factor)) + 2 × |intervals| × density·fine. All three parts
+    * are equi-joins on bucket ids — no inequality join anywhere.
+    *
+    * Exactness: partial sums stay DECIMAL end to end (decimal addition
+    * is associative — the [[graft.functions.OracleSafe.decSum]]
+    * argument), counts are integral, and the final cast to double
+    * happens once on the exact total — bit-identical to running
+    * `decSum` over the enumerated matches, so the SAME DuckDB
+    * inequality-join twin verifies both operators. Intervals with no
+    * points emit nothing (inner-join parity with the enumerated form).
+    *
+    * All bucket arithmetic is integral (`DIV`) — double division would
+    * round at the 2⁵³ boundary micros-epoch values live near.
+    */
+  def intervalAggregate(
+      points: DataFrame, intervals: DataFrame,
+      tsCol: String, valCol: String, idCol: String,
+      startCol: String, endCol: String,
+      fine: Long, factor: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(fine > 0 && factor > 1, s"need fine>0, factor>1; got $fine, $factor")
+    val w = lit(fine)
+    val cw = lit(fine * factor)
+    val f = lit(factor.toLong)
+
+    val dsumT = DecimalType(38, 2)
+    val pts = points.select(
+      col(tsCol).cast("long").as("_pt"),
+      col(valCol).cast(DecimalType(18, 2)).as("_dv"))
+      .withColumn("_fb", expr(s"_pt DIV $fine"))
+    val fineAgg = pts.groupBy(col("_fb"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_dv")).cast(dsumT).as("_dsum"))
+    val coarseAgg = fineAgg
+      .groupBy(expr(s"_fb DIV $factor").as("_cb"))
+      .agg(sum(col("_cnt")).as("_cnt"), sum(col("_dsum")).cast(dsumT).as("_dsum"))
+
+    val iv = intervals.select(col(idCol).as("_id"),
+        col(startCol).cast("long").as("_s"), col(endCol).cast("long").as("_e"))
+      .withColumn("_fLo", expr(s"(_s + ${fine - 1}) DIV $fine"))
+      .withColumn("_fHi", expr(s"((_e + 1) DIV $fine) - 1"))
+      .withColumn("_cLo", expr(s"(_fLo + ${factor - 1}) DIV $factor"))
+      .withColumn("_cHi", expr(s"((_fHi + 1) DIV $factor) - 1"))
+    val emptyL = array().cast("array<long>")
+
+    // part 1: whole coarse buckets in the interior
+    val coarsePart = iv
+      .withColumn("_cb", explode(
+        when(col("_fLo") <= col("_fHi") && col("_cLo") <= col("_cHi"),
+          sequence(col("_cLo"), col("_cHi"))).otherwise(emptyL)))
+      .join(coarseAgg, "_cb")
+      .select(col("_id"), col("_cnt"), col("_dsum"))
+
+    // part 2: whole fine buckets at the edges (or the whole interior
+    // when the interval holds no full coarse bucket)
+    val finePart = iv
+      .withColumn("_fb", explode(
+        when(col("_fLo") > col("_fHi"), emptyL)
+          .when(col("_cLo") > col("_cHi"), sequence(col("_fLo"), col("_fHi")))
+          .otherwise(concat(
+            when(col("_fLo") <= col("_cLo") * f - 1,
+              sequence(col("_fLo"), col("_cLo") * f - 1)).otherwise(emptyL),
+            when(col("_cHi") * f + f <= col("_fHi"),
+              sequence(col("_cHi") * f + f, col("_fHi"))).otherwise(emptyL)))))
+      .join(fineAgg, "_fb")
+      .select(col("_id"), col("_cnt"), col("_dsum"))
+
+    // part 3: partial fine buckets at the very ends — the only place a
+    // point row is touched per interval
+    val emptyP = array().cast("array<struct<b:bigint,lo:bigint,hi:bigint>>")
+    val probes = iv
+      .withColumn("_probe", explode(
+        when(col("_fLo") <= col("_fHi"),
+          concat(
+            when(expr(s"_s % $fine") =!= 0,
+              array(struct(expr(s"_s DIV $fine").as("b"), col("_s").as("lo"),
+                (col("_fLo") * w - 1).as("hi")))).otherwise(emptyP),
+            when(expr(s"(_e + 1) % $fine") =!= 0,
+              array(struct(expr(s"_e DIV $fine").as("b"),
+                (col("_fHi") * w + w).as("lo"), col("_e").as("hi"))))
+              .otherwise(emptyP)))
+          .otherwise(transform(sequence(expr(s"_s DIV $fine"), expr(s"_e DIV $fine")),
+            b => struct(b.as("b"), greatest(col("_s"), b * w).as("lo"),
+              least(col("_e"), b * w + w - 1).as("hi"))))))
+      .select(col("_id"), col("_probe.b").as("_fb"),
+        col("_probe.lo").as("_lo"), col("_probe.hi").as("_hi"))
+    val probePart = probes.join(pts, "_fb")
+      .filter(col("_pt").between(col("_lo"), col("_hi")))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_dv")).cast(dsumT).as("_dsum"))
+      .select(col("_id"), col("_cnt"), col("_dsum"))
+
+    coarsePart.unionByName(finePart).unionByName(probePart)
+      .groupBy(col("_id"))
+      .agg(sum(col("_cnt")).cast("long").as("n_points"),
+        sum(col("_dsum")).cast(DoubleType).as("total_value"))
+      .withColumnRenamed("_id", idCol)
+  }
 }

@@ -87,6 +87,25 @@ object OpsQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_points"), decSum(col("value")).as("total_value"))
     }),
 
+    // The same per-interval aggregate WITHOUT enumerating matches:
+    // multi-resolution bucket decomposition (10 s fine × 60 = 600 s
+    // coarse). The range-JOIN form's cost is |matches| — ~7 BILLION
+    // pairs at the 100× events replica for a 500k-row answer; this
+    // touches point rows only in the ≤2 partial edge buckets per
+    // interval. Decimal-exact partials ⇒ bit-identical to the join
+    // form, so the SAME inequality-join DuckDB twin verifies both.
+    "range_agg_multires" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      val intervals = e.filter(col("event_id") % 20 === 0)
+        .select(col("event_id").as("interval_id"), col("us").as("start"),
+          (col("us") + 3600L * 1000000L).as("end"))
+      graft.ops.RangeJoin.intervalAggregate(
+        e.select(col("us"), col("value")), intervals,
+        "us", "value", "interval_id", "start", "end",
+        fine = 10L * 1000000L, factor = 60)
+    }),
+
     // as-of join: attach the latest point-in-time snapshot (every 10th
     // event) to each event without leakage; oracle is DuckDB's native
     // ASOF JOIN. Micros-precision BIGINT keys avoid the ns/us gap.
@@ -161,6 +180,18 @@ object OpsQueries extends QueryRegistry {
       |FROM api GROUP BY page, submission_type""".stripMargin,
 
     "range_join" -> """
+      |WITH e AS (SELECT event_id, epoch_us(ts) AS us, value FROM events),
+      |iv AS (
+      |  SELECT event_id AS interval_id, us AS s, us + 3600000000 AS e2
+      |  FROM e WHERE event_id % 20 = 0)
+      |SELECT interval_id, COUNT(*) AS n_points,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM e JOIN iv ON e.us BETWEEN iv.s AND iv.e2
+      |GROUP BY interval_id""".stripMargin,
+
+    // identical answer contract to range_join — one inequality-join
+    // twin verifies both the enumerating and the multi-resolution form
+    "range_agg_multires" -> """
       |WITH e AS (SELECT event_id, epoch_us(ts) AS us, value FROM events),
       |iv AS (
       |  SELECT event_id AS interval_id, us AS s, us + 3600000000 AS e2
