@@ -99,7 +99,10 @@ object Bench {
     "dedup_winnow_pairs",
     "dedup_against_reference",
     "emb_cluster_outliers",
-    "ann_incremental_topk")
+    "ann_incremental_topk",
+    // r8 continuation: the multi-resolution interval aggregate (86×
+    // over the enumerating range join at the 100× events replica)
+    "range_agg_multires")
 
   /** The 10× scaling checkpoint: a subset chosen to answer the
     * empirical questions a 100 TB plan review asks — where the
@@ -119,7 +122,11 @@ object Bench {
     "ipes_companies_full", "ann_pq_topk", "corpus_source_authority",
     "emb_kmeans_cluster",
     // r8: the r7 dedup additions join the 10× tier
-    "dedup_winnow_pairs", "dedup_against_reference")
+    "dedup_winnow_pairs", "dedup_against_reference",
+    // r8 continuation: both range-aggregate forms at 10× — the curve
+    // whose divergence (|matches| vs |intervals|·factor) the 100×
+    // record quantified at 86×
+    "range_join", "range_agg_multires")
 
   /** Build a deterministic 10× replica of the sf0.1 tables the sf1
     * subset reads, once, under target/ (reused via _DONE marker).
@@ -132,9 +139,10 @@ object Bench {
     * spurious near-neighbor).
     */
   private def ensureSf1(spark: SparkSession, baseDir: String, sf1Dir: String): Unit = {
-    // _DONE_r5: marker versioned when the replica set grows (r5 added
-    // embeddings for the PQ-family sf1 entry) so a stale dir rebuilds.
-    if (new java.io.File(s"$sf1Dir/_DONE_r5").exists()) return
+    // _DONE_r8: marker versioned when the replica set grows (r5 added
+    // embeddings for the PQ-family entry, r8 events for the range-
+    // aggregate pair) so a stale dir rebuilds.
+    if (new java.io.File(s"$sf1Dir/_DONE_r8").exists()) return
     val reps = 10
     // Replica key offsets assume the base id ranges below; a silently
     // grown fixture would make replicas collide and turn the scaling
@@ -182,7 +190,14 @@ object Bench {
         .withColumn("embedding", concat(
           slice(col("embedding"), i + 1, 64 - i), slice(col("embedding"), 1, i)))
     })
-    new java.io.File(s"$sf1Dir/_DONE_r5").createNewFile()
+    // events: disjoint user populations, same behavioral mix — the
+    // ReplicateSf events-mode shape the 100x record uses.
+    assertStride(Tables.events(spark, baseDir), "event_id", 1000000L)
+    assertStride(Tables.events(spark, baseDir), "user_id", 1000000L)
+    write("events", i => Tables.events(spark, baseDir)
+      .withColumn("event_id", col("event_id") + lit(i * 1000000L))
+      .withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+    new java.io.File(s"$sf1Dir/_DONE_r8").createNewFile()
   }
 
   private def loadavg(): String =
