@@ -102,7 +102,9 @@ object Bench {
     "ann_incremental_topk",
     // r8 continuation: the multi-resolution interval aggregate (86×
     // over the enumerating range join at the 100× events replica)
-    "range_agg_multires")
+    "range_agg_multires",
+    // r8 continuation: SemDeDup — cluster-blocked semantic dedup
+    "emb_semdedup_cluster")
 
   /** The 10× scaling checkpoint: a subset chosen to answer the
     * empirical questions a 100 TB plan review asks — where the
@@ -126,7 +128,10 @@ object Bench {
     // r8 continuation: both range-aggregate forms at 10× — the curve
     // whose divergence (|matches| vs |intervals|·factor) the 100×
     // record quantified at 86×
-    "range_join", "range_agg_multires")
+    "range_join", "range_agg_multires",
+    // r8 continuation: SemDeDup at 10× — the cluster-blocked pair
+    // stage's scale curve next to the LSH-blocked one's
+    "emb_semdedup_cluster")
 
   /** Build a deterministic 10× replica of the sf0.1 tables the sf1
     * subset reads, once, under target/ (reused via _DONE marker).

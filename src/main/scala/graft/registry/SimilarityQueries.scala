@@ -35,6 +35,15 @@ object SimilarityQueries extends QueryRegistry {
     */
   private[registry] val EmbSampleMod = 16
 
+  /** Shared constants for the SemDeDup pair (`emb_semdedup_cluster` /
+    * `_sampled`): the Spark calls and the generated twins interpolate
+    * the SAME vals, so a parameter change cannot silently diverge the
+    * two sides (the dedup_winnow_pairs lesson).
+    */
+  private[registry] val SemK = 8
+  private[registry] val SemIters = 2
+  private[registry] val SemThreshold = 0.99
+
   /** [[withPerturbed]] over the xxhash64 slice, perturbed copies
     * planted AFTER sampling so every sampled vec_id % 9 == 0
     * contributes a true near-dup pair at any scale.
@@ -171,6 +180,23 @@ object SimilarityQueries extends QueryRegistry {
       Knn.semanticDedup(withPerturbedSampled(s, dir), dim = 64,
         threshold = 0.99, nTables = 4)),
 
+    // SemDeDup (cluster-blocked semantic dedup): k-means cells bound
+    // the cosine pair join instead of LSH buckets — the published
+    // scale recipe for embedding-space dedup (pair volume n × cell
+    // size; the dial is k ∝ corpus / target cell). Full bit-replay
+    // twin: the kmeans CTE chain + within-cell pairs + recursive
+    // closure, every constant interpolated from the shared vals.
+    "emb_semdedup_cluster" -> ((s, dir) =>
+      Clustering.semDedup(withPerturbed(s, dir), k = SemK, iters = SemIters,
+        threshold = SemThreshold)),
+
+    // the same chain over the deterministic hash slice — the
+    // scale-record twin (within-cell all-pairs SQL over the slice
+    // stays tractable at any corpus size).
+    "emb_semdedup_sampled" -> ((s, dir) =>
+      Clustering.semDedup(withPerturbedSampled(s, dir), k = SemK,
+        iters = SemIters, threshold = SemThreshold)),
+
     // Deterministic k-means over the embedding corpus — the topic-
     // bucketing step of a curation pipeline, under a FULL twin (the
     // recall-floor IVF family deliberately is not bit-replayable; this
@@ -244,9 +270,12 @@ object SimilarityQueries extends QueryRegistry {
     * pattern). Emits `v` (cast vectors), `c0..c$iters` (centroids) and
     * `af(vec_id, cid, d2)` — the final assignment.
     */
-  private[registry] def kmeansCtes(k: Int, iters: Int): String = {
+  private[registry] def kmeansCtes(
+      k: Int, iters: Int,
+      vSrc: String = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings")
+      : String = {
     val sb = new StringBuilder
-    sb ++= s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sb ++= s"""v AS ($vSrc),
       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
       |       FROM (SELECT * FROM v ORDER BY vec_id LIMIT $k)),
       |""".stripMargin
@@ -304,6 +333,44 @@ object SimilarityQueries extends QueryRegistry {
     * (same longHashCte replay as the Spark predicate) with the same
     * perturbed copies planted after sampling.
     */
+  /** base + perturbed-copy + union CTEs over the FULL embeddings table
+    * — the un-sampled sibling of [[sampledBaseCtes]] (the
+    * [[withPerturbed]] replay).
+    */
+  private val fullBaseCtes: String =
+    s"""base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |pert AS (SELECT vec_id + 100000 AS vec_id,
+      |           list_transform(e, x -> x * 1.0001 + 0.001) AS e
+      |         FROM base WHERE vec_id % 9 = 0),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)""".stripMargin
+
+  /** Twin for [[graft.similarity.Clustering.semDedup]]: replay the
+    * kmeans chain over `allv`, score cosine only within a final
+    * cluster, close transitively, pick min-id canonicals; singletons
+    * map to themselves through the `reach` base case.
+    */
+  private def semDedupSql(baseCtes: String): String = s"""
+    |WITH RECURSIVE $baseCtes,
+    |${kmeansCtes(SemK, SemIters, "SELECT vec_id, e FROM allv")},
+    |pairs AS (
+    |  SELECT aa.vec_id AS id_a, bb.vec_id AS id_b
+    |  FROM af aa JOIN af bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+    |  JOIN allv ea ON ea.vec_id = aa.vec_id
+    |  JOIN allv eb ON eb.vec_id = bb.vec_id
+    |  WHERE ${cosineSql("ea.e", "eb.e")} >= $SemThreshold),
+    |edges AS (
+    |  SELECT id_a AS a, id_b AS b FROM pairs
+    |  UNION
+    |  SELECT id_b AS a, id_a AS b FROM pairs),
+    |reach(id, r) AS (
+    |  SELECT vec_id, vec_id FROM allv
+    |  UNION
+    |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+    |canon AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)
+    |SELECT c.id, af.cid AS cluster, c.canonical_id,
+    |  c.id = c.canonical_id AS is_kept
+    |FROM canon c JOIN af ON af.vec_id = c.id""".stripMargin
+
   private val sampledBaseCtes: String =
     s"""${XxHashOracleSql.longHashCte("vsel", "embeddings", Seq("vec_id", "embedding"),
          "vec_id", "CAST(42 AS UBIGINT)", "h64")},
@@ -316,6 +383,9 @@ object SimilarityQueries extends QueryRegistry {
       |allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "emb_semdedup_cluster" -> semDedupSql(fullBaseCtes),
+    "emb_semdedup_sampled" -> semDedupSql(sampledBaseCtes),
+
     "emb_kmeans_cluster" -> s"""
       |WITH ${kmeansCtes(8, 2)}
       |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM af""".stripMargin,

@@ -186,6 +186,78 @@ object Clustering {
       .select(col("cluster"), col("n"), col("share"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * partition the corpus with deterministic k-means, score cosine
+    * pairs only WITHIN each cluster, connect the ≥ `threshold` pairs,
+    * keep the min-id representative per component. Returns
+    * (id, cluster, canonical_id, is_kept) for every vector;
+    * `filter(is_kept)` is the deduplicated corpus.
+    *
+    * This is the cluster-bounded alternative to the LSH-blocked
+    * [[Knn.semanticDedup]]: instead of hash buckets, the candidate set
+    * is the k-means cell — pair volume Σ n_c² ≈ n × (n/k), so the
+    * dial is k ∝ corpus/targetCellSize (the paper runs k ≈ 11k for
+    * 100M docs). The per-cell self-join is a plain equi-join on the
+    * cluster id (shuffle-partitioned by cell, AQE skew-splittable),
+    * never a crossJoin; assignment cost is n × k broadcast-argmin
+    * rows, collapsed to one row per vector per partition by the
+    * native partial top-k before the exchange ([[assign]]).
+    * Trade-off vs LSH blocking, stated honestly: duplicates that
+    * straddle a cell boundary are missed (the paper accepts this —
+    * near-dup pairs co-locate under k-means overwhelmingly), while
+    * LSH misses boundary-similarity pairs probabilistically; both
+    * record their dial (k here, planes/tables there).
+    *
+    * Deterministic end-to-end (lowest-id seeds, 6-dp assignment keys,
+    * decimal-exact centroid means, 6-dp cosine), so a DuckDB twin
+    * replays the full chain bit-for-bit.
+    *
+    * @param trainCap as in [[kmeansAssign]] — bounds Lloyd training,
+    *                 never the assignment or the pair stage.
+    */
+  /** Corpus-derived default for [[semDedup]]'s k (the
+    * [[Knn.autoPlanes]] rule applied to k-means cells): hold the mean
+    * cell near `targetCellSize` so the within-cell pair stage stays
+    * n × cellSize — linear in the corpus — instead of quadratic at a
+    * fixture-tuned constant k. Registered queries pin k explicitly
+    * (the DuckDB twin interpolates the same literal); `k = 0` callers
+    * get this rule via one cheap count. Stated honestly: the flat
+    * broadcast-argmin assignment is n × k work, so beyond ~10⁴ cells
+    * the assignment (not the pair stage) dominates — at that scale
+    * route the assignment through a two-level probe (cluster the
+    * centroids, assign via nearest super-cell — the [[Knn.ivfPqTopK]]
+    * inverted-list shape) and keep this rule for the cell count.
+    */
+  def autoK(n: Long, targetCellSize: Int = 256): Int =
+    math.max(2, math.ceil(math.max(n, 1L).toDouble / targetCellSize).toInt)
+
+  def semDedup(vectors: DataFrame, k: Int, iters: Int, threshold: Double,
+               trainCap: Int = 0,
+               driverCcThreshold: Int = 1000000): DataFrame = {
+    val v = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .localCheckpoint() // read by seeds, every Lloyd round, and the pair stage
+    val kk = if (k > 0) k else autoK(v.count())
+    val assigned = assign(v, trainedCentroids(v, kk, iters, trainCap))
+    // |e| once per vector BEFORE the pair join (the Knn.cosinePre rule).
+    val withNorm = assigned.select(col("cid"), col("vec_id"), col("e"),
+      Knn.norm(col("e")).as("nrm"))
+    val pairs = withNorm
+      .select(col("cid"), col("vec_id").as("id_a"), col("e").as("e_a"),
+        col("nrm").as("na"))
+      .join(withNorm.select(col("cid"), col("vec_id").as("id_b"),
+        col("e").as("e_b"), col("nrm").as("nb")), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Knn.cosinePre(col("e_a"), col("e_b"), col("na"), col("nb"))
+        >= threshold)
+      .select(col("id_a"), col("id_b"))
+    graft.dedup.ScaleDedup
+      .assignCanonical(v.select(col("vec_id").as("id")), pairs, driverCcThreshold)
+      .join(assigned.select(col("vec_id").as("id"), col("cid").as("cluster")), "id")
+      .select(col("id"), col("cluster"), col("canonical_id"),
+        (col("id") === col("canonical_id")).as("is_kept"))
+  }
+
   /** Cluster-stratified deterministic sample: the `perCluster`
     * lowest-xxhash64 vectors of each cluster — the balanced-subset
     * selection step between clustering and training-mix assembly.

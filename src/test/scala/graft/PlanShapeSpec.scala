@@ -50,6 +50,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // plans no join at all.
       "emb_kmeans_cluster", "emb_cluster_outliers", "emb_cluster_sample",
       "emb_cluster_balance",
+      // SemDeDup: same k-row centroid broadcast for assignment; the
+      // pair stage itself is a plain equi-join on the cluster id
+      "emb_semdedup_cluster", "emb_semdedup_sampled",
       "ann_incremental_topk")      // IVF probe against the frozen
                                    // index — same centroid BNLJ
 

@@ -111,6 +111,68 @@ class ClusteringSpec extends AnyFunSuite {
     assert(routed === batch, "literal-argmin route drifted from batch assignment")
   }
 
+  /** 30 deterministic pseudo-random 32-dim vectors (splitmix-style
+    * integer mix — wide cosine spread, so no accidental ≥0.99 pair)
+    * plus near-identical copies of ids 0, 7 and 13 planted at +100.
+    */
+  private def semCorpus = {
+    def vec(i: Int): Array[Float] = Array.tabulate(32) { d =>
+      var z = (i * 37L + d) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      ((z ^ (z >>> 27)).toDouble / Long.MaxValue).toFloat
+    }
+    val base = (0 until 30).map(i => (i.toLong, vec(i)))
+    val copies = Seq(0, 7, 13).map(i =>
+      (i + 100L, vec(i).map(x => x * 1.0001f + 0.0001f)))
+    (base ++ copies).toDF("vec_id", "embedding")
+  }
+
+  test("semDedup keeps one representative per planted duplicate group") {
+    val out = Clustering.semDedup(semCorpus, k = 4, iters = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size === 33, "one output row per input vector")
+    for (i <- Seq(0L, 7L, 13L)) {
+      assert(out(i + 100)._2 === i, s"copy ${i + 100} must canonicalize to $i")
+      assert(!out(i + 100)._3 && out(i)._3,
+        s"original $i kept, copy ${i + 100} dropped")
+      assert(out(i + 100)._1 === out(i)._1,
+        s"a near-identical copy landed in a different k-means cell")
+    }
+    for ((id, (_, canon, kept)) <- out if id < 100 ) {
+      assert(canon === id && kept, s"non-duplicate $id must keep itself")
+    }
+  }
+
+  test("semDedup matches a plain-Scala within-cell replay") {
+    val df = semCorpus
+    val assigned = Clustering.kmeansAssign(df, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]) = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      round6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    }
+    // union-find over the within-cell >= threshold pairs
+    val ids = vecs.keys.toSeq.sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- ids; b <- ids if a < b
+         if assigned(a) == assigned(b) && cos(vecs(a), vecs(b)) >= 0.99) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = ids.map(i => i -> find(i)).toMap
+    val got = Clustering.semDedup(df, k = 4, iters = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === want, "semDedup canonical map drifted from the replay")
+  }
+
   test("stratifiedSample returns perCluster rows per cluster, hash-stable") {
     val assigned = Clustering.kmeansAssign(blobs, k = 2, iters = 2)
     val s1 = Clustering.stratifiedSample(assigned, perCluster = 3)
