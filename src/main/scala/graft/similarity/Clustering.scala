@@ -186,6 +186,22 @@ object Clustering {
       .select(col("cluster"), col("n"), col("share"))
   }
 
+  /** Corpus-derived default for [[semDedup]]'s k dial (the
+    * [[Knn.autoPlanes]] rule applied to k-means cells): hold the mean
+    * cell near `targetCellSize` so the within-cell pair stage stays
+    * n × cellSize — linear in the corpus — instead of quadratic at a
+    * fixture-tuned constant k. Registered queries pin k explicitly
+    * (the DuckDB twin interpolates the same literal); `k = 0` callers
+    * get this rule via one cheap count. Stated honestly: the flat
+    * broadcast-argmin assignment is n × k work, so beyond ~10⁴ cells
+    * the assignment (not the pair stage) dominates — at that scale
+    * route the assignment through a two-level probe (cluster the
+    * centroids, assign via nearest super-cell — the [[Knn.ivfPqTopK]]
+    * inverted-list shape) and keep this rule for the cell count.
+    */
+  def autoK(n: Long, targetCellSize: Int = 256): Int =
+    math.max(2, math.ceil(math.max(n, 1L).toDouble / targetCellSize).toInt)
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * partition the corpus with deterministic k-means, score cosine
     * pairs only WITHIN each cluster, connect the ≥ `threshold` pairs,
@@ -212,25 +228,10 @@ object Clustering {
     * decimal-exact centroid means, 6-dp cosine), so a DuckDB twin
     * replays the full chain bit-for-bit.
     *
+    * @param k        cell count; 0 derives it via [[autoK]]
     * @param trainCap as in [[kmeansAssign]] — bounds Lloyd training,
     *                 never the assignment or the pair stage.
     */
-  /** Corpus-derived default for [[semDedup]]'s k (the
-    * [[Knn.autoPlanes]] rule applied to k-means cells): hold the mean
-    * cell near `targetCellSize` so the within-cell pair stage stays
-    * n × cellSize — linear in the corpus — instead of quadratic at a
-    * fixture-tuned constant k. Registered queries pin k explicitly
-    * (the DuckDB twin interpolates the same literal); `k = 0` callers
-    * get this rule via one cheap count. Stated honestly: the flat
-    * broadcast-argmin assignment is n × k work, so beyond ~10⁴ cells
-    * the assignment (not the pair stage) dominates — at that scale
-    * route the assignment through a two-level probe (cluster the
-    * centroids, assign via nearest super-cell — the [[Knn.ivfPqTopK]]
-    * inverted-list shape) and keep this rule for the cell count.
-    */
-  def autoK(n: Long, targetCellSize: Int = 256): Int =
-    math.max(2, math.ceil(math.max(n, 1L).toDouble / targetCellSize).toInt)
-
   def semDedup(vectors: DataFrame, k: Int, iters: Int, threshold: Double,
                trainCap: Int = 0,
                driverCcThreshold: Int = 1000000): DataFrame = {
