@@ -133,7 +133,10 @@ object SimilarityQueries extends QueryRegistry {
       val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
       Knn.recallChecked(
         Knn.pqTopK(emb, q, dim = 64, m = 16, kCode = 32, k = 5,
-          lloydIters = 2, rerankFactor = 16),
+          lloydIters = 2, rerankFactor = 0), // 0 = Knn.autoRerank(n):
+          // 16 (the historical constant) at every fixture ≤ 80k
+          // vectors, 49 at the 100× replica — the measured dial that
+          // keeps the recall floors holding as the corpus grows
         q, emb, k = 5, minHits = 2, minTotalHits = 79)
     }),
 
@@ -145,7 +148,8 @@ object SimilarityQueries extends QueryRegistry {
       val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
       Knn.recallChecked(
         Knn.ivfPqTopK(emb, q, dim = 64, nCentroids = 16, nProbe = 8,
-          m = 16, kCode = 32, k = 5, lloydIters = 1, rerankFactor = 16),
+          m = 16, kCode = 32, k = 5, lloydIters = 1,
+          rerankFactor = 0), // auto — see ann_pq_topk
         q, emb, k = 5, minHits = 2, minTotalHits = 70)
     }),
 

@@ -101,6 +101,26 @@ object Knn {
     math.max(4, math.ceil(
       math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0)).toInt)
 
+  /** Corpus-derived rerank factor for the PQ families ([[pqTopK]] /
+    * [[ivfPqTopK]] with `rerankFactor = 0`) — the [[autoPlanes]]
+    * treatment for the OTHER fixture-tuned ANN dial. ADC ranking noise
+    * is a property of the codebooks, not of n, but the number of true
+    * near-ties inside the noise band around the k-th neighbor grows
+    * with corpus density, so a fixed shortlist decays: measured at the
+    * 100× replica (200k vectors, registry params), rr=16 scores
+    * pq 59 / ivfpq 61 aggregate hits — under the 79/70 floors — while
+    * rr=48 restores 82/77 with per-query mins at the floor
+    * (RecallProbe sweep, rr ∈ {16,24,32,48,64}). The rule
+    * `max(16, ceil(n/4096))` (shortlist ≈ 0.12% of the corpus) is the
+    * measured-safe linear default — every fixture and replica ≤ 80k
+    * vectors resolves to the historical 16, so small-scale twins are
+    * bit-unchanged; 200k resolves to 49. Re-rank cost stays
+    * shortlist × k exact dots per query; latency-critical callers can
+    * pin a smaller factor and accept the measured recall.
+    */
+  def autoRerank(n: Long): Int =
+    math.max(16, math.ceil(math.max(n, 1L).toDouble / 4096.0).toInt)
+
   /** Sign-bit bucket id from `nPlanes` hyperplanes of table `table`. */
   def lshBucket(emb: Column, dim: Int, nPlanes: Int, table: Int = 0): Column =
     (0 until nPlanes).map { p =>
@@ -360,6 +380,7 @@ object Knn {
           .as("embedding"))
     // pinned: consumed by codebook training AND the encode pass
     val vecsN = normalized(vectors).localCheckpoint()
+    val rr = if (rerankFactor > 0) rerankFactor else autoRerank(vecsN.count())
     val cbs = pqCodebooks(vecsN, dim, m, kCode, lloydIters)
     def subv(e: Column, s: Int) = slice(e, s * subDim + 1, subDim)
     def dotLit(sv: Column, c: Seq[Double]) =
@@ -387,7 +408,7 @@ object Knn {
           .reduceLeft(_ + _))
     val cands = graft.plans.TopK.perKey(approx,
         Seq(col("query_id")), Seq(col("approx_sim").desc, col("cand_id").asc),
-        k * rerankFactor)
+        k * rr)
       .select(col("query_id"), col("cand_id"))
 
     // exact re-rank of the shortlist only
@@ -425,6 +446,7 @@ object Knn {
         transform(col("embedding"), x => x.cast("double") / norm(col("embedding")))
           .as("embedding"))
     val vecsN = normalized(vectors).localCheckpoint()
+    val rr = if (rerankFactor > 0) rerankFactor else autoRerank(vecsN.count())
     val centroids = ivfCentroids(vecsN, nCentroids, lloydIters).localCheckpoint()
     val assigned = ivfAssign(vecsN, centroids)
     // residual r = x − c(x), per assigned list
@@ -462,7 +484,7 @@ object Knn {
           .reduceLeft(_ + _))
     val cands = graft.plans.TopK.perKey(approx,
         Seq(col("query_id")), Seq(col("approx_sim").desc, col("cand_id").asc),
-        k * rerankFactor)
+        k * rr)
       .select(col("query_id"), col("cand_id"))
 
     // exact re-rank of the shortlist only

@@ -56,14 +56,19 @@ object RecallProbe {
       println(s"[recall] $name registry-params hits: min=${h.min} " +
         f"avg=${h.sum.toDouble / h.length}%.2f sum=${h.sum} n=${h.length}")
     }
-    hitStats("ann_lsh_topk", Knn.lshTopK(emb, qs, 64, 8, k, nTables = 2))
-    hitStats("lsh 3x12", Knn.lshTopK(emb, qs, 64, 3, k, nTables = 12))
+    // the registry params (keep in sync with SimilarityQueries)
+    hitStats("ann_lsh_topk", Knn.lshTopK(emb, qs, 64, 3, k, nTables = 12))
     hitStats("lsh 2x16", Knn.lshTopK(emb, qs, 64, 2, k, nTables = 16))
-    hitStats("ann_ivf_topk", Knn.ivfTopK(emb, qs, 16, 4, k, 1))
-    hitStats("ivf 16/8", Knn.ivfTopK(emb, qs, 16, 8, k, 1))
-    hitStats("ann_pq_topk", Knn.pqTopK(emb, qs, 64, 16, 32, k, 2, 16))
-    hitStats("ann_ivfpq_topk", Knn.ivfPqTopK(emb, qs, 64, 16, 8, 16, 32, k, 1, 16))
-    hitStats("ivfpq 16/12 rr32", Knn.ivfPqTopK(emb, qs, 64, 16, 12, 16, 32, k, 1, 32))
+    hitStats("ann_ivf_topk", Knn.ivfTopK(emb, qs, 16, 8, k, 1))
+    hitStats("ann_pq_topk", Knn.pqTopK(emb, qs, 64, 16, 32, k, 2, 0))
+    hitStats("ann_ivfpq_topk", Knn.ivfPqTopK(emb, qs, 64, 16, 8, 16, 32, k, 1, 0))
+    // rerank-factor sweep: sizes the auto-rerank rule (ADC ranking
+    // noise puts more true near-ties inside the shortlist band as the
+    // corpus grows, so the shortlist must grow with n)
+    for (rr <- Seq(24, 32, 48, 64)) {
+      hitStats(s"pq rr$rr", Knn.pqTopK(emb, qs, 64, 16, 32, k, 2, rr))
+      hitStats(s"ivfpq rr$rr", Knn.ivfPqTopK(emb, qs, 64, 16, 8, 16, 32, k, 1, rr))
+    }
 
     // incremental split at the ann_incremental_topk registry params:
     // index trains on the frozen reference slice only; the held-out
