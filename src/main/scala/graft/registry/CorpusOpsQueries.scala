@@ -26,6 +26,16 @@ object CorpusOpsQueries extends QueryRegistry {
 
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
+  /** DSIR parameters: hashed-ngram bucket count (3 md5 hex nibbles —
+    * fixed by the featurizer), the target-domain predicate (docs whose
+    * hashed-ngram distribution the selection should match), and the
+    * resample size. Interpolated into BOTH the Spark code and the
+    * DuckDB twin so the two can never drift.
+    */
+  private val DsirBuckets = 4096
+  private val DsirTargetLang = "en"
+  private val DsirK = 100
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // BM25 ranked retrieval over the corpus for a fixed term set.
@@ -306,7 +316,78 @@ object CorpusOpsQueries extends QueryRegistry {
         .select(col("event_type"), col("h").as("hour"), col("n_events"),
           col("avg_value"), col("filled_value"))
     }),
+
+    // DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    // every raw document by how much more likely its hashed-ngram bag
+    // is under the target-domain unigram model than under the raw
+    // model, then Gumbel-top-k resample — the published importance-
+    // resampling recipe for "select pretraining data that looks like
+    // the target domain". Scale shape: one corpus-sized explode into
+    // (doc, bucket) rows; bucket stats are TWO map-side-combinable
+    // counts into 4096 rows; the per-bucket log-ratio table is
+    // broadcast back onto the feature stream (never a shuffle of the
+    // corpus by bucket id twice); per-doc weights are one groupBy; the
+    // final selection is a TakeOrdered top-k, never a global sort. The
+    // per-bucket ln is rounded to 9 dp and summed as an exact decimal
+    // (the text_unigram_logppl discipline), so partitioning and engine
+    // cannot perturb a doc's weight; the Gumbel key adds a 9-dp-rounded
+    // decimal derived from xxhash64(doc_id) — deterministic, no RNG
+    // state, identical under any partitioning.
+    "corpus_dsir_select" -> ((s, dir) => {
+      val d = dsirWeights(s, dir)
+      val hd = xxhash64(col("doc_id")).cast("double")
+      val hu = when(hd < 0, hd + lit(1.8446744073709552e19)).otherwise(hd)
+      val u = (hu + lit(0.5)) / lit(1.8446744073709552e19)
+      d.withColumn("g",
+          col("logw") + round(-log(-log(u)), 9).cast("decimal(20,9)"))
+        .orderBy(col("g").desc, col("doc_id"))
+        .limit(DsirK)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_feats"),
+          round(col("logw").cast("double"), 6).as("log_weight"))
+    }),
+
+    // Per-source diagnostics of the same weights: the mix-review view
+    // a DSIR run ships next to its selection (which sources look most
+    // like the target domain). Same pipeline, one extra 20-row agg.
+    "corpus_dsir_weights" -> ((s, dir) =>
+      dsirWeights(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          round(sum(col("logw")).cast("double") /
+            count(lit(1)), 6).as("mean_log_weight"))),
   )
+
+  /** Per-doc DSIR importance weights: explode hashed-ngram buckets,
+    * fit target (lang = [[DsirTargetLang]]) and raw unigram bucket
+    * models with add-one smoothing, attach the per-bucket log-ratio
+    * by broadcast, sum exactly per document. Totals are driver scalars
+    * from one 4096-row agg (not a 1-row join). Returns
+    * (doc_id, lang, source, n_feats, logw: decimal).
+    */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val b = DsirBuckets
+    val feats = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(graft.text.TextAnalysis.hashedNgramBuckets(col("text"))).as("b"))
+    val stats = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("c_tgt"))
+    val tot = stats.agg(sum(col("c_raw")), sum(col("c_tgt"))).head()
+    val (nRaw, nTgt) = (tot.getLong(0), tot.getLong(1))
+    // lr = ln( p_tgt(b) / p_raw(b) ) with add-one smoothing, as ONE ln
+    // call on a double built from exact integer counts by IEEE ops —
+    // engine-identical up to the last-ulp ln tolerance the 9-dp
+    // rounding absorbs.
+    val lr = stats.select(col("b"),
+      round(log(
+        (col("c_tgt") + lit(1L)).cast("double") * lit((nRaw + b).toDouble) /
+          ((col("c_raw") + lit(1L)).cast("double") * lit((nTgt + b).toDouble))), 9)
+        .cast("decimal(20,9)").as("lr"))
+    feats.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        sum(col("lr")).as("logw"))
+  }
 
   private def bmOracle: String = {
     val dfCols = BmTerms.map(t =>
@@ -348,8 +429,74 @@ object CorpusOpsQueries extends QueryRegistry {
          |FROM documents""".stripMargin)
       .mkString("\n", "\nUNION ALL\n", "")
 
+  /** CTE chain replaying [[dsirWeights]] bit-for-bit: tokenize,
+    * unigram+bigram features, 3-nibble md5 buckets, smoothed
+    * log-ratio per bucket (9-dp-rounded decimal), exact per-doc sum.
+    * Every constant is interpolated from the same vals the Spark
+    * side uses. Ends with CTE `d(doc_id, lang, source, n_feats,
+    * logw)`.
+    */
+  private def dsirCtes: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(feat), $i, 1)) - 1)"
+    s"""tok AS (
+      |  SELECT doc_id, lang, source,
+      |    string_split_regex(lower(trim(text)), '\\s+') AS t
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang, source,
+      |    unnest(list_concat(t,
+      |      CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+      |           ELSE list_transform(generate_series(1, len(t) - 1),
+      |                  i -> t[i] || ' ' || t[i+1]) END)) AS feat
+      |  FROM tok),
+      |fb AS (
+      |  SELECT doc_id, lang, source,
+      |    ${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS b
+      |  FROM f),
+      |stats AS (
+      |  SELECT b, COUNT(*) AS c_raw,
+      |    SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS c_tgt
+      |  FROM fb GROUP BY b),
+      |tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM stats),
+      |lr AS (
+      |  SELECT b, CAST(round(ln(
+      |      (CAST(c_tgt AS DOUBLE) + 1) * CAST(n_raw + $DsirBuckets AS DOUBLE)
+      |      / ((CAST(c_raw AS DOUBLE) + 1) * CAST(n_tgt + $DsirBuckets AS DOUBLE))), 9)
+      |    AS DECIMAL(20,9)) AS lr
+      |  FROM stats, tot),
+      |d AS (
+      |  SELECT doc_id, lang, source, CAST(COUNT(*) AS BIGINT) AS n_feats,
+      |    SUM(lr) AS logw
+      |  FROM fb JOIN lr USING (b)
+      |  GROUP BY doc_id, lang, source)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "text_bm25_topk" -> bmOracle,
+
+    "corpus_dsir_select" -> s"""
+      |WITH $dsirCtes,
+      |${XxHashOracleSql.longHashCte("wh", "d",
+         Seq("doc_id", "lang", "source", "n_feats", "logw"), "doc_id",
+         "CAST(42 AS UBIGINT)", "h64")},
+      |k AS (
+      |  SELECT doc_id, lang, source, n_feats, logw,
+      |    logw + CAST(round(-ln(-ln(
+      |      ((CASE WHEN CAST(h64 AS DOUBLE) < 0
+      |         THEN CAST(h64 AS DOUBLE) + 1.8446744073709552e19
+      |         ELSE CAST(h64 AS DOUBLE) END) + 0.5)
+      |       / 1.8446744073709552e19)), 9) AS DECIMAL(20,9)) AS g
+      |  FROM wh)
+      |SELECT doc_id, lang, source, n_feats,
+      |  round(CAST(logw AS DOUBLE), 6) AS log_weight
+      |FROM k ORDER BY g DESC, doc_id LIMIT $DsirK""".stripMargin,
+
+    "corpus_dsir_weights" -> s"""
+      |WITH $dsirCtes
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  round(CAST(SUM(logw) AS DOUBLE) / COUNT(*), 6) AS mean_log_weight
+      |FROM d GROUP BY source""".stripMargin,
 
     "dedup_segments" -> s"""
       |WITH tok AS (

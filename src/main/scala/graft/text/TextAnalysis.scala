@@ -169,6 +169,23 @@ object TextAnalysis {
         floor((sum(col("ntok")).over(w) - col("ntok")) / tokenBudget).cast("long"))
   }
 
+  /** DSIR featurizer (Xie et al. 2023, arXiv:2302.03169): bag of
+    * hashed word n-grams — unigrams and bigrams, each mapped to one of
+    * 4096 buckets by the numeric value of the first 3 hex nibbles of
+    * its md5 (no modulo step, and md5 is replayable in the DuckDB
+    * twin, unlike a multiply-shift hash). Pure column ops, so
+    * featurization runs inside the scan; the token array is let-bound
+    * (see [[let1]]) so the bigram lambda never re-splits the document.
+    */
+  def hashedNgramBuckets(c: Column): Column =
+    let1(tokens(c), t => {
+      val bigrams = when(size(t) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", slice(t, i + 1, lit(2)))))
+      transform(concat(t, bigrams),
+        f => conv(substring(md5(f), 1, 3), 16, 10).cast("int"))
+    })
+
   /** Word n-gram shingles (empty below n tokens). The token array is
     * let-bound: the per-shingle lambda captured `tokens(c)` and
     * re-split the document once PER SHINGLE — O(len²) per document,
