@@ -537,13 +537,11 @@ object Bench {
     def jObj(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
 
-    val qs = jObj(results.map { case (k, r) => k -> f2(headlineOf(r.secs)) })
-    val sf1Qs = jObj(sf1Results.map { case (k, r) => k -> f2(headlineOf(r.secs)) })
     val errs = jObj(errors.toSeq.map { case (k, v) => k -> s""""$v"""" })
     val sf1Errs = jObj(sf1Errors.toSeq.map { case (k, v) => k -> s""""$v"""" })
     // tier-prefixed flag list (the r5 stdout had DUPLICATE keys when a
     // query was noisy in both tiers), worst-first; stdout carries the
-    // worst 5, the file artifact carries all of them.
+    // worst 1 (fixed-size contract), the file artifact carries all.
     val allTiered: Seq[(String, QRes)] =
       results ++ sf1Results.map { case (k, r) => s"sf1:$k" -> r }
     val flaggedAll = allTiered
@@ -551,14 +549,11 @@ object Bench {
       .sortBy { case (_, r) => -(spreadOf(r.secs).max(outlierOf(r.secs))) }
     val suspectAll = allTiered.filter { case (_, r) => r.suspectLoad }
       .sortBy { case (_, r) => -r.vsPrev.getOrElse(0.0) }
-    val noisyJs = jObj(flaggedAll.take(5).map { case (k, r) => k -> f2(spreadOf(r.secs)) })
-    val minJs = jObj(flaggedAll.take(5).map { case (k, r) => k -> f2(r.secs.min) })
-    val suspectJs = suspectAll.take(5).map { case (k, _) => s""""$k"""" }
-      .mkString("[", ",", "]")
     val nRun = allTiered.size
     val badSet = (flaggedAll.map(_._1) ++ suspectAll.map(_._1)).distinct
     val rejected = nRun > 0 && badSet.size * 3 > nRun
     val total = results.map { case (_, r) => headlineOf(r.secs) }.sum
+    val sf1Total = sf1Results.map { case (_, r) => headlineOf(r.secs) }.sum
 
     // FULL artifact → repo file: per-trial times + loads, median/min/
     // max/headline/spread/outlier, vs-prev ratio, budget-cap and
@@ -602,11 +597,31 @@ object Bench {
       System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}")
     }
 
-    // COMPACT stdout line (the driver's stdout-tail capture keeps ~2 KB;
-    // r5's line outgrew it and recorded parsed:null): 2-decimal
-    // headline numbers, mins only for the worst-5 flagged queries,
-    // names only for the worst-5 load-suspect entries.
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","trials":$trials,"queries":$qs,"errors":$errs,"sf":"$sfDir","sf1_queries":$sf1Qs,"sf1_errors":$sf1Errs,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","wait_gate_sec":$gateWaitSec,"sf1_gate_sec":$sf1GateSec,"noisy":${flaggedAll.nonEmpty},"noisy_queries":$noisyJs,"min":$minJs,"suspect":$suspectJs,"rejected":$rejected,"full":"$fullPath"}""")
+    // FIXED-SIZE stdout line (the driver's stdout-tail capture keeps
+    // ~2 KB; the r5 AND r8 lines outgrew it by inlining per-query maps
+    // and recorded parsed:null). The line is now O(1) in the query
+    // count: totals, per-tier counts, error counts, noise flags, the
+    // worst-1 flagged/suspect entry, top-3-slowest per tier, and the
+    // pointer to the full artifact — shrink-to-fit under a hard
+    // 1000-byte cap (BenchLineSpec pins the invariant on worst-case
+    // inputs so headline-set growth can never regress it again).
+    println(compactLine(LineStats(
+      total = total, trials = trials, sfDir = sfDir,
+      top = results.map { case (k, r) => k -> headlineOf(r.secs) }
+        .sortBy(-_._2),
+      nQueries = results.size, errors = errors.toSeq,
+      sf1Top = sf1Results.map { case (k, r) => k -> headlineOf(r.secs) }
+        .sortBy(-_._2),
+      sf1Total = sf1Total, nSf1Queries = sf1Results.size,
+      sf1Errors = sf1Errors.toSeq,
+      loadStart = loadStart, loadEnd = loadEnd,
+      gateWaitSec = gateWaitSec, sf1GateSec = sf1GateSec,
+      flaggedWorst = flaggedAll.headOption.map { case (k, r) =>
+        (k, spreadOf(r.secs).max(outlierOf(r.secs)), r.secs.min) },
+      nFlagged = flaggedAll.size,
+      suspectWorst = suspectAll.headOption.map(_._1),
+      nSuspect = suspectAll.size,
+      rejected = rejected, fullPath = fullPath)))
     try spark.stop() catch { case _: Throwable => } // no-op if sf1 already stopped it
     if (errors.nonEmpty) sys.exit(1)
   }
