@@ -65,6 +65,90 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** Everything the compact stdout line needs, pre-aggregated by main:
+    * per-tier totals and slowest-first (name, headline-sec) lists, error
+    * key/message pairs, noise summary (count + worst entry per flag
+    * kind), gate waits, and the pointer to the full artifact. A plain
+    * data carrier so `compactLine` is a pure String function that
+    * BenchLineSpec can pin on worst-case inputs.
+    */
+  private[graft] case class LineStats(
+      total: Double, trials: Int, sfDir: String,
+      top: Seq[(String, Double)], nQueries: Int,
+      errors: Seq[(String, String)],
+      sf1Top: Seq[(String, Double)], sf1Total: Double, nSf1Queries: Int,
+      sf1Errors: Seq[(String, String)],
+      loadStart: String, loadEnd: String,
+      gateWaitSec: Int, sf1GateSec: Int,
+      flaggedWorst: Option[(String, Double, Double)], nFlagged: Int,
+      suspectWorst: Option[String], nSuspect: Int,
+      rejected: Boolean, fullPath: String)
+
+  /** Hard byte cap on the stdout line. The driver's stdout-tail capture
+    * keeps ~2 KB; staying at half that leaves room for any stray final
+    * log line sharing the tail.
+    */
+  private[graft] val LineCapBytes = 1000
+
+  /** Render the ONE stdout JSON line, O(1) in the query count and
+    * shrink-to-fit under [[LineCapBytes]]: per-tier totals/counts always
+    * ship; the per-tier `queries` maps carry only the top-K slowest
+    * (K starts at 5 and shrinks), error messages truncate then drop to
+    * key-only, strings clamp, and the last resort drops the query maps
+    * entirely — every fallback stays valid JSON with the driver's
+    * required keys (`metric`/`value`/`unit`/`queries`/`sf`) present.
+    */
+  private[graft] def compactLine(st: LineStats): String = {
+    def f2(v: Double): String =
+      if (v.isNaN || v.isInfinite) "0" else f"$v%.2f"
+    def jStr(s: String, max: Int = 120): String =
+      "\"" + s.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(max) + "\""
+    def obj(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def qMap(xs: Seq[(String, Double)], k: Int): String =
+      obj(xs.take(k).map { case (n, v) => n.take(48) -> f2(v) })
+    def errJs(es: Seq[(String, String)], msgLen: Int): String =
+      obj(es.take(2).map { case (n, m) => n.take(48) -> jStr(m, msgLen) } ++
+        (if (es.size > 2) Seq("_dropped" -> (es.size - 2).toString) else Nil))
+    def line(k: Int, msgLen: Int, strMax: Int): String = obj(Seq(
+      "metric" -> "\"total\"",
+      "value" -> f2(st.total),
+      "unit" -> "\"sec\"",
+      "trials" -> st.trials.toString,
+      "sf" -> jStr(st.sfDir, strMax),
+      "n_queries" -> st.nQueries.toString,
+      "queries" -> qMap(st.top, k),
+      "n_errors" -> st.errors.size.toString) ++
+      (if (st.errors.nonEmpty) Seq("errors" -> errJs(st.errors, msgLen)) else Nil) ++ Seq(
+      "sf1_total" -> f2(st.sf1Total),
+      "n_sf1_queries" -> st.nSf1Queries.toString,
+      "sf1_queries" -> qMap(st.sf1Top, k),
+      "n_sf1_errors" -> st.sf1Errors.size.toString) ++
+      (if (st.sf1Errors.nonEmpty) Seq("sf1_errors" -> errJs(st.sf1Errors, msgLen)) else Nil) ++ Seq(
+      "loadavg_start" -> jStr(st.loadStart, 24),
+      "loadavg_end" -> jStr(st.loadEnd, 24),
+      "wait_gate_sec" -> st.gateWaitSec.toString,
+      "sf1_gate_sec" -> st.sf1GateSec.toString,
+      "n_flagged" -> st.nFlagged.toString) ++
+      st.flaggedWorst.toSeq.map { case (q, ratio, mn) =>
+        "flagged_worst" -> obj(Seq(
+          "q" -> jStr(q, 48), "ratio" -> f2(ratio), "min" -> f2(mn)))
+      } ++ Seq(
+      "n_suspect" -> st.nSuspect.toString) ++
+      st.suspectWorst.toSeq.map(q => "suspect_worst" -> jStr(q, 48)) ++ Seq(
+      "rejected" -> st.rejected.toString,
+      "full" -> jStr(st.fullPath, strMax)))
+    def bytes(s: String): Int =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    // shrink ladder: fewer top-K entries, shorter error messages,
+    // tighter string clamps; the (0, 0, 24) floor is bounded by
+    // construction (no per-query content, all strings <= 48 bytes).
+    val ladder = Seq((5, 80, 80), (3, 48, 64), (2, 24, 48), (1, 0, 32), (0, 0, 24))
+    ladder.iterator.map { case (k, m, sm) => line(k, m, sm) }
+      .find(bytes(_) <= LineCapBytes)
+      .getOrElse(line(0, 0, 24))
+  }
+
   private val Headline = Seq(
     "q1_agg",
     "j1_star_join",
@@ -104,7 +188,10 @@ object Bench {
     // over the enumerating range join at the 100× events replica)
     "range_agg_multires",
     // r8 continuation: SemDeDup — cluster-blocked semantic dedup
-    "emb_semdedup_cluster")
+    "emb_semdedup_cluster",
+    // r10: DSIR importance selection — the last registered family
+    // with no bench entry (hashed-ngram importance weights + top-k)
+    "corpus_dsir_select")
 
   /** The 10× scaling checkpoint: a subset chosen to answer the
     * empirical questions a 100 TB plan review asks — where the
