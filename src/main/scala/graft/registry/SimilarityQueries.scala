@@ -38,9 +38,14 @@ object SimilarityQueries extends QueryRegistry {
   /** Shared constants for the SemDeDup pair (`emb_semdedup_cluster` /
     * `_sampled`): the Spark calls and the generated twins interpolate
     * the SAME vals, so a parameter change cannot silently diverge the
-    * two sides (the dedup_winnow_pairs lesson).
+    * two sides (the dedup_winnow_pairs lesson). The cell count is NOT
+    * a constant: both sides derive k = max(2, ceil(n / SemCellTarget))
+    * from their own corpus count ([[graft.similarity.Clustering.autoK]]
+    * on the Spark side, a `count(*)` CTE in the twin), so the
+    * within-cell pair stage stays n × SemCellTarget — linear — at any
+    * scale instead of super-linear at a fixture-tuned k.
     */
-  private[registry] val SemK = 8
+  private[registry] val SemCellTarget = 256
   private[registry] val SemIters = 2
   private[registry] val SemThreshold = 0.99
 
@@ -187,19 +192,23 @@ object SimilarityQueries extends QueryRegistry {
     // SemDeDup (cluster-blocked semantic dedup): k-means cells bound
     // the cosine pair join instead of LSH buckets — the published
     // scale recipe for embedding-space dedup (pair volume n × cell
-    // size; the dial is k ∝ corpus / target cell). Full bit-replay
-    // twin: the kmeans CTE chain + within-cell pairs + recursive
-    // closure, every constant interpolated from the shared vals.
+    // size; the dial is k ∝ corpus / target cell, derived here via
+    // autoK from the corpus count — k = 0 — so cell population stays
+    // ~SemCellTarget at any scale). Full bit-replay twin: a count(*)
+    // CTE derives the SAME k, then the kmeans CTE chain + within-cell
+    // pairs + recursive closure, every constant interpolated from the
+    // shared vals.
     "emb_semdedup_cluster" -> ((s, dir) =>
-      Clustering.semDedup(withPerturbed(s, dir), k = SemK, iters = SemIters,
-        threshold = SemThreshold)),
+      Clustering.semDedup(withPerturbed(s, dir), k = 0, iters = SemIters,
+        threshold = SemThreshold, targetCellSize = SemCellTarget)),
 
     // the same chain over the deterministic hash slice — the
     // scale-record twin (within-cell all-pairs SQL over the slice
     // stays tractable at any corpus size).
     "emb_semdedup_sampled" -> ((s, dir) =>
-      Clustering.semDedup(withPerturbedSampled(s, dir), k = SemK,
-        iters = SemIters, threshold = SemThreshold)),
+      Clustering.semDedup(withPerturbedSampled(s, dir), k = 0,
+        iters = SemIters, threshold = SemThreshold,
+        targetCellSize = SemCellTarget)),
 
     // Deterministic k-means over the embedding corpus — the topic-
     // bucketing step of a curation pipeline, under a FULL twin (the
@@ -277,11 +286,24 @@ object SimilarityQueries extends QueryRegistry {
   private[registry] def kmeansCtes(
       k: Int, iters: Int,
       vSrc: String = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings")
+      : String = kmeansCtesK(k.toString, iters, vSrc)
+
+  /** [[kmeansCtes]] with the cell count as an arbitrary SQL scalar
+    * expression (e.g. a scalar subquery over a count CTE) instead of a
+    * literal — the seed CTE filters `row_number() <= kExpr` rather
+    * than `LIMIT k`, which is the same set for a unique-ordered key.
+    * This is what lets the SemDeDup twin derive k from the corpus size
+    * exactly like the Spark side's autoK.
+    */
+  private[registry] def kmeansCtesK(
+      kExpr: String, iters: Int,
+      vSrc: String = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings")
       : String = {
     val sb = new StringBuilder
     sb ++= s"""v AS ($vSrc),
-      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
-      |       FROM (SELECT * FROM v ORDER BY vec_id LIMIT $k)),
+      |c0 AS (SELECT rn - 1 AS cid, e AS c FROM
+      |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM v)
+      |       WHERE rn <= ($kExpr)),
       |""".stripMargin
     for (i <- 0 until iters) {
       sb ++= s"""a$i AS (
@@ -355,7 +377,9 @@ object SimilarityQueries extends QueryRegistry {
     */
   private def semDedupSql(baseCtes: String): String = s"""
     |WITH RECURSIVE $baseCtes,
-    |${kmeansCtes(SemK, SemIters, "SELECT vec_id, e FROM allv")},
+    |kk AS (SELECT greatest(2, CAST(ceil(COUNT(*) / $SemCellTarget.0) AS BIGINT)) AS k
+    |       FROM allv),
+    |${kmeansCtesK("SELECT k FROM kk", SemIters, "SELECT vec_id, e FROM allv")},
     |pairs AS (
     |  SELECT aa.vec_id AS id_a, bb.vec_id AS id_b
     |  FROM af aa JOIN af bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id

@@ -190,9 +190,11 @@ object Clustering {
     * [[Knn.autoPlanes]] rule applied to k-means cells): hold the mean
     * cell near `targetCellSize` so the within-cell pair stage stays
     * n × cellSize — linear in the corpus — instead of quadratic at a
-    * fixture-tuned constant k. Registered queries pin k explicitly
-    * (the DuckDB twin interpolates the same literal); `k = 0` callers
-    * get this rule via one cheap count. Stated honestly: the flat
+    * fixture-tuned constant k. The registered SemDeDup queries use
+    * this rule via `k = 0` (the DuckDB twin derives the SAME k from a
+    * `count(*)` CTE, so no literal can diverge the two sides); other
+    * callers pass `k = 0` to get it via one cheap count. Stated
+    * honestly: the flat
     * broadcast-argmin assignment is n × k work, so beyond ~10⁴ cells
     * the assignment (not the pair stage) dominates — at that scale
     * route the assignment through a two-level probe (cluster the
@@ -234,11 +236,12 @@ object Clustering {
     */
   def semDedup(vectors: DataFrame, k: Int, iters: Int, threshold: Double,
                trainCap: Int = 0,
-               driverCcThreshold: Int = 1000000): DataFrame = {
+               driverCcThreshold: Int = 1000000,
+               targetCellSize: Int = 256): DataFrame = {
     val v = vectors
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .localCheckpoint() // read by seeds, every Lloyd round, and the pair stage
-    val kk = if (k > 0) k else autoK(v.count())
+    val kk = if (k > 0) k else autoK(v.count(), targetCellSize)
     val assigned = assign(v, trainedCentroids(v, kk, iters, trainCap))
     // |e| once per vector BEFORE the pair join (the Knn.cosinePre rule).
     val withNorm = assigned.select(col("cid"), col("vec_id"), col("e"),
