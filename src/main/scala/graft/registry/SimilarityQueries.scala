@@ -218,6 +218,18 @@ object SimilarityQueries extends QueryRegistry {
     "emb_kmeans_cluster" -> ((s, dir) =>
       Clustering.kmeansAssign(Tables.embeddings(s, dir), k = 8, iters = 2)),
 
+    // Two-level (IVF-style) assignment — the scale path past the flat
+    // argmin's n × k wall (autoK at 100M docs ≈ 390k cells): cluster
+    // the k centroids into sqrt(k) super-cells, probe nProbe nearest,
+    // argmin only over member centroids. Deterministic at ANY probe
+    // width (6-dp keys, lowest-id ties at both levels), so the twin
+    // replays the full two-level chain bit-for-bit — k = 16 cells,
+    // s = 4 super-cells, nProbe = 2 exercises the genuinely
+    // approximate regime under a full oracle.
+    "emb_kmeans_twolevel" -> ((s, dir) =>
+      Clustering.kmeansAssignTwoLevel(Tables.embeddings(s, dir), k = 16,
+        iters = 2, nProbe = 2)),
+
     // per-cluster distance z-scores: the embedding-space outlier gate
     // (mislabeled/degenerate vectors sit far from their cluster mean).
     "emb_cluster_outliers" -> ((s, dir) =>
@@ -297,36 +309,36 @@ object SimilarityQueries extends QueryRegistry {
     */
   private[registry] def kmeansCtesK(
       kExpr: String, iters: Int,
-      vSrc: String = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings")
-      : String = {
+      vSrc: String = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings",
+      p: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= s"""v AS ($vSrc),
-      |c0 AS (SELECT rn - 1 AS cid, e AS c FROM
-      |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM v)
+    sb ++= s"""${p}v AS ($vSrc),
+      |${p}c0 AS (SELECT rn - 1 AS cid, e AS c FROM
+      |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM ${p}v)
       |       WHERE rn <= ($kExpr)),
       |""".stripMargin
     for (i <- 0 until iters) {
-      sb ++= s"""a$i AS (
+      sb ++= s"""${p}a$i AS (
         |  SELECT vec_id, e, cid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         |    FROM (SELECT v.vec_id, v.e, c.cid, ${d2Sql("v.e", "c.c")} AS d2
-        |          FROM v, c$i c))
+        |          FROM ${p}v v, ${p}c$i c))
         |  WHERE rn = 1),
-        |c${i + 1} AS (
+        |${p}c${i + 1} AS (
         |  SELECT cid, list(m ORDER BY pos) AS c FROM (
         |    SELECT cid, d.pos,
         |      round(CAST(SUM(CAST(e[d.pos] AS DECIMAL(18,9))) AS DOUBLE)
         |            / COUNT(*), 6) AS m
-        |    FROM a$i, unnest(generate_series(1, len(e))) AS d(pos)
+        |    FROM ${p}a$i, unnest(generate_series(1, len(e))) AS d(pos)
         |    GROUP BY cid, d.pos)
         |  GROUP BY cid),
         |""".stripMargin
     }
-    sb ++= s"""af AS (
+    sb ++= s"""${p}af AS (
       |  SELECT vec_id, cid, d2 FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       |    FROM (SELECT v.vec_id, c.cid, ${d2Sql("v.e", "c.c")} AS d2
-      |          FROM v, c$iters c))
+      |          FROM ${p}v v, ${p}c$iters c))
       |  WHERE rn = 1)""".stripMargin
     sb.toString
   }
@@ -417,6 +429,34 @@ object SimilarityQueries extends QueryRegistry {
     "emb_kmeans_cluster" -> s"""
       |WITH ${kmeansCtes(8, 2)}
       |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM af""".stripMargin,
+
+    // full two-level replay: base kmeans (k=16) -> meta kmeans over
+    // the final centroids (s=4, the mc* chain, centroid id playing
+    // vec_id) -> members (centroid -> super-cell from maf) -> top-2
+    // super-cell probes per vector -> argmin over probed members.
+    // Same 6-dp d2 chain and lowest-id ties as the Spark side at
+    // every level, so the approximate assignment matches exactly.
+    "emb_kmeans_twolevel" -> s"""
+      |WITH ${kmeansCtes(16, 2)},
+      |${kmeansCtesK(
+           "SELECT greatest(2, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM c2",
+           2, "SELECT cid AS vec_id, c AS e FROM c2", "m")},
+      |members AS (SELECT vec_id AS cid, cid AS mid FROM maf),
+      |probes AS (
+      |  SELECT vec_id, e, mid FROM (
+      |    SELECT v.vec_id, v.e, m.cid AS mid,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${d2Sql("v.e", "m.c")}, m.cid) AS rn
+      |    FROM v v, mc2 m)
+      |  WHERE rn <= 2)
+      |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
+      |  SELECT p.vec_id, mem.cid, ${d2Sql("p.e", "c.c")} AS d2,
+      |    row_number() OVER (PARTITION BY p.vec_id
+      |      ORDER BY ${d2Sql("p.e", "c.c")}, mem.cid) AS rn
+      |  FROM probes p
+      |  JOIN members mem ON mem.mid = p.mid
+      |  JOIN c2 c ON c.cid = mem.cid)
+      |WHERE rn = 1""".stripMargin,
 
     // same math as Clustering.distanceOutliers: decimal-exact Σd² and
     // Σd⁴ (6-dp d² ⇒ both sums exact), variance arithmetic in double

@@ -77,6 +77,91 @@ object Clustering {
       .select(col("vec_id"), col("e"), col("cid"), col("d2"))
   }
 
+  /** Two-level (IVF-style) centroid assignment — the scale path past
+    * the flat broadcast-argmin's n × k wall (autoK at 100M docs is
+    * ~390k cells; flat assignment would score 390k centroids per
+    * vector). The k centroids are themselves clustered into
+    * s = ceil(sqrt(k)) super-cells by the SAME deterministic Lloyd
+    * rules (centroid id plays the vector id, so no RNG enters); each
+    * vector probes its `nProbe` nearest super-cells (n × s work,
+    * native partial top-k) and runs the argmin only over the probed
+    * cells' member centroids (n × nProbe × ~sqrt(k) work through a
+    * mid-keyed equi-join — never a crossJoin against all k). Total
+    * work ~n × (s + nProbe·k/s) ≈ n × 2·sqrt(k)·max(1, nProbe/2) vs
+    * flat n × k — ~70× less at 390k cells, and every stage stays a
+    * shuffle the planner can re-balance (AQE splits a hot super-cell).
+    *
+    * Exactness, stated honestly: the result equals the flat argmin
+    * whenever the true nearest centroid lies in a probed super-cell
+    * (guaranteed at nProbe >= s); below that it is the standard IVF
+    * approximation — but the function is DETERMINISTIC at any nProbe
+    * (6-dp probe keys, ties on the lowest id at both levels), so an
+    * oracle twin replaying the same two-level chain matches
+    * bit-for-bit regardless.
+    *
+    * Both join stages carry the embedding array once each: the probe
+    * stage collapses to nProbe rows per vector BEFORE its exchange
+    * (native partial top-k), the member stage to 1 row per vector per
+    * partition before its final exchange.
+    */
+  private[similarity] def assignTwoLevel(v: DataFrame, centroids: DataFrame,
+                                         nProbe: Int,
+                                         metaIters: Int = 2): DataFrame = {
+    val cents = centroids.localCheckpoint() // seeds + Lloyd + members
+    val k = cents.count()
+    val s = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val cv = cents.select(col("cid").as("vec_id"), col("c_emb").as("e"))
+    val meta = (0 until metaIters).foldLeft(seedCentroids(cv, s)) {
+      (m, _) => recompute(assign(cv, m)).localCheckpoint()
+    }
+    // centroid -> owning super-cell: k × s broadcast-argmin, k rows out
+    val members = assign(cv, meta)
+      .select(col("cid").as("mid"), col("vec_id").as("cid"),
+        col("e").as("c_emb"))
+      .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
+    // probe stage: top-nProbe super-cells per vector (same 6-dp
+    // (e² − 2d) + c² chain as [[assign]], ties on the lowest mid)
+    val metaM = meta.select(col("cid").as("mid"), col("c_emb").as("m_emb"))
+      .withColumn("m_n2", dot(col("m_emb"), col("m_emb")))
+    val probes = graft.plans.TopK.perKey(
+      v.withColumn("e_n2", dot(col("e"), col("e")))
+        .crossJoin(broadcast(metaM))
+        .withColumn("pd2",
+          round(col("e_n2") - lit(2.0) * dot(col("e"), col("m_emb"))
+            + col("m_n2"), 6)),
+      Seq(col("vec_id")), Seq(col("pd2").asc, col("mid").asc), nProbe)
+      .select(col("vec_id"), col("e"), col("e_n2"), col("mid"))
+    // member stage: equi-join on the super-cell id, argmin over the
+    // probed cells' centroids only — bit-identical d2 chain to flat
+    graft.plans.TopK.perKey(
+      probes.join(members, "mid")
+        .withColumn("d2",
+          round(col("e_n2") - lit(2.0) * dot(col("e"), col("c_emb"))
+            + col("c_n2"), 6)),
+      Seq(col("vec_id")), Seq(col("d2").asc, col("cid").asc), 1)
+      .select(col("vec_id"), col("e"), col("cid"), col("d2"))
+  }
+
+  /** [[kmeansAssign]] with the final (and only the final) assignment
+    * routed through [[assignTwoLevel]] — training still uses the flat
+    * argmin (cap it with `trainCap` at corpus scale; Lloyd on a
+    * bounded sample never meets the n × k wall). Returns the same
+    * (vec_id, cluster, dist2) shape. Equal to [[kmeansAssign]] output
+    * when nProbe covers every super-cell (TwoLevelSpec pins this);
+    * below that, the deterministic IVF approximation documented on
+    * [[assignTwoLevel]].
+    */
+  def kmeansAssignTwoLevel(vectors: DataFrame, k: Int, iters: Int,
+                           nProbe: Int, trainCap: Int = 0,
+                           metaIters: Int = 2): DataFrame = {
+    val v = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .localCheckpoint()
+    assignTwoLevel(v, trainedCentroids(v, k, iters, trainCap), nProbe,
+      metaIters)
+      .select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
+  }
+
   /** Decimal-exact per-(cluster, dim) means, reassembled to arrays. A
     * cluster that loses every member drops out (k shrinks), identically
     * on the oracle side.
@@ -193,13 +278,12 @@ object Clustering {
     * fixture-tuned constant k. The registered SemDeDup queries use
     * this rule via `k = 0` (the DuckDB twin derives the SAME k from a
     * `count(*)` CTE, so no literal can diverge the two sides); other
-    * callers pass `k = 0` to get it via one cheap count. Stated
-    * honestly: the flat
+    * callers pass `k = 0` to get it via one cheap count. The flat
     * broadcast-argmin assignment is n × k work, so beyond ~10⁴ cells
     * the assignment (not the pair stage) dominates — at that scale
-    * route the assignment through a two-level probe (cluster the
-    * centroids, assign via nearest super-cell — the [[Knn.ivfPqTopK]]
-    * inverted-list shape) and keep this rule for the cell count.
+    * route the final assignment through [[assignTwoLevel]] /
+    * [[kmeansAssignTwoLevel]] (the [[Knn.ivfPqTopK]] inverted-list
+    * shape, implemented below) and keep this rule for the cell count.
     */
   def autoK(n: Long, targetCellSize: Int = 256): Int =
     math.max(2, math.ceil(math.max(n, 1L).toDouble / targetCellSize).toInt)
