@@ -50,6 +50,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // plans no join at all.
       "emb_kmeans_cluster", "emb_cluster_outliers", "emb_cluster_sample",
       "emb_cluster_balance",
+      // two-level assignment: the BNLJ sides are the k-row base-
+      // centroid set (meta-Lloyd training + the super-cell probe over
+      // sqrt(k) super-centroids) — bounded by k and sqrt(k), never the
+      // corpus; the member argmin itself is the mid-keyed equi-join
+      // that REPLACES the flat n × k broadcast argmin at scale
+      "emb_kmeans_twolevel",
       // SemDeDup: same k-row centroid broadcast for assignment; the
       // pair stage itself is a plain equi-join on the cluster id
       "emb_semdedup_cluster", "emb_semdedup_sampled",
