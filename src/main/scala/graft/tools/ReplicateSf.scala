@@ -141,6 +141,29 @@ object ReplicateSf {
       return
     }
 
+    // `facts` mode: lineitem+orders+customer replicated with
+    // coordinated key strides, dimensions copied 1× — the analytics /
+    // stats family (q1/q3/q5/q7/q10, j1, corr/regression/winsorize,
+    // IPES aggs) reads nothing else, and skipping the docs/events/
+    // embeddings replicas keeps the 100× build parquet-scan-bound.
+    if (args.length > 3 && args(3) == "facts") {
+      assertStride(Tables.lineitem(spark, base), "l_orderkey", 100000000L)
+      assertStride(Tables.orders(spark, base), "o_orderkey", 100000000L)
+      assertStride(Tables.orders(spark, base), "o_custkey", 10000000L)
+      assertStride(Tables.customer(spark, base), "c_custkey", 10000000L)
+      Seq("region", "nation", "part", "supplier").foreach(copy)
+      write("lineitem", i => Tables.lineitem(spark, base)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+      write("orders", i => Tables.orders(spark, base)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
+      write("customer", i => Tables.customer(spark, base)
+        .withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L)))
+      new java.io.File(s"$out/_DONE").createNewFile()
+      println(s"[replicate] done (facts only) -> $out")
+      return
+    }
+
     assertStride(Tables.lineitem(spark, base), "l_orderkey", 100000000L)
     assertStride(Tables.orders(spark, base), "o_orderkey", 100000000L)
     assertStride(Tables.orders(spark, base), "o_custkey", 10000000L)
