@@ -89,8 +89,17 @@ object StreamScaleProbe {
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(prepared.toString)
 
-    def run(name: String, q: DataFrame => DataFrame,
-            batchRows: => Long): Unit = {
+    // Append mode holds back exactly the groups the FINAL watermark has
+    // not closed. `heldBack` (when given) receives that watermark — the
+    // one Spark itself reported in the last progress, not a re-derived
+    // max(ts)−delay — and must return the batch-side count of groups
+    // with end > watermark. The probe then REQUIRES
+    //   stream_out + held_back == batch_out
+    // so the parity columns carry no unexplained deltas: a mismatch is
+    // a correctness failure (lost or duplicated windows), not a
+    // footnote.
+    def run(name: String, q: DataFrame => DataFrame, batchRows: => Long,
+            heldBack: Option[java.sql.Timestamp => Long] = None): Unit = {
       val ckpt = Paths.get(s"target/streamprobe/$label-ckpt-$name")
       rmrf(ckpt)
       val t0 = System.nanoTime()
@@ -108,22 +117,45 @@ object StreamScaleProbe {
       val outRows = progs.flatMap(p => Option(p.sink)).map(_.numOutputRows).sum
       val maxState = (0L +: progs.map(_.stateOperators.map(_.numRowsTotal).sum)).max
       val dropped = progs.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+      // Final watermark: max across progresses (ISO-8601 sorts
+      // chronologically); AvailableNow's trailing no-data batch has
+      // already flushed everything this watermark closes.
+      val finalWm = progs
+        .flatMap(p => Option(p.eventTime).flatMap(m => Option(m.get("watermark"))))
+        .maxOption
+      val heldStats = heldBack.map { f =>
+        val wm = java.sql.Timestamp.from(java.time.Instant.parse(finalWm.getOrElse(
+          sys.error(s"$name: heldBack requested but no watermark in progress"))))
+        val held = f(wm)
+        require(outRows + held == batchRows,
+          s"$name parity broken: stream_out=$outRows + held_back=$held != batch_out=$batchRows (final watermark $wm)")
+        s""","held_back":$held,"final_watermark":"${finalWm.get}","parity":"exact""""
+      }.getOrElse("")
       println(
         s"""{"probe":"stream_scale","tier":"$label","query":"$name",""" +
         s""""total_rows":$totalRows,"input_rows":$inRows,"batches":${progs.size},""" +
         s""""wall_s":${f"$wallS%.1f"},"rows_per_s":${(inRows / wallS).toLong},""" +
         s""""max_state_rows":$maxState,"dropped_late":$dropped,""" +
-        s""""stream_out_rows":$outRows,"batch_out_rows":$batchRows}""")
+        s""""stream_out_rows":$outRows,"batch_out_rows":$batchRows$heldStats}""")
     }
 
     run("tumbling_hourly", df => EventStreams.tumblingCounts(df, "1 hour"),
-      EventStreams.tumblingCounts(batchEvents, "1 hour").count())
+      EventStreams.tumblingCounts(batchEvents, "1 hour").count(),
+      heldBack = Some(wm => batchEvents
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)))
+        .filter(col("window.end") > lit(wm)).count()))
     // batch twin: dropDuplicatesWithinWatermark is streaming-only; its
     // batch semantics on an already-unique key are plain dropDuplicates
     run("dedup_ttl", df => EventStreams.streamingDedupTtl(df, "event_id"),
-      batchEvents.dropDuplicates("event_id").count())
+      batchEvents.dropDuplicates("event_id").count(),
+      heldBack = Some(_ => 0L)) // dedup emits on arrival: parity must be exact
     run("sessions", df => EventStreams.sessionCounts(df),
-      EventStreams.sessionCounts(batchEvents).count())
+      EventStreams.sessionCounts(batchEvents).count(),
+      heldBack = Some(wm => batchEvents
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)))
+        .filter(col("session_window.end") > lit(wm)).count()))
 
     // stream–stream attribution: the most state-hungry shape (BOTH
     // sides buffer inside the watermark). Views and clicks are two
@@ -155,6 +187,10 @@ object StreamScaleProbe {
     val dropped = progs.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
     val batchRows =
       EventStreams.attributionJoin(views(batchEvents), clicks(batchEvents)).count()
+    // Stream–stream INNER join emits matches on arrival (the watermark
+    // only evicts state), so parity with the batch join is exact — pin it.
+    require(outRows == batchRows,
+      s"attribution_join parity broken: stream_out=$outRows != batch_out=$batchRows")
     println(
       s"""{"probe":"stream_scale","tier":"$label","query":"attribution_join",""" +
       s""""total_rows":$totalRows,"input_rows":$inRows,"batches":${progs.size},""" +
