@@ -61,9 +61,13 @@ object OpsQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_lines"), decSum(col("l_quantity")).as("qty"))),
 
     // S1 scale path: DataSourceV2 offset-ranged parallel scan of the
-    // deterministic API fixture, aggregated per page.
+    // deterministic API fixture, aggregated per page. The fixture size
+    // is DERIVED from the corpus (orders row count — a parquet-footer
+    // metadata read), not pinned: at a 100× replica the scan really
+    // pages through 100× the offsets, so the scale record exercises
+    // the source's partition planning instead of a fixed 20k rows.
     "s1_dsv2_scan" -> ((s, dir) => {
-      val n = 20000
+      val n = Tables.orders(s, dir).count()
       s.read.format("graft.sources.v2.FilingsApiSource")
         .option("total", n).option("pageSize", 1000).load()
         .groupBy(col("page"), col("submission_type"))
@@ -174,7 +178,7 @@ object OpsQueries extends QueryRegistry {
       |    CASE i % 4 WHEN 0 THEN 'APPLICATION' WHEN 1 THEN 'COMMENT'
       |      WHEN 2 THEN 'PETITION' ELSE 'REQUEST' END AS submission_type,
       |    (i % 1000) / 10.0 AS amount
-      |  FROM range(0, 20000) t(i))
+      |  FROM (SELECT row_number() OVER () - 1 AS i FROM orders) t)
       |SELECT page, submission_type, COUNT(*) AS n_rows,
       |  CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS amount_sum
       |FROM api GROUP BY page, submission_type""".stripMargin,

@@ -231,6 +231,20 @@ object ScaleDedupQueries extends QueryRegistry {
       ScaleDedup.nearDupDedup(withNearDups(s, dir), "doc_id", "text",
         n = 3, threshold = 0.6, driverCcThreshold = 0)),
 
+    // scale-record twins for the composed / forced-distributed-CC
+    // forms over the 1/DocSampleMod hash slice (see
+    // dedup_minhash_sampled): the full twins' exact-Jaccard pair CTE
+    // is the uncapped shingle self-join — oracle-side intractable at
+    // replica scale — so the 100× record grades these via the COMPLETE
+    // chain (LSH → verify → CC) on a slice DuckDB replays at any size.
+    "dedup_corpus_composed_sampled" -> ((s, dir) =>
+      ScaleDedup.nearDupDedup(withNearDupsSampled(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6)),
+
+    "dedup_cc_distributed_sampled" -> ((s, dir) =>
+      ScaleDedup.nearDupDedup(withNearDupsSampled(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6, driverCcThreshold = 0)),
+
     // incremental screen: the near-dup forks (doc_id >= 100000 in the
     // withNearDups fixture) play the NEW batch, the originals the
     // frozen reference corpus — the asymmetric band join must find
@@ -246,10 +260,28 @@ object ScaleDedupQueries extends QueryRegistry {
           col("jaccard"))
     }),
 
+    // asymmetric-screen scale twin over the hash slice: same complete
+    // new×ref band-join chain, tractable full replay at any scale.
+    "dedup_against_reference_sampled" -> ((s, dir) => {
+      val all = withNearDupsSampled(s, dir)
+      ScaleDedup.dedupAgainstReference(
+          all.filter(col("doc_id") >= 100000),
+          all.filter(col("doc_id") < 100000),
+          "doc_id", "text", n = 3, threshold = 0.6)
+        .select(col("id_ref").as("id_a"), col("id_new").as("id_b"),
+          col("jaccard"))
+    }),
+
     // the whole training-corpus prep chain: quality/language gate ->
     // exact dedup -> near-dup dedup -> surviving doc ids.
     "corpus_prep" -> ((s, dir) =>
       ScaleDedup.prepareCorpus(withNearDups(s, dir), "doc_id", "text",
+        minQuality = 0.5, lang = "en", n = 3, threshold = 0.6)),
+
+    // prep-chain scale twin over the hash slice (same rationale as the
+    // composed sampled form above).
+    "corpus_prep_sampled" -> ((s, dir) =>
+      ScaleDedup.prepareCorpus(withNearDupsSampled(s, dir), "doc_id", "text",
         minQuality = 0.5, lang = "en", n = 3, threshold = 0.6)),
 
     // MOSS-style winnow-fingerprint overlap pairs: how much VERBATIM
@@ -423,6 +455,23 @@ object ScaleDedupQueries extends QueryRegistry {
     |SELECT DISTINCT l.id AS id_a, r.id AS id_b
     |FROM banded l
     |JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id""".stripMargin
+
+  /** Exact-Jaccard (>= 0.6) pairs + transitive closure over the given
+    * `docs` CTE chain: the shared twin body for the composed and
+    * forced-distributed-CC forms (full corpus AND hash-slice sampled).
+    */
+  private def composedTwin(docsCtes: String): String = s"""
+    |WITH RECURSIVE $docsCtes,
+    |${jaccardPairsSql(0.6, 0)},
+    |edges AS (
+    |  SELECT id_a AS a, id_b AS b FROM pairs
+    |  UNION
+    |  SELECT id_b AS a, id_a AS b FROM pairs),
+    |reach(id, r) AS (
+    |  SELECT doc_id, doc_id FROM docs
+    |  UNION
+    |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+    |SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin
 
   /** Full XXH64 replay of SimHash hamming pairs over the given `docs`
     * CTE chain: per-token hash (every occurrence votes), 64 bit-votes,
@@ -650,18 +699,10 @@ object ScaleDedupQueries extends QueryRegistry {
 
     // transitive closure over the >= 0.6 Jaccard pairs: reach(id, r)
     // holds every (node, ancestor-in-component); canonical = MIN reach.
-    "dedup_corpus_composed" -> s"""
-      |WITH RECURSIVE docs AS ($nearDupsSql),
-      |${jaccardPairsSql(0.6, 0)},
-      |edges AS (
-      |  SELECT id_a AS a, id_b AS b FROM pairs
-      |  UNION
-      |  SELECT id_b AS a, id_a AS b FROM pairs),
-      |reach(id, r) AS (
-      |  SELECT doc_id, doc_id FROM docs
-      |  UNION
-      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
-      |SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_corpus_composed" -> composedTwin(s"docs AS ($nearDupsSql)"),
+
+    // the hash-slice scale twin (same closure over the sampled docs)
+    "dedup_corpus_composed_sampled" -> composedTwin(sampledNearDupsCtes),
 
     // the asymmetric screen's twin: the full exact-Jaccard pair set,
     // restricted to (reference, new-batch) cross pairs — LSH at
@@ -673,21 +714,18 @@ object ScaleDedupQueries extends QueryRegistry {
       |SELECT id_a, id_b, jaccard FROM pairs
       |WHERE id_a < 100000 AND id_b >= 100000""".stripMargin,
 
+    // hash-slice scale twin of the asymmetric screen
+    "dedup_against_reference_sampled" -> s"""
+      |WITH RECURSIVE $sampledNearDupsCtes,
+      |${jaccardPairsSql(0.6, 0)}
+      |SELECT id_a, id_b, jaccard FROM pairs
+      |WHERE id_a < 100000 AND id_b >= 100000""".stripMargin,
+
     // identical twin for the forced-distributed-CC form: the CC
     // implementation (driver union-find vs star alternation) must not
     // be observable in the canonical assignment.
-    "dedup_cc_distributed" -> s"""
-      |WITH RECURSIVE docs AS ($nearDupsSql),
-      |${jaccardPairsSql(0.6, 0)},
-      |edges AS (
-      |  SELECT id_a AS a, id_b AS b FROM pairs
-      |  UNION
-      |  SELECT id_b AS a, id_a AS b FROM pairs),
-      |reach(id, r) AS (
-      |  SELECT doc_id, doc_id FROM docs
-      |  UNION
-      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
-      |SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_cc_distributed" -> composedTwin(s"docs AS ($nearDupsSql)"),
+    "dedup_cc_distributed_sampled" -> composedTwin(sampledNearDupsCtes),
 
     "dedup_simhash_md5" -> {
       val votes = (0 until 64).map { j =>
@@ -757,8 +795,15 @@ object ScaleDedupQueries extends QueryRegistry {
 
     // full prep chain: quality+lang gate -> exact dedup (min id per
     // fingerprint) -> near-dup transitive closure -> surviving ids.
-    "corpus_prep" -> s"""
-      |WITH RECURSIVE docs AS ($nearDupsSql),
+    "corpus_prep" -> prepTwin(s"docs AS ($nearDupsSql)"),
+    "corpus_prep_sampled" -> prepTwin(sampledNearDupsCtes),
+  )
+
+  /** Full prep-chain twin over the given `docs` CTE chain: quality +
+    * language gate, exact dedup, near-dup closure, surviving ids.
+    */
+  private def prepTwin(docsCtes: String): String = s"""
+      |WITH RECURSIVE $docsCtes,
       |q AS (
       |  SELECT doc_id, text FROM (
       |    SELECT doc_id, text,
@@ -790,6 +835,5 @@ object ScaleDedupQueries extends QueryRegistry {
       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
       |SELECT id AS doc_id FROM (
       |  SELECT id, MIN(r) AS c FROM reach GROUP BY id)
-      |WHERE id = c""".stripMargin,
-  )
+      |WHERE id = c""".stripMargin
 }

@@ -5,13 +5,24 @@ with a documented exclusion list for oracle-side-intractable queries
 (the DuckDB twin's cost, not an engine limit).
 
 Usage: python3 tools/check_oracle_json.py <sfDir> <verifyOutDir> <outJson> \
-         [excluded1,excluded2,...] [full1=sampled1,full2=sampled2,...]
+         [excluded1,excluded2,...] [full1=sampled1,full2=sampled2,...] \
+         [digest1,digest2,...]
 
 The 5th arg maps a full-scale query to its `_sampled` twin: the full
 query's DuckDB replay is intractable at replica scale, so its entry is
 graded by the sampled twin (the COMPLETE chain over a deterministic
 xxhash64 sub-corpus, itself hash-replayed in the twin SQL). The full
 query's Spark output rows are still recorded from the verify dump.
+
+The 6th arg lists queries graded in DIGEST mode: exact multiset
+equality via (row count, sum of per-row hashes) computed entirely
+inside DuckDB — for replica-scale outputs (10M–60M rows) where
+materializing both sides into Python tuples for the sort-canon
+compare would need tens of GB. Both sides are hashed by the SAME
+expression (columns sorted by name, each cast to VARCHAR inside
+DuckDB, NULL sentinel), so the check is as engine-neutral as the
+canon path; an order-independent hash SUM over equal counts is a
+multiset-equality certificate up to 2^-64-scale collision odds.
 """
 import sys, json, glob, os, time
 import duckdb
@@ -25,8 +36,19 @@ def canon(rows):
         return str(v)
     return sorted(tuple(norm(v) for v in r) for r in rows)
 
-def main(sf_dir, out_dir, out_json, excluded, sampled_map=None):
+def digest_of(con, view):
+    """(sorted cols, row count, order-independent row-hash sum) of a view."""
+    cols = [r[0] for r in con.execute(f"DESCRIBE {view}").fetchall()]
+    expr = " || '|' || ".join(
+        f"coalesce((\"{c}\")::VARCHAR, '@NULL@')" for c in sorted(cols))
+    n, h = con.execute(
+        f"SELECT count(*), sum(hash({expr})::HUGEINT) FROM {view}").fetchone()
+    return sorted(cols), n, h
+
+
+def main(sf_dir, out_dir, out_json, excluded, sampled_map=None, digest=None):
     sampled_map = sampled_map or {}
+    digest = digest or set()
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[: -len(".parquet")]
@@ -43,6 +65,35 @@ def main(sf_dir, out_dir, out_json, excluded, sampled_map=None):
             continue
         if name in sampled_map:
             deferred.append(name)
+            continue
+        if name in digest:
+            t0 = time.time()
+            try:
+                con.execute(
+                    "CREATE OR REPLACE TEMP VIEW _dig_s AS SELECT * FROM "
+                    f"read_parquet('{out_dir}/{name}/*.parquet')")
+                con.execute(f"CREATE OR REPLACE TEMP VIEW _dig_o AS {sql}")
+                scols, sn, sh = digest_of(con, "_dig_s")
+                ocols, on_, oh = digest_of(con, "_dig_o")
+                sec = round(time.time() - t0, 1)
+                if scols != ocols:
+                    result[name] = {"status": "fail_schema", "sec": sec}
+                    n_fail += 1
+                elif (sn, sh) != (on_, oh):
+                    result[name] = {"status": "fail_digest",
+                                    "spark_rows": sn, "oracle_rows": on_,
+                                    "sec": sec}
+                    n_fail += 1
+                else:
+                    result[name] = {"status": "pass_digest", "rows": sn,
+                                    "sec": sec}
+                print(f"{result[name]['status'].upper()} {name} "
+                      f"({sn} rows, {sec}s)")
+            except Exception as e:
+                result[name] = {"status": "error", "err": str(e)[:200],
+                                "sec": round(time.time() - t0, 1)}
+                n_fail += 1
+                print(f"ERROR {name}: {e}")
             continue
         t0 = time.time()
         try:
@@ -98,8 +149,9 @@ def main(sf_dir, out_dir, out_json, excluded, sampled_map=None):
               f"(via {via}: {twin.get('status')}; full spark rows={full_rows})")
     json.dump(result, open(out_json, "w"), indent=1, sort_keys=True)
     n_pass = sum(1 for v in result.values()
-                 if v["status"] in ("pass", "pass_sampled_twin"))
-    print(f"\n{n_pass} pass ({sum(1 for v in result.values() if v['status'] == 'pass_sampled_twin')} via sampled twin), "
+                 if v["status"].startswith("pass"))
+    print(f"\n{n_pass} pass ({sum(1 for v in result.values() if v['status'] == 'pass_sampled_twin')} via sampled twin, "
+          f"{sum(1 for v in result.values() if v['status'] == 'pass_digest')} via digest), "
           f"{n_fail} fail, {len(excluded)} excluded -> {out_json}")
     return 1 if n_fail else 0
 
@@ -107,4 +159,5 @@ if __name__ == "__main__":
     excl = set(sys.argv[4].split(",")) if len(sys.argv) > 4 and sys.argv[4] else set()
     smap = dict(kv.split("=") for kv in sys.argv[5].split(",")) \
         if len(sys.argv) > 5 and sys.argv[5] else {}
-    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3], excl, smap))
+    dig = set(sys.argv[6].split(",")) if len(sys.argv) > 6 and sys.argv[6] else set()
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3], excl, smap, dig))
