@@ -37,10 +37,16 @@ def canon(rows):
     return sorted(tuple(norm(v) for v in r) for r in rows)
 
 def digest_of(con, view):
-    """(sorted cols, row count, order-independent row-hash sum) of a view."""
+    """(sorted cols, row count, order-independent row-hash sum) of a view.
+
+    Each column contributes its value (empty-string default) AND an
+    explicit IS NULL flag, so a NULL can never collide with any literal
+    string value (a bare sentinel like '@NULL@' could).
+    """
     cols = [r[0] for r in con.execute(f"DESCRIBE {view}").fetchall()]
     expr = " || '|' || ".join(
-        f"coalesce((\"{c}\")::VARCHAR, '@NULL@')" for c in sorted(cols))
+        f"coalesce((\"{c}\")::VARCHAR, '') || (\"{c}\" IS NULL)::VARCHAR"
+        for c in sorted(cols))
     n, h = con.execute(
         f"SELECT count(*), sum(hash({expr})::HUGEINT) FROM {view}").fetchone()
     return sorted(cols), n, h
