@@ -86,7 +86,13 @@ object PageRank {
     * edge CTE bodies (`nodesSql` → 1 column `id`; `edgesSql` →
     * `src, dst, w`).
     */
-  def oracleSql(nodesSql: String, edgesSql: String, iters: Int): String = {
+  /** `prefixCtes`, when non-empty, is spliced verbatim between WITH and
+    * the `nodes` CTE (it must end with a comma) — lets a caller stage
+    * shared input CTEs (e.g. a deterministic hash-sampled doc slice)
+    * that both `nodesSql` and `edgesSql` reference by name.
+    */
+  def oracleSql(nodesSql: String, edgesSql: String, iters: Int,
+                prefixCtes: String = ""): String = {
     val steps = (1 to iters).map { i =>
       s"""c$i AS (
          |  SELECT ew.dst AS id,
@@ -99,7 +105,8 @@ object PageRank {
          |  FROM nodes CROSS JOIN cnt LEFT JOIN c$i ON c$i.id = nodes.id)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH nodes AS ($nodesSql),
+    s"""WITH $prefixCtes
+       |nodes AS ($nodesSql),
        |cnt AS (SELECT COUNT(*) AS n FROM nodes),
        |e AS ($edgesSql),
        |ow AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),

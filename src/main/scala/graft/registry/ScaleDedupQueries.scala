@@ -146,11 +146,36 @@ object ScaleDedupQueries extends QueryRegistry {
         .select(col("id").as("source"), col("authority"))
     }),
 
+    // authority scale twin over the 1/DocSampleMod hash slice: the
+    // full twin's source-overlap edge CTE (shingle self-join over the
+    // whole corpus) spills DuckDB past available disk at replica
+    // scale; the sliced chain keeps the COMPLETE PageRank replay
+    // (edges -> 5 unrolled scaled-integer iterations) tractable at
+    // any corpus size.
+    "corpus_source_authority_sampled" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(pmod(xxhash64(col("doc_id")), lit(DocSampleMod)) === 0)
+        .select(col("source"), col("text"))
+      val nodes = docs.select(col("source").as("id")).distinct()
+      val edges = ScaleDedup.sourceOverlap(docs, "source", "text")
+        .select(col("src_a").as("src"), col("src_b").as("dst"),
+          col("n_shared").as("w"))
+      graft.operators.PageRank.ranks(nodes, edges, iters = 5)
+        .select(col("id").as("source"), col("authority"))
+    }),
+
     // exact Jaccard (maxDocFreq=0) — the oracle-parity baseline; the
     // capped form below is the scale default.
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ScaleDedup.ngramJaccardPairs(withNearDups(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = 0)),
+
+    // the baseline over the 1/DocSampleMod hash slice — gives even the
+    // uncapped form a tractable full twin at replica scale (the full
+    // twin IS the uncapped shingle self-join).
+    "dedup_ngram_jaccard_sampled" -> ((s, dir) =>
+      ScaleDedup.ngramJaccardPairs(withNearDupsSampled(s, dir), "doc_id",
+        "text", n = 3, threshold = 0.5, maxDocFreq = 0)),
 
     // hot-shingle cap at 64 docs: drops the engineered stop-shingle
     // (715 docs at sf0.1 → 255k pair expansions from ONE group row)
@@ -527,6 +552,12 @@ object ScaleDedupQueries extends QueryRegistry {
       |${jaccardPairsSql(0.5, 0)}
       |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
 
+    // hash-slice scale twin of the uncapped baseline
+    "dedup_ngram_jaccard_sampled" -> s"""
+      |WITH RECURSIVE $sampledNearDupsCtes,
+      |${jaccardPairsSql(0.5, 0)}
+      |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
     "source_overlap" -> """
       |WITH tok AS (
       |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -549,6 +580,30 @@ object ScaleDedupQueries extends QueryRegistry {
         |WITH tok AS (
         |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
         |  FROM documents),
+        |shg AS (
+        |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i))
+        |SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        |FROM shg a JOIN shg b ON a.shingle = b.shingle AND a.source <> b.source
+        |GROUP BY 1, 2""".stripMargin,
+      iters = 5),
+
+    // the hash-slice scale twin: identical PageRank replay, edges from
+    // the deterministic 1/DocSampleMod XXH64 doc slice (see the Spark
+    // form's rationale).
+    "corpus_source_authority_sampled" -> graft.operators.PageRank.oracleSql(
+      prefixCtes = s"""${XxHashOracleSql.longHashCte("dsel", "documents",
+           Seq("doc_id", "source", "text"), "doc_id",
+           "CAST(42 AS UBIGINT)", "h64")},
+        |dsamp AS (
+        |  SELECT source, text FROM dsel
+        |  WHERE ((h64 % $DocSampleMod) + $DocSampleMod) % $DocSampleMod = 0),"""
+        .stripMargin,
+      nodesSql = "SELECT DISTINCT source AS id FROM dsamp",
+      edgesSql = """
+        |WITH tok AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM dsamp),
         |shg AS (
         |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
         |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i))

@@ -56,6 +56,14 @@ def main(sf_dir, out_dir, out_json, excluded, sampled_map=None, digest=None):
     sampled_map = sampled_map or {}
     digest = digest or set()
     con = duckdb.connect()
+    # An in-memory connection has NO temp_directory, so heavy twins
+    # abort with "Failed to allocate" instead of spilling when the box
+    # is under concurrent memory pressure. Point spill at disk and cap
+    # the resident budget (overridable: DUCK_MEM / DUCK_TMP).
+    tmp = os.environ.get("DUCK_TMP", os.path.abspath("target/duck_tmp"))
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '48GB')}'")
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[: -len(".parquet")]
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
