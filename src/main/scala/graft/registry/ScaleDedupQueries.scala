@@ -35,11 +35,18 @@ object ScaleDedupQueries extends QueryRegistry {
   private val WinnowMinShared = 5L
   private val WinnowMaxDocFreq = 1000L
 
-  /** 1/DocSampleMod deterministic slice for the `_sampled` scale-twin
-    * queries — shared between the Spark predicate and the generated
-    * SQL (and with TextQueries' sampled winnow twin).
+  /** Minimum slice divisor for the `_sampled` scale-twin queries — the
+    * effective divisor is scale-adaptive ([[SampleMod.of]] over the
+    * documents row count; 8 at every tier up to 10×, larger at replica
+    * scale so the twins stay DuckDB-tractable). Shared between the
+    * Spark predicate and the generated SQL (and with TextQueries'
+    * sampled winnow twin).
     */
   private[registry] val DocSampleMod = 8
+
+  /** The adaptive divisor for this corpus (Spark side). */
+  private[registry] def docMod(s: SparkSession, dir: String): Long =
+    SampleMod.of(Tables.documents(s, dir).count(), DocSampleMod)
 
   private def withExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -56,7 +63,7 @@ object ScaleDedupQueries extends QueryRegistry {
     */
   def withNearDupsSampled(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      .filter(pmod(xxhash64(col("doc_id")), lit(DocSampleMod)) === 0)
+      .filter(pmod(xxhash64(col("doc_id")), lit(docMod(s, dir))) === 0)
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" zz9 yy8 xx7")).as("text")))
@@ -154,7 +161,7 @@ object ScaleDedupQueries extends QueryRegistry {
     // any corpus size.
     "corpus_source_authority_sampled" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-        .filter(pmod(xxhash64(col("doc_id")), lit(DocSampleMod)) === 0)
+        .filter(pmod(xxhash64(col("doc_id")), lit(docMod(s, dir))) === 0)
         .select(col("source"), col("text"))
       val nodes = docs.select(col("source").as("id")).distinct()
       val edges = ScaleDedup.sourceOverlap(docs, "source", "text")
@@ -205,6 +212,15 @@ object ScaleDedupQueries extends QueryRegistry {
     "corpus_substring_spans" -> ((s, dir) =>
       ScaleDedup.duplicatedSpans(withNearDups(s, dir), "doc_id", "text",
         minTokens = 10)),
+
+    // span-detection scale twin over the hash slice: the full twin
+    // GROUPs 10-token window STRINGS over the whole corpus (tens of GB
+    // of spill at the 100x replica); the sliced chain keeps the
+    // complete window→dup-group→island construction tractable at any
+    // corpus size.
+    "corpus_substring_spans_sampled" -> ((s, dir) =>
+      ScaleDedup.duplicatedSpans(withNearDupsSampled(s, dir), "doc_id",
+        "text", minTokens = 10)),
 
     // the excision consumer of the detection above: every doc comes
     // back token-rebuilt with its duplicated spans removed, except the
@@ -460,11 +476,12 @@ object ScaleDedupQueries extends QueryRegistry {
     * at ANY corpus size, making the scale record exclusion-free.
     */
   private[registry] val sampledNearDupsCtes: String =
-    s"""${XxHashOracleSql.longHashCte("dsel", "documents", Seq("doc_id", "text"),
+    s"""${SampleMod.modCte("documents", DocSampleMod)},
+      |${XxHashOracleSql.longHashCte("dsel", "documents", Seq("doc_id", "text"),
          "doc_id", "CAST(42 AS UBIGINT)", "h64")},
       |dsamp AS (
       |  SELECT doc_id, text FROM dsel
-      |  WHERE ((h64 % $DocSampleMod) + $DocSampleMod) % $DocSampleMod = 0),
+      |  WHERE ${SampleMod.slicePredicate("h64")}),
       |docs AS (
       |  SELECT doc_id, text FROM dsamp
       |  UNION ALL
@@ -497,6 +514,26 @@ object ScaleDedupQueries extends QueryRegistry {
     |  UNION
     |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
     |SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id""".stripMargin
+
+  /** Duplicated-span detection twin over the given `docs` CTE chain:
+    * 10-token windows, cross-doc duplicate groups, island coalescing.
+    */
+  private def spansTwin(docsCtes: String): String = s"""
+    |WITH RECURSIVE $docsCtes,
+    |tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    |        FROM docs),
+    |g AS (
+    |  SELECT doc_id, i AS pos,
+    |    array_to_string(list_slice(t, i, i + 9), ' ') AS gram
+    |  FROM tok, unnest(generate_series(1, len(t) - 9)) AS u(i)),
+    |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    |isl AS (SELECT doc_id, pos,
+    |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+    |        FROM hits)
+    |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+    |  CAST(MAX(pos) - MIN(pos) + 10 AS BIGINT) AS span_tokens
+    |FROM isl GROUP BY doc_id, k""".stripMargin
 
   /** Full XXH64 replay of SimHash hamming pairs over the given `docs`
     * CTE chain: per-token hash (every occurrence votes), 64 bit-votes,
@@ -592,12 +629,13 @@ object ScaleDedupQueries extends QueryRegistry {
     // the deterministic 1/DocSampleMod XXH64 doc slice (see the Spark
     // form's rationale).
     "corpus_source_authority_sampled" -> graft.operators.PageRank.oracleSql(
-      prefixCtes = s"""${XxHashOracleSql.longHashCte("dsel", "documents",
+      prefixCtes = s"""${SampleMod.modCte("documents", DocSampleMod)},
+        |${XxHashOracleSql.longHashCte("dsel", "documents",
            Seq("doc_id", "source", "text"), "doc_id",
            "CAST(42 AS UBIGINT)", "h64")},
         |dsamp AS (
         |  SELECT source, text FROM dsel
-        |  WHERE ((h64 % $DocSampleMod) + $DocSampleMod) % $DocSampleMod = 0),"""
+        |  WHERE ${SampleMod.slicePredicate("h64")}),"""
         .stripMargin,
       nodesSql = "SELECT DISTINCT source AS id FROM dsamp",
       edgesSql = """
@@ -612,22 +650,10 @@ object ScaleDedupQueries extends QueryRegistry {
         |GROUP BY 1, 2""".stripMargin,
       iters = 5),
 
-    "corpus_substring_spans" -> s"""
-      |WITH docs AS ($nearDupsSql),
-      |tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-      |        FROM docs),
-      |g AS (
-      |  SELECT doc_id, i AS pos,
-      |    array_to_string(list_slice(t, i, i + 9), ' ') AS gram
-      |  FROM tok, unnest(generate_series(1, len(t) - 9)) AS u(i)),
-      |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
-      |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
-      |isl AS (SELECT doc_id, pos,
-      |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
-      |        FROM hits)
-      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-      |  CAST(MAX(pos) - MIN(pos) + 10 AS BIGINT) AS span_tokens
-      |FROM isl GROUP BY doc_id, k""".stripMargin,
+    "corpus_substring_spans" -> spansTwin(s"docs AS ($nearDupsSql)"),
+
+    // hash-slice scale twin (same island construction, sliced docs)
+    "corpus_substring_spans_sampled" -> spansTwin(sampledNearDupsCtes),
 
     // excision twin: same islands construction as the detection twin,
     // but hits keep only NON-owner occurrences (owner = MIN doc_id per

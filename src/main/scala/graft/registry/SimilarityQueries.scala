@@ -35,6 +35,13 @@ object SimilarityQueries extends QueryRegistry {
     */
   private[registry] val EmbSampleMod = 16
 
+  /** The adaptive divisor for this corpus (Spark side) — see
+    * [[SampleMod]]: 16 at every tier up to 10×, larger at replica
+    * scale so the all-pairs twins stay DuckDB-tractable.
+    */
+  private[registry] def embMod(s: SparkSession, dir: String): Long =
+    SampleMod.of(Tables.embeddings(s, dir).count(), EmbSampleMod)
+
   /** Shared constants for the SemDeDup pair (`emb_semdedup_cluster` /
     * `_sampled`): the Spark calls and the generated twins interpolate
     * the SAME vals, so a parameter change cannot silently diverge the
@@ -55,7 +62,7 @@ object SimilarityQueries extends QueryRegistry {
     */
   def withPerturbedSampled(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir)
-      .filter(pmod(xxhash64(col("vec_id")), lit(EmbSampleMod)) === 0)
+      .filter(pmod(xxhash64(col("vec_id")), lit(embMod(s, dir))) === 0)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("embedding"))
     base.unionByName(base.filter(col("vec_id") % 9 === 0)
@@ -418,11 +425,12 @@ object SimilarityQueries extends QueryRegistry {
     |FROM canon c JOIN af ON af.vec_id = c.id""".stripMargin
 
   private val sampledBaseCtes: String =
-    s"""${XxHashOracleSql.longHashCte("vsel", "embeddings", Seq("vec_id", "embedding"),
+    s"""${SampleMod.modCte("embeddings", EmbSampleMod)},
+      |${XxHashOracleSql.longHashCte("vsel", "embeddings", Seq("vec_id", "embedding"),
          "vec_id", "CAST(42 AS UBIGINT)", "h64")},
       |base AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM vsel
-      |  WHERE ((h64 % $EmbSampleMod) + $EmbSampleMod) % $EmbSampleMod = 0),
+      |  WHERE ${SampleMod.slicePredicate("h64")}),
       |pert AS (SELECT vec_id + 100000 AS vec_id,
       |           list_transform(e, x -> x * 1.0001 + 0.001) AS e
       |         FROM base WHERE vec_id % 9 = 0),

@@ -43,7 +43,7 @@ object TextQueries extends QueryRegistry {
     "text_winnow_sampled" -> ((s, dir) =>
       Tables.documents(s, dir)
         .filter(pmod(xxhash64(col("doc_id")),
-          lit(ScaleDedupQueries.DocSampleMod)) === 0)
+          lit(ScaleDedupQueries.docMod(s, dir))) === 0)
         .select(
           col("doc_id"),
           size(TextAnalysis.winnowFingerprints(col("text"))).as("n_fingerprints"))),
@@ -413,11 +413,12 @@ object TextQueries extends QueryRegistry {
     // sampling itself is replayed through the longHashCte XXH64 chain
     // so both engines select the same docs bit-for-bit.
     "text_winnow_sampled" -> s"""
-      |WITH RECURSIVE ${XxHashOracleSql.longHashCte("dsel", "documents",
+      |WITH RECURSIVE ${SampleMod.modCte("documents", ScaleDedupQueries.DocSampleMod)},
+      |${XxHashOracleSql.longHashCte("dsel", "documents",
            Seq("doc_id", "text"), "doc_id", "CAST(42 AS UBIGINT)", "h64")},
       |docs AS (
       |  SELECT doc_id, text FROM dsel
-      |  WHERE ((h64 % ${ScaleDedupQueries.DocSampleMod}) + ${ScaleDedupQueries.DocSampleMod}) % ${ScaleDedupQueries.DocSampleMod} = 0),
+      |  WHERE ${SampleMod.slicePredicate("h64")}),
       |tok AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
       |  FROM docs),

@@ -25,6 +25,7 @@ canon path; an order-independent hash SUM over equal counts is a
 multiset-equality certificate up to 2^-64-scale collision odds.
 """
 import sys, json, glob, os, time
+import multiprocessing
 import duckdb
 
 def canon(rows):
@@ -52,14 +53,21 @@ def digest_of(con, view):
     return sorted(cols), n, h
 
 
-def main(sf_dir, out_dir, out_json, excluded, sampled_map=None, digest=None):
-    sampled_map = sampled_map or {}
-    digest = digest or set()
+def fresh_con(sf_dir):
+    """New in-memory connection with the fixture views + spill config.
+
+    One connection per QUERY, not per run: after a heavy twin, DuckDB's
+    untracked allocations (list/string aggregates fall outside
+    memory_limit accounting) linger on the connection, and subsequent
+    trivial queries die with "Failed to allocate block of 2048 bytes"
+    even on a quiet box. A fresh connection releases everything; view
+    registration over parquet is lazy and costs milliseconds.
+
+    An in-memory connection also has NO temp_directory, so heavy twins
+    would abort instead of spilling — point spill at disk and cap the
+    resident budget (overridable: DUCK_MEM / DUCK_TMP).
+    """
     con = duckdb.connect()
-    # An in-memory connection has NO temp_directory, so heavy twins
-    # abort with "Failed to allocate" instead of spilling when the box
-    # is under concurrent memory pressure. Point spill at disk and cap
-    # the resident budget (overridable: DUCK_MEM / DUCK_TMP).
     tmp = os.environ.get("DUCK_TMP", os.path.abspath("target/duck_tmp"))
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
@@ -68,6 +76,79 @@ def main(sf_dir, out_dir, out_json, excluded, sampled_map=None, digest=None):
         name = os.path.basename(p)[: -len(".parquet")]
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+    return con
+
+
+def grade_query(sf_dir, out_dir, name, sql, use_digest):
+    """Grade ONE query on a fresh connection; returns its result dict."""
+    t0 = time.time()
+    try:
+        con = fresh_con(sf_dir)
+        if use_digest:
+            con.execute(
+                "CREATE OR REPLACE TEMP VIEW _dig_s AS SELECT * FROM "
+                f"read_parquet('{out_dir}/{name}/*.parquet')")
+            con.execute(f"CREATE OR REPLACE TEMP VIEW _dig_o AS {sql}")
+            scols, sn, sh = digest_of(con, "_dig_s")
+            ocols, on_, oh = digest_of(con, "_dig_o")
+            sec = round(time.time() - t0, 1)
+            if scols != ocols:
+                return {"status": "fail_schema", "sec": sec}
+            if (sn, sh) != (on_, oh):
+                return {"status": "fail_digest", "spark_rows": sn,
+                        "oracle_rows": on_, "sec": sec}
+            return {"status": "pass_digest", "rows": sn, "sec": sec}
+        sdf = con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
+        scols = [d[0] for d in con.description]
+        odf = con.execute(sql).fetchall()
+        ocols = [d[0] for d in con.description]
+        sidx = [scols.index(c) for c in sorted(scols)]
+        oidx = [ocols.index(c) for c in sorted(ocols)]
+        srows = canon([[r[i] for i in sidx] for r in sdf])
+        orows = canon([[r[i] for i in oidx] for r in odf])
+        sec = round(time.time() - t0, 1)
+        if sorted(scols) != sorted(ocols):
+            return {"status": "fail_schema", "sec": sec}
+        if srows != orows:
+            return {"status": "fail_rows", "spark_rows": len(srows),
+                    "oracle_rows": len(orows), "sec": sec}
+        return {"status": "pass", "rows": len(srows), "sec": sec}
+    except Exception as e:
+        return {"status": "error", "err": str(e)[:200],
+                "sec": round(time.time() - t0, 1)}
+
+
+def _grade_child(q, args):
+    q.put(grade_query(*args))
+
+
+def grade_isolated(sf_dir, out_dir, name, sql, use_digest):
+    """grade_query in a child PROCESS. A heavy twin leaves the parent
+    allocator unable to serve even KB-scale requests afterwards
+    (retained/fragmented pages survive duckdb connection close), so
+    with DUCK_ISOLATE=1 each query gets a throwaway process.
+    """
+    ctx = multiprocessing.get_context("fork")
+    q = ctx.Queue()
+    p = ctx.Process(target=_grade_child,
+                    args=(q, (sf_dir, out_dir, name, sql, use_digest)))
+    p.start()
+    try:
+        res = q.get(timeout=int(os.environ.get("DUCK_QUERY_TIMEOUT", "7200")))
+    except Exception:
+        res = {"status": "error", "err": "isolated grading child died "
+               f"(exitcode={p.exitcode})"}
+    p.join(5)
+    if p.is_alive():
+        p.terminate()
+    return res
+
+
+def main(sf_dir, out_dir, out_json, excluded, sampled_map=None, digest=None):
+    sampled_map = sampled_map or {}
+    digest = digest or set()
+    isolate = os.environ.get("DUCK_ISOLATE", "0") == "1"
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     result = {}
     n_fail = 0
@@ -80,64 +161,17 @@ def main(sf_dir, out_dir, out_json, excluded, sampled_map=None, digest=None):
         if name in sampled_map:
             deferred.append(name)
             continue
-        if name in digest:
-            t0 = time.time()
-            try:
-                con.execute(
-                    "CREATE OR REPLACE TEMP VIEW _dig_s AS SELECT * FROM "
-                    f"read_parquet('{out_dir}/{name}/*.parquet')")
-                con.execute(f"CREATE OR REPLACE TEMP VIEW _dig_o AS {sql}")
-                scols, sn, sh = digest_of(con, "_dig_s")
-                ocols, on_, oh = digest_of(con, "_dig_o")
-                sec = round(time.time() - t0, 1)
-                if scols != ocols:
-                    result[name] = {"status": "fail_schema", "sec": sec}
-                    n_fail += 1
-                elif (sn, sh) != (on_, oh):
-                    result[name] = {"status": "fail_digest",
-                                    "spark_rows": sn, "oracle_rows": on_,
-                                    "sec": sec}
-                    n_fail += 1
-                else:
-                    result[name] = {"status": "pass_digest", "rows": sn,
-                                    "sec": sec}
-                print(f"{result[name]['status'].upper()} {name} "
-                      f"({sn} rows, {sec}s)")
-            except Exception as e:
-                result[name] = {"status": "error", "err": str(e)[:200],
-                                "sec": round(time.time() - t0, 1)}
-                n_fail += 1
-                print(f"ERROR {name}: {e}")
-            continue
-        t0 = time.time()
-        try:
-            sdf = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
-            scols = [d[0] for d in con.description]
-            odf = con.execute(sql).fetchall()
-            ocols = [d[0] for d in con.description]
-            sidx = [scols.index(c) for c in sorted(scols)]
-            oidx = [ocols.index(c) for c in sorted(ocols)]
-            srows = canon([[r[i] for i in sidx] for r in sdf])
-            orows = canon([[r[i] for i in oidx] for r in odf])
-            sec = round(time.time() - t0, 1)
-            if sorted(scols) != sorted(ocols):
-                result[name] = {"status": "fail_schema", "sec": sec}
-                n_fail += 1
-            elif srows != orows:
-                result[name] = {"status": "fail_rows",
-                                "spark_rows": len(srows),
-                                "oracle_rows": len(orows), "sec": sec}
-                n_fail += 1
-            else:
-                result[name] = {"status": "pass", "rows": len(srows), "sec": sec}
-            print(f"{result[name]['status'].upper()} {name} ({len(srows)} rows, {sec}s)")
-        except Exception as e:
-            result[name] = {"status": "error",
-                            "err": str(e)[:200],
-                            "sec": round(time.time() - t0, 1)}
+        grader = grade_isolated if isolate else grade_query
+        r = grader(sf_dir, out_dir, name, sql, name in digest)
+        result[name] = r
+        if not r["status"].startswith("pass"):
             n_fail += 1
-            print(f"ERROR {name}: {e}")
+            print(f"{r['status'].upper()} {name}: {r.get('err', '')}")
+        else:
+            print(f"{r['status'].upper()} {name} "
+                  f"({r.get('rows')} rows, {r.get('sec')}s)")
+        sys.stdout.flush()
+    con = fresh_con(sf_dir)
     # full-scale queries graded via their sampled twin: the twin entry
     # (checked above) carries the hash verdict; the full entry records
     # the Spark-side row count at full scale plus the twin's result.
