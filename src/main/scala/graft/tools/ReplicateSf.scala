@@ -141,6 +141,29 @@ object ReplicateSf {
       return
     }
 
+    // `parts` mode: part-only replica for the j3 fuzzy-dedup decade.
+    // Dimensions don't grow like facts in a real star schema (the
+    // principled 1×-dims stance everywhere else), but the name-dedup
+    // OPERATOR still deserves a 100× input: each replica maps every
+    // name token through a per-replica vocabulary (prefix r<i>), so
+    // the distinct-name universe really multiplies while blocking
+    // stays replica-local — first/last-token keys differ across
+    // replicas — and the trailing-s plural rule keeps working (the
+    // prefix leaves token ENDINGS untouched). Replica 0 unmodified.
+    if (args.length > 3 && args(3) == "parts") {
+      assertStride(Tables.part(spark, base), "p_partkey", 10000000L)
+      write("part", i => {
+        val p = Tables.part(spark, base)
+          .withColumn("p_partkey", col("p_partkey") + lit(i * 10000000L))
+        if (i == 0) p
+        else p.withColumn("p_name", concat_ws(" ",
+          transform(split(col("p_name"), " "), t => concat(lit(s"r$i"), t))))
+      })
+      new java.io.File(s"$out/_DONE").createNewFile()
+      println(s"[replicate] done (parts only) -> $out")
+      return
+    }
+
     // `facts` mode: lineitem+orders+customer replicated with
     // coordinated key strides, dimensions copied 1× — the analytics /
     // stats family (q1/q3/q5/q7/q10, j1, corr/regression/winsorize,
