@@ -181,6 +181,51 @@ object ScaleDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT-threshold Jaccard pairs via prefix filtering — the lossless
+    * alternative to the doc-frequency cap for exact semantics at
+    * scale (Chaudhuri/Ganti/Kaushik ICDE'06; Bayardo/Ma/Srikant
+    * WWW'07). Shingles get a GLOBAL total order (doc frequency
+    * ascending, shingle hash tie-break); each doc indexes only its
+    * first L = |d| − ⌈t·|d|⌉ + 1 shingles under that order. Theorem:
+    * J(A,B) ≥ t implies the two prefixes share an element — if the
+    * prefixes were disjoint, every common element would rank above
+    * the smaller prefix-max, but a doc has only ⌈t·|d|⌉ − 1 such
+    * elements, fewer than the ≥ t·|d| common ones J ≥ t guarantees.
+    * So the prefix self-join finds EVERY qualifying pair, and the
+    * exact [[verifyJaccardPairs]] pass makes the output identical to
+    * the uncapped all-pairs form — while hot stop-shingles (df-MAX
+    * under the ordering) fall at the END of every doc's ranking and
+    * almost never enter a prefix: the quadratic stop-shingle
+    * expansion that makes the uncapped self-join detonate at corpus
+    * scale never happens, with NO lossy cap. Index volume is
+    * ~(1−t)·|full index|; candidate volume is bounded by rare-shingle
+    * co-occurrence. The ⌈t·|d|⌉ is computed as floor(t·|d| − 1e-6)+1
+    * so a one-ulp float drift can only LENGTHEN a prefix (keeps the
+    * filter lossless), never shorten it.
+    */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val dfreq = idx.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dfreq"), col("sh"))
+    val prefix = idx.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "id")
+      .filter(col("rk") <=
+        col("sz") - floor(lit(threshold) * col("sz") - lit(1e-6)))
+      .select(col("id"), col("sh"))
+    val cands = prefix.select(col("sh"), col("id").as("id_a"))
+      .join(prefix.select(col("sh"), col("id").as("id_b")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    verifyJaccardPairs(cands, idx, threshold)
+  }
+
   /** Asymmetric shingle containment |A∩B| / |A| — catches subset
     * duplicates (a doc wholly contained in a longer one) that
     * symmetric Jaccard misses: a prefix half of a doc has containment

@@ -184,6 +184,23 @@ object ScaleDedupQueries extends QueryRegistry {
       ScaleDedup.ngramJaccardPairs(withNearDupsSampled(s, dir), "doc_id",
         "text", n = 3, threshold = 0.5, maxDocFreq = 0)),
 
+    // EXACT-threshold pairs at corpus scale, losslessly: prefix
+    // filtering (df-ascending global order, per-doc prefix of
+    // |d| − ceil(t·|d|) + 1 shingles) bounds candidates without the
+    // cap's semantic loss — the scale path when the answer must be
+    // exactly the uncapped pair set. Twin: the SAME exact-Jaccard SQL
+    // as dedup_ngram_jaccard (the filter is provably lossless, so the
+    // outputs are identical).
+    "dedup_ngram_jaccard_prefix" -> ((s, dir) =>
+      ScaleDedup.ngramJaccardPairsPrefix(withNearDups(s, dir), "doc_id",
+        "text", n = 3, threshold = 0.5)),
+
+    // prefix form over the hash slice — proves prefix == exact against
+    // the independent DuckDB replay at every tier including 100×.
+    "dedup_ngram_jaccard_prefix_sampled" -> ((s, dir) =>
+      ScaleDedup.ngramJaccardPairsPrefix(withNearDupsSampled(s, dir),
+        "doc_id", "text", n = 3, threshold = 0.5)),
+
     // hot-shingle cap at 64 docs: drops the engineered stop-shingle
     // (715 docs at sf0.1 → 255k pair expansions from ONE group row)
     // before the quadratic expansion; the oracle applies the same
@@ -591,6 +608,19 @@ object ScaleDedupQueries extends QueryRegistry {
 
     // hash-slice scale twin of the uncapped baseline
     "dedup_ngram_jaccard_sampled" -> s"""
+      |WITH RECURSIVE $sampledNearDupsCtes,
+      |${jaccardPairsSql(0.5, 0)}
+      |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    // the prefix-filtered forms are LOSSLESS, so their twins are the
+    // identical exact-Jaccard replays — any filter miss shows up as a
+    // row diff against the unfiltered pair set.
+    "dedup_ngram_jaccard_prefix" -> s"""
+      |WITH docs AS ($nearDupsSql),
+      |${jaccardPairsSql(0.5, 0)}
+      |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    "dedup_ngram_jaccard_prefix_sampled" -> s"""
       |WITH RECURSIVE $sampledNearDupsCtes,
       |${jaccardPairsSql(0.5, 0)}
       |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,

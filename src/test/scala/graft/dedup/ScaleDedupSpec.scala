@@ -327,4 +327,42 @@ class ScaleDedupSpec extends AnyFunSuite {
       "doc_id", "text")
     assert(d.filter(col("n_docs") > 1).count() === 0) // near-dups differ
   }
+
+  test("prefix filtering is lossless: identical to uncapped exact pairs") {
+    val prefix = ScaleDedup
+      .ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = ScaleDedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix === exact)
+    assert(prefix.nonEmpty) // the engineered near-dups must be found
+  }
+
+  test("prefix filtering defuses a corpus-wide stop-shingle losslessly") {
+    import spark.implicits._
+    // 40 docs all sharing one boilerplate run ("terms of service
+    // apply here") but pairwise-distinct content, plus one true
+    // near-dup pair: uncapped self-join expands 40*39/2 pairs from the
+    // stop-shingle group alone; the df-ascending prefix ranks those
+    // shingles LAST so they never enter a prefix, yet the true pair
+    // (sharing RARE shingles) must survive with its exact jaccard.
+    val boiler = "terms of service apply here"
+    val base = (0 until 40).map { i =>
+      (i.toLong, s"unique$i alpha$i beta$i gamma$i delta$i $boiler")
+    }
+    val dup = Seq((100L, "same text body one two three four five six"),
+      (101L, "same text body one two three four five six seven"))
+    val df = (base ++ dup).toDF("doc_id", "text")
+    val prefix = ScaleDedup
+      .ngramJaccardPairsPrefix(df, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = ScaleDedup
+      .ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.5,
+        maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix === exact)
+    assert(prefix.exists { case (a, b, _) => a == 100L && b == 101L })
+  }
 }
