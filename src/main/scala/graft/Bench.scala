@@ -191,7 +191,11 @@ object Bench {
     "emb_semdedup_cluster",
     // r10: DSIR importance selection — the last registered family
     // with no bench entry (hashed-ngram importance weights + top-k)
-    "corpus_dsir_select")
+    "corpus_dsir_select",
+    // r11: the lossless prefix-filtered exact-Jaccard path — the
+    // production form dedup_ngram_jaccard now points at; benched so
+    // its scale curve sits next to the capped form's
+    "dedup_ngram_jaccard_prefix")
 
   /** The 10× scaling checkpoint: a subset chosen to answer the
     * empirical questions a 100 TB plan review asks — where the
@@ -218,7 +222,10 @@ object Bench {
     "range_join", "range_agg_multires",
     // r8 continuation: SemDeDup at 10× — the cluster-blocked pair
     // stage's scale curve next to the LSH-blocked one's
-    "emb_semdedup_cluster")
+    "emb_semdedup_cluster",
+    // r11: prefix-filtered exact Jaccard at 10× — the decade below
+    // its measured 75 s full run at 100×
+    "dedup_ngram_jaccard_prefix")
 
   /** Build a deterministic 10× replica of the sf0.1 tables the sf1
     * subset reads, once, under target/ (reused via _DONE marker).

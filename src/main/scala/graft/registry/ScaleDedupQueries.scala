@@ -171,11 +171,17 @@ object ScaleDedupQueries extends QueryRegistry {
         .select(col("id").as("source"), col("authority"))
     }),
 
-    // exact Jaccard (maxDocFreq=0) — the oracle-parity baseline; the
-    // capped form below is the scale default.
+    // exact-threshold Jaccard pairs — since r11 computed via the
+    // LOSSLESS prefix filter (identical output to the uncapped
+    // all-pairs form, proven at every tier; 75 s over 571k docs at
+    // 100× where the uncapped self-join cannot run). The uncapped
+    // form survives as the non-registered oracle helper
+    // `ScaleDedup.ngramJaccardPairs(maxDocFreq = 0)` (specs assert
+    // prefix == uncapped) and still runs over the hash slice in
+    // `dedup_ngram_jaccard_sampled` below.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      ScaleDedup.ngramJaccardPairs(withNearDups(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = 0)),
+      ScaleDedup.ngramJaccardPairsPrefix(withNearDups(s, dir), "doc_id",
+        "text", n = 3, threshold = 0.5)),
 
     // the baseline over the 1/DocSampleMod hash slice — gives even the
     // uncapped form a tractable full twin at replica scale (the full

@@ -136,13 +136,15 @@ object SimilarityQueries extends QueryRegistry {
       val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
       Knn.recallChecked(
         Knn.ivfTopK(emb, q, nCentroids = 16, nProbe = 8, k = 5, lloydIters = 1),
-        // minHits 1, not 2: a fourth fixture seed (GenFixture seed 2)
-        // measured one query at exactly 1 hit with a healthy aggregate
-        // (agg 20/20 ok) — per-query 2 was fixture luck, same lesson as
-        // the aggregate-floor widening (CHANGELOG r7). A broken index
-        // craters to 0 hits on MANY queries, which minHits=1 +
-        // minTotalHits=70 still catches.
-        q, emb, k = 5, minHits = 1, minTotalHits = 70)
+        // minHits 2 with maxBelow 2 (r11, was minHits=1 in r10): a
+        // fourth fixture seed (GenFixture seed 2) measured one query at
+        // exactly 1 hit with a healthy aggregate — fixture luck, not a
+        // defect — but flat minHits=1 would also accept a BROAD
+        // degradation (many queries at 1 hit). The bounded-outlier form
+        // keeps the per-query floor at 2 while tolerating at most 2
+        // one-hit outliers; measured below-floor counts across all five
+        // fixture seeds are 0–1 (RecallProbe, CHANGELOG r11).
+        q, emb, k = 5, minHits = 2, minTotalHits = 70, maxBelow = 2)
     }),
 
     // PQ/ADC: codes-only candidate scan (m lookups per candidate, the
@@ -168,7 +170,8 @@ object SimilarityQueries extends QueryRegistry {
         Knn.ivfPqTopK(emb, q, dim = 64, nCentroids = 16, nProbe = 8,
           m = 16, kCode = 32, k = 5, lloydIters = 1,
           rerankFactor = 0), // auto — see ann_pq_topk
-        q, emb, k = 5, minHits = 1, minTotalHits = 70) // 1: see ann_ivf_topk
+        // bounded-outlier floor: see ann_ivf_topk
+        q, emb, k = 5, minHits = 2, minTotalHits = 70, maxBelow = 2)
     }),
 
     // Incremental ANN against a FROZEN reference index — the

@@ -29,6 +29,23 @@ object RecallProbe {
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
     val qs = emb.filter(col("vec_id") < 20)
+
+    // floors-only mode: just the per-query hit distributions that size
+    // the bounded-outlier recall gates (minHits=2, maxBelow=2) — run
+    // per fixture seed, sub-minute, no sweeps.
+    if (args.contains("floors")) {
+      def floorStats(name: String, ann: org.apache.spark.sql.DataFrame): Unit = {
+        val h = Knn.recallAudit(ann, qs, emb, k)
+          .select(col("hits")).collect().map(_.getLong(0))
+        println(s"[recall] $name: min=${h.min} sum=${h.sum} " +
+          s"below2=${h.count(_ < 2)} zeros=${h.count(_ == 0)} n=${h.length}")
+      }
+      floorStats("ann_lsh_topk", Knn.lshTopK(emb, qs, 64, 3, k, nTables = 12))
+      floorStats("ann_ivf_topk", Knn.ivfTopK(emb, qs, 16, 8, k, 1))
+      floorStats("ann_pq_topk", Knn.pqTopK(emb, qs, 64, 16, 32, k, 2, 0))
+      floorStats("ann_ivfpq_topk", Knn.ivfPqTopK(emb, qs, 64, 16, 8, 16, 32, k, 1, 0))
+      spark.stop(); return
+    }
     val brute = Knn.bruteForceTopK(qs, emb, k).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"[recall] corpus=$n k=$k ground-truth pairs=${brute.size}")

@@ -103,4 +103,61 @@ class PlanShapeSpec extends AnyFunSuite {
       "containment no longer plans under AQE — the size-adaptive " +
         "bhj/smj switch (the scale story) needs the adaptive framework")
   }
+
+  /** Global-window boundedness invariant (r10 verdict #6): an
+    * unpartitioned Window funnels its ENTIRE input through one task
+    * (`WindowExec: No Partition Defined` → SinglePartition exchange),
+    * which is fine over a k-row aggregate frame (clusterBalance's
+    * window over k cluster rows) and fatal over a corpus-sized scan at
+    * 100 TB. Nothing structurally prevented a future registry query
+    * from shipping the fatal shape — this sweep does: every Window
+    * with an empty partitionSpec, in every registered query's
+    * OPTIMIZED logical plan, must sit above a bounding operator — an
+    * Aggregate (the registry's global windows all ride k-sized /
+    * single-row aggregate frames), a Limit, or a literal/local input.
+    * A global window whose subtree is scan→join→window with no
+    * aggregation or limit in between is refused here, not on the
+    * cluster. (Logical-plan traversal, not executedPlan string
+    * matching: AQE wraps the physical tree, and the logical Window
+    * node with its partitionSpec is the stable, unambiguous signal.)
+    */
+  /** Global windows whose boundedness the logical plan cannot show:
+    *  - s8_run_stats_trend: the window's input is the append-history
+    *    sink read back from parquet — ONE aggregate row per pipeline
+    *    run by construction (`Writers.appendHistory` of an agg-to-one-
+    *    row), so the lag() window is over |runs|, not |events|; the
+    *    bounding Aggregate happened before the sink write and is
+    *    invisible to the read-back plan.
+    */
+  private val boundedWindows = Set("s8_run_stats_trend")
+
+  test("every global (unpartitioned) window sits above a bounded input — all queries") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    var swept = 0
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if boundedWindows(name) => { swept += 1; None }
+      case (name, fn) =>
+        val plan =
+          try fn(spark, TestSpark.SfDir).queryExecution.optimizedPlan
+          catch { case e: Throwable => fail(s"$name failed to optimize: $e") }
+        swept += 1
+        plan.collect {
+          case w: Window if w.partitionSpec.isEmpty =>
+            val bounded = w.child.collectFirst {
+              case _: Aggregate => ()
+              case _: GlobalLimit => ()
+              case _: LocalLimit => ()
+              case _: LocalRelation => ()
+              case _: OneRowRelation => ()
+            }.isDefined
+            if (bounded) None else Some(name)
+        }.flatten
+    }.distinct
+    assert(swept == SparkEntry.queries.size,
+      s"sweep covered $swept of ${SparkEntry.queries.size} queries")
+    assert(offenders.isEmpty,
+      s"corpus-sized single-partition window risk in: $offenders — " +
+        "aggregate or limit the input before a global window, or " +
+        "partition the window")
+  }
 }

@@ -365,4 +365,78 @@ class ScaleDedupSpec extends AnyFunSuite {
     assert(prefix === exact)
     assert(prefix.exists { case (a, b, _) => a == 100L && b == 101L })
   }
+
+  /** One generated corpus for the prefix-losslessness property: 10–200
+    * docs of 3–30 tokens drawn from a small skewed vocabulary (power-law
+    * exponent 1–3, so hot shingles are common), ~half the docs carrying
+    * a near-duplicate mutation (token replaced or tail dropped), and —
+    * in half the corpora — a shared 4-token boiler phrase appended to
+    * EVERY doc (the corpus-wide stop-shingle that detonates the
+    * uncapped self-join at scale). Every token is tagged with the case
+    * index, so no shingle crosses corpora and a union of cases is
+    * provably the disjoint sum of independent cases — which lets one
+    * Spark evaluation per threshold cover 13 generated corpora.
+    */
+  private def corpusGen(ci: Int): org.scalacheck.Gen[Seq[(Long, String)]] = {
+    import org.scalacheck.Gen
+    def tok(u: Double, vocab: Int, skew: Double): String =
+      s"c${ci}x${math.min((math.pow(u, skew) * vocab).toInt, vocab - 1)}"
+    for {
+      vocab <- Gen.choose(5, 25)
+      skew <- Gen.choose(1.0, 3.0)
+      nBase <- Gen.choose(10, 100)
+      boiler <- Gen.oneOf(true, false)
+      docs <- Gen.listOfN(nBase, for {
+        len <- Gen.choose(3, 30)
+        us <- Gen.listOfN(len, Gen.choose(0.0, 1.0))
+      } yield us.map(tok(_, vocab, skew)))
+      copyFlags <- Gen.listOfN(nBase, Gen.choose(0.0, 1.0))
+      mutations <- Gen.listOfN(nBase, Gen.zip(Gen.choose(0, 29), Gen.choose(0.0, 1.0)))
+    } yield {
+      val boilerToks =
+        if (boiler) (0 until 4).map(b => s"c${ci}xBOILER$b") else Seq.empty
+      val base = docs.zipWithIndex.map { case (ts, i) =>
+        (ci * 1000000L + i, ts ++ boilerToks)
+      }
+      val copies = base.zip(copyFlags).zip(mutations).collect {
+        case (((id, ts), f), (pos, kind)) if f < 0.5 =>
+          val mutated =
+            if (kind < 0.3 && ts.size > 3) ts.dropRight(1)
+            else ts.updated(pos % ts.size, s"c${ci}xMUT$pos")
+          (id + 500000L, mutated)
+      }
+      (base ++ copies).map { case (id, ts) => (id, ts.mkString(" ")) }
+    }
+  }
+
+  test("PROPERTY: prefix filtering == uncapped exact pairs over 104 generated corpora") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 0.5 / 0.75 / 2⁄3 hit exact-integer t·|d| boundaries in bulk
+    // (every even / %4 / %3 shingle-set size) — the regime where the
+    // prefix-length epsilon guard must round the right way.
+    val thresholds = Seq(0.3, 0.4, 0.5, 0.6, 2.0 / 3.0, 0.75, 0.8, 0.95)
+    var totalPairs = 0L
+    thresholds.zipWithIndex.foreach { case (t, gi) =>
+      val corpora = (0 until 13).map { k =>
+        val ci = gi * 100 + k
+        corpusGen(ci)(Gen.Parameters.default, Seed(0xC0FFEEL + ci))
+          .getOrElse(sys.error(s"generator failed for case $ci"))
+      }
+      val df = corpora.flatten.toDF("doc_id", "text")
+      val prefix = ScaleDedup
+        .ngramJaccardPairsPrefix(df, "doc_id", "text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = ScaleDedup
+        .ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = t,
+          maxDocFreq = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix === exact,
+        s"prefix filter diverged from exact at threshold $t " +
+          s"(missing=${(exact -- prefix).take(3)}, extra=${(prefix -- exact).take(3)})")
+      totalPairs += exact.size
+    }
+    assert(totalPairs > 0, "property was vacuous — no generated pair crossed any threshold")
+  }
 }

@@ -172,6 +172,26 @@ class KnnSpec extends AnyFunSuite {
     assert(driver.filter(_._1 >= 100000).forall { case (id, c) => c == id - 100000 })
   }
 
+  test("bounded-outlier recall gate: tolerates <=maxBelow one-hit queries, refuses broad degradation") {
+    // perfect ANN = the exact top-k itself (hits = 5 everywhere);
+    // degrade a chosen set of queries to their rank-1 row only (hits=1)
+    val perfect = Knn.bruteForceTopK(queries, emb, k = 5)
+    def degraded(victims: Seq[Long]) = perfect.filter(
+      col("rank") === 1 || !col("query_id").isInCollection(victims))
+    def okCount(ann: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Knn.recallChecked(ann, queries, emb, k = 5,
+        minHits = 2, minTotalHits = 0, maxBelow = 2)
+      (r.filter(col("recall_ok")).count(), r.count())
+    }
+    // 2 one-hit outliers: within the bound — every row stays true
+    assert(okCount(degraded(Seq(0L, 1L))) === ((10L, 10L)))
+    // 5 one-hit queries: broad degradation — exactly those 5 flip false
+    assert(okCount(degraded(Seq(0L, 1L, 2L, 3L, 4L))) === ((5L, 10L)))
+    // a zero-hit query is never excused by the outlier bound
+    val zeroed = perfect.filter(col("query_id") =!= 7L)
+    assert(okCount(zeroed) === ((9L, 10L)))
+  }
+
   test("cosine of identical vectors is 1.0") {
     val one = Knn.cosineNearDupPairs(
       emb.filter(col("vec_id") < 2)

@@ -26,6 +26,7 @@ multiset-equality certificate up to 2^-64-scale collision odds.
 """
 import sys, json, glob, os, time
 import multiprocessing
+import queue as pyqueue
 import duckdb
 
 def canon(rows):
@@ -134,11 +135,25 @@ def grade_isolated(sf_dir, out_dir, name, sql, use_digest):
     p = ctx.Process(target=_grade_child,
                     args=(q, (sf_dir, out_dir, name, sql, use_digest)))
     p.start()
-    try:
-        res = q.get(timeout=int(os.environ.get("DUCK_QUERY_TIMEOUT", "7200")))
-    except Exception:
-        res = {"status": "error", "err": "isolated grading child died "
-               f"(exitcode={p.exitcode})"}
+    # Poll rather than block for the full timeout: a child that dies
+    # without enqueueing a result (OOM-kill) is detected within seconds
+    # instead of stalling the run for DUCK_QUERY_TIMEOUT per dead query.
+    deadline = time.time() + int(os.environ.get("DUCK_QUERY_TIMEOUT", "7200"))
+    res = None
+    while res is None:
+        try:
+            res = q.get(timeout=5)
+        except pyqueue.Empty:
+            if not p.is_alive():
+                try:  # drain once more: exit can race the final put
+                    res = q.get(timeout=1)
+                except pyqueue.Empty:
+                    res = {"status": "error", "err": "isolated grading child "
+                           f"died without a result (exitcode={p.exitcode})"}
+            elif time.time() > deadline:
+                p.terminate()
+                res = {"status": "error",
+                       "err": "isolated grading timed out (child killed)"}
     p.join(5)
     if p.is_alive():
         p.terminate()
@@ -184,7 +199,8 @@ def main(sf_dir, out_dir, out_json, excluded, sampled_map=None, digest=None):
             ).fetchone()[0]
         except Exception:
             full_rows = None
-        ok = twin.get("status") == "pass"
+        # startswith, not ==: a digest-graded twin reports pass_digest
+        ok = twin.get("status", "").startswith("pass")
         result[name] = {
             "status": "pass_sampled_twin" if ok else "fail_sampled_twin",
             "via": via,
