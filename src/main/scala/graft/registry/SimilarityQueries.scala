@@ -153,10 +153,13 @@ object SimilarityQueries extends QueryRegistry {
       val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
       Knn.recallChecked(
         Knn.pqTopK(emb, q, dim = 64, m = 16, kCode = 32, k = 5,
-          lloydIters = 2, rerankFactor = 0), // 0 = Knn.autoRerank(n):
-          // 16 (the historical constant) at every fixture ≤ 80k
-          // vectors, 49 at the 100× replica — the measured dial that
-          // keeps the recall floors holding as the corpus grows
+          lloydIters = 2, rerankFactor = 0), // 0 = Knn.autoRerank(n) =
+          // max(64, ceil(n/2048)) — 64 at every fixture ≤ 131k
+          // vectors, 98 at the 200k replica, 245 at the 500k probe.
+          // The r11 rule is sized by a five-decade deterministic
+          // sweep; the 64 floor exists because the recall landscape
+          // is NOT monotone in n (the 46k replica decade is the
+          // measured worst case). See Knn.autoRerank + SCALE_100x.md.
         q, emb, k = 5, minHits = 2, minTotalHits = 79)
     }),
 

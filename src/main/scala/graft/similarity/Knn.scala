@@ -109,17 +109,30 @@ object Knn {
     * with corpus density, so a fixed shortlist decays: measured at the
     * 100× replica (200k vectors, registry params), rr=16 scores
     * pq 59 / ivfpq 61 aggregate hits — under the 79/70 floors — while
-    * rr=48 restores 82/77 with per-query mins at the floor
-    * (RecallProbe sweep, rr ∈ {16,24,32,48,64}). The rule
-    * `max(16, ceil(n/4096))` (shortlist ≈ 0.12% of the corpus) is the
-    * measured-safe linear default — every fixture and replica ≤ 80k
-    * vectors resolves to the historical 16, so small-scale twins are
-    * bit-unchanged; 200k resolves to 49. Re-rank cost stays
-    * shortlist × k exact dots per query; latency-critical callers can
-    * pin a smaller factor and accept the measured recall.
+    * rr=48 restores 82/77 (RecallProbe sweep, rr ∈ {16,24,32,48,64}).
+    *
+    * r11 re-characterized the whole curve with DETERMINISTIC codebooks
+    * (decimal-exact Lloyd means — before that fix, recall was a
+    * run-to-run random variable) across five replica decades of the
+    * diagonal-rotated embedding universe (2k fixture, 20k, 46k, 100k,
+    * 200k, 500k vectors). The landscape is NOT monotone in n: the 46k
+    * decade (23 rotated replicas) is the measured worst case — the r10
+    * slope n/4096 resolves to 16 there and scores ivfpq 61, nine under
+    * its 70 floor, while 100k/200k/500k need only ~0.25% shortlists.
+    * The rule `max(64, ceil(n/2048))` covers every measured decade
+    * with margin ≥ 6: the 64 floor fixes the hard mid-decades (46k →
+    * ivfpq 76/70, pq 93/79) at a cost of a few hundred exact dots per
+    * query, and the n/2048 slope (shortlist ≈ 0.24% of the corpus)
+    * carries the large decades (200k → rr 98: ivfpq 80, pq 89;
+    * 500k → rr 245: ivfpq 83, pq 97; per-query mins ≥ 2 everywhere).
+    * Raising rr is monotonically recall-safe: the exact re-rank picks
+    * top-k from a SUPERSET of candidates, so hits are nondecreasing in
+    * rr and every previously passing record stays passing. Re-rank
+    * cost stays shortlist × k exact dots per query; latency-critical
+    * callers can pin a smaller factor and accept the measured recall.
     */
   def autoRerank(n: Long): Int =
-    math.max(16, math.ceil(math.max(n, 1L).toDouble / 4096.0).toInt)
+    math.max(64, math.ceil(math.max(n, 1L).toDouble / 2048.0).toInt)
 
   /** Sign-bit bucket id from `nPlanes` hyperplanes of table `table`. */
   def lshBucket(emb: Column, dim: Int, nPlanes: Int, table: Int = 0): Column =
@@ -336,9 +349,19 @@ object Knn {
       val assigned = graft.plans.TopK.perKey(scored,
           Seq(col("vec_id"), col("s")), Seq(col("d2").asc, col("cid").asc), 1)
         .select(col("s"), col("cid"), col("sub"))
+      // decimal-exact means (the Clustering.recompute pattern): a
+      // float avg() is partition-order-dependent, and the ulp drift
+      // cascades through argmin code assignments into RUN-TO-RUN
+      // recall variance (measured pq 86 vs 100 at the same shortlist
+      // on the 511k replica before this fix) — codebooks must be a
+      // deterministic function of the corpus for the recall floors,
+      // the autoRerank knee, and the oracle twins to be meaningful.
       assigned.select(col("s"), col("cid"), posexplode(col("sub")))
         .groupBy(col("s"), col("cid"), col("pos"))
-        .agg(avg(col("col")).as("mcoord"))
+        .agg(round(sum(col("col")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          count(lit(1)), 6).as("mcoord"))
         .groupBy(col("s"), col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mcoord")))).as("sc"))
         .select(col("s"), col("cid"),

@@ -40,10 +40,18 @@ object RecallProbe {
         println(s"[recall] $name: min=${h.min} sum=${h.sum} " +
           s"below2=${h.count(_ < 2)} zeros=${h.count(_ == 0)} n=${h.length}")
       }
-      floorStats("ann_lsh_topk", Knn.lshTopK(emb, qs, 64, 3, k, nTables = 12))
-      floorStats("ann_ivf_topk", Knn.ivfTopK(emb, qs, 16, 8, k, 1))
-      floorStats("ann_pq_topk", Knn.pqTopK(emb, qs, 64, 16, 32, k, 2, 0))
-      floorStats("ann_ivfpq_topk", Knn.ivfPqTopK(emb, qs, 64, 16, 8, 16, 32, k, 1, 0))
+      // optional trailing numeric args: explicit rerank factors to
+      // sweep for pq/ivfpq — sizes the autoRerank slope at a new decade
+      val rrs = args.drop(args.indexOf("floors") + 1).map(_.toInt)
+      if (rrs.isEmpty) {
+        floorStats("ann_lsh_topk", Knn.lshTopK(emb, qs, 64, 3, k, nTables = 12))
+        floorStats("ann_ivf_topk", Knn.ivfTopK(emb, qs, 16, 8, k, 1))
+        floorStats("ann_pq_topk", Knn.pqTopK(emb, qs, 64, 16, 32, k, 2, 0))
+        floorStats("ann_ivfpq_topk", Knn.ivfPqTopK(emb, qs, 64, 16, 8, 16, 32, k, 1, 0))
+      } else for (rr <- rrs) {
+        floorStats(s"pq rr$rr", Knn.pqTopK(emb, qs, 64, 16, 32, k, 2, rr))
+        floorStats(s"ivfpq rr$rr", Knn.ivfPqTopK(emb, qs, 64, 16, 8, 16, 32, k, 1, rr))
+      }
       spark.stop(); return
     }
     val brute = Knn.bruteForceTopK(qs, emb, k).collect()
