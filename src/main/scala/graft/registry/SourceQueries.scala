@@ -83,6 +83,38 @@ object SourceQueries extends QueryRegistry {
         .select("doc_id", "entity_name", "url", "filename")
     }),
 
+    // S11 at scale: the SAME skip-existing semantics as
+    // s10_queue_build's anti-join, routed through the Bloom-
+    // pre-filtered split (graft.sources.BloomSkip) — only Bloom
+    // suspects (true manifest hits + fpp false positives) pay the
+    // shuffle; rows the filter has never seen stream straight through.
+    // The oracle is the PLAIN anti-join: matching it row-for-row is
+    // the losslessness proof (Bloom filters have no false negatives;
+    // the residual exact join removes the false positives). Unlike
+    // s10's in-plan manifest derivation, the manifest here is
+    // PERSISTED state read back from parquet — which is what it is in
+    // production (the list of already-completed outputs); the Bloom
+    // build's two passes then scan a small file, not the corpus-sized
+    // queue-derivation chain.
+    "s11_bloom_skip" -> ((s, dir) => {
+      val docs = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("string").as("doc_id"),
+        concat(lit("Vendor "), col("o_custkey") % 40, lit(" <Networks>"))
+          .as("entity_name"),
+        concat(lit("https://www.fcc.gov/ecfs/document/"), col("o_orderkey"),
+          lit("/1")).as("url"))
+        .withColumn("url", DownloadSink.rewriteUrl(col("url")))
+        .withColumn("filename",
+          concat(Normalize.sanitizeFilename(col("entity_name")), lit("_"),
+            col("doc_id")))
+      val out = Files.createTempDirectory("graft_bloom_manifest").toString +
+        "/manifest"
+      docs.filter(col("doc_id").cast("long") % 5 === 0)
+        .select("filename").write.mode("overwrite").parquet(out)
+      graft.sources.BloomSkip.skipExisting(docs, s.read.parquet(out), "filename")
+        .select("doc_id", "entity_name", "url", "filename")
+    }),
+
     // Output-layout control at scale: hive-partitioned parquet write
     // (one dir per lang, repartitioned so each partition writes one
     // file instead of |tasks| small files) -> partition-pruned read
@@ -301,6 +333,33 @@ object SourceQueries extends QueryRegistry {
       |FROM f""".stripMargin,
 
     "s10_queue_build" -> """
+      |WITH docs AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+      |    'Vendor ' || (o_custkey % 40) || ' <Networks>' AS entity_name,
+      |    'https://www.fcc.gov/ecfs/document/' || o_orderkey || '/1' AS url
+      |  FROM orders),
+      |named AS (
+      |  SELECT doc_id, entity_name,
+      |    regexp_replace(url, '/document/', '/documents/', 'g') AS url,
+      |    regexp_replace(
+      |      substring(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(entity_name, '[<>:"/\\|?*]', '_', 'g'),
+      |            '\s+', '_', 'g'),
+      |          '_+', '_', 'g'),
+      |        1, 80),
+      |      '^_+|_+$', '', 'g') || '_' || doc_id AS filename
+      |  FROM docs),
+      |manifest AS (
+      |  SELECT filename FROM named WHERE CAST(doc_id AS BIGINT) % 5 = 0)
+      |SELECT doc_id, entity_name, url, filename FROM named
+      |WHERE filename NOT IN (SELECT filename FROM manifest)""".stripMargin,
+
+    // Identical relational result to s10_queue_build by design: the
+    // Bloom pre-filter + residual anti-join must be indistinguishable
+    // from the plain anti-join.
+    "s11_bloom_skip" -> """
       |WITH docs AS (
       |  SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
       |    'Vendor ' || (o_custkey % 40) || ' <Networks>' AS entity_name,

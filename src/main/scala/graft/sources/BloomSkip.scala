@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+
+/** S11 at 100 TB: Bloom-pre-filtered skip-existing anti-join.
+  *
+  * The reference's incremental-restart contract (skip files already
+  * downloaded, `code/download_pdfs_robust.py:100-110`) is a LEFT ANTI
+  * join against the manifest of completed outputs. A plain anti-join
+  * shuffles the ENTIRE queue on the key — at 100 TB that is a
+  * corpus-sized shuffle to discard, typically, a small completed
+  * fraction. This operator splits the queue with a Bloom filter built
+  * over the manifest keys (the same trick Spark's own runtime
+  * row-level filtering injects for large joins, composed here
+  * explicitly because an anti-join's probe side cannot be pre-filtered
+  * lossily — a row failing the Bloom test must be KEPT, not dropped):
+  *
+  *  - rows whose key the Bloom filter says it has NEVER seen are
+  *    definitely new → emitted directly, zero shuffle;
+  *  - the rest ("suspects": true hits + false positives) go through
+  *    the exact anti-join, which removes the false positives.
+  *
+  * The union of the two branches is therefore EXACTLY the plain
+  * anti-join — Bloom filters have no false negatives — while the
+  * shuffle carries only |manifest ∩ queue| + fpp·|queue| rows instead
+  * of |queue|. Cost: one extra pass over the queue scan (two disjoint
+  * filters of the same columnar scan) and one small aggregate over the
+  * manifest; at scale both are cheap next to the avoided shuffle.
+  *
+  * Implementation: Spark's internal `BloomFilterAggregate` /
+  * `BloomFilterMightContain` expressions (codegen-friendly, the exact
+  * machinery behind `spark.sql.optimizer.runtimeFilter.bloomFilter`)
+  * over `xxhash64(key)` on BOTH sides, so build and probe hash
+  * identically. Hash collisions between distinct keys only create
+  * extra suspects — the exact join keeps the result lossless. Null
+  * queue keys never match any manifest key under SQL join semantics;
+  * here `xxhash64` maps null to its seed, so a null-keyed row lands in
+  * whichever branch that bit implies and survives either way (the
+  * anti-join never equates null with anything).
+  *
+  * The filter is sized for `fpp` at the measured manifest count and
+  * capped at `maxNumBits` (default 2^27 ≈ 16 MiB serialized — ships
+  * once per stage in the broadcast task binary). Hitting the cap only
+  * degrades the false-positive rate: more suspects, same exact result.
+  */
+object BloomSkip {
+
+  /** Serialized Bloom filter over `xxhash64(keyCol)` of `df`.
+    * One count pass sizes it; one aggregate pass builds it
+    * (partition-local inserts, bitset-OR merge — order-independent,
+    * so the bytes are deterministic for a given input set).
+    */
+  def bloomBytesOf(df: DataFrame, keyCol: String, fpp: Double,
+                   maxNumBits: Long = 1L << 27): Array[Byte] = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // Returns null over an EMPTY input: BloomFilterAggregate evals a
+    // zero-cardinality buffer to null (callers must treat a null bloom
+    // as "contains nothing", not probe it).
+    val n = math.max(df.select(keyCol).count(), 1L)
+    // Standard optimal sizing: bits = -n ln(p) / (ln 2)^2.
+    val optimal = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val numBits = math.max(64L, math.min(optimal, maxNumBits))
+    val agg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col(keyCol))),
+        Literal(n), Literal(numBits)).toAggregateExpression())
+    df.agg(agg.as("bf")).head.getAs[Array[Byte]]("bf")
+  }
+
+  /** `might_contain(bloom, xxhash64(key))` as a Column predicate. */
+  def mightContain(bloomBytes: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      ColumnBridge.expression(xxhash64(key))))
+
+  /** Exact skip-existing: semantically identical to
+    * `queue.join(existing.select(keyCol), Seq(keyCol), "left_anti")`,
+    * with only Bloom suspects paying the shuffle.
+    */
+  def skipExisting(queue: DataFrame, existing: DataFrame, keyCol: String,
+                   fpp: Double = 0.01, maxNumBits: Long = 1L << 27): DataFrame = {
+    val bytes = bloomBytesOf(existing, keyCol, fpp, maxNumBits)
+    // Empty manifest → null bloom → the anti-join is an identity;
+    // return the queue as-is rather than probing a null filter (whose
+    // null verdicts would drop every row from BOTH branches).
+    if (bytes == null) return queue
+    val suspect = mightContain(bytes, col(keyCol))
+    val definitelyNew = queue.where(!suspect)
+    val verified = queue.where(suspect)
+      .join(existing.select(col(keyCol)), Seq(keyCol), "left_anti")
+    // Restore the caller's column order on the joined branch (a
+    // usingColumns join moves the key first) and union positionally
+    // by name.
+    definitelyNew.unionByName(verified.select(queue.columns.map(col).toSeq: _*))
+  }
+}
