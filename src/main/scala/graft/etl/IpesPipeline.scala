@@ -66,11 +66,19 @@ object IpesPipeline {
     // bounded no matter how filings skew across names). Every later
     // consumer (name aggregation, dedup edge-collect, fact join,
     // nested lists) reads this checkpoint, so bronze is scanned and
-    // the regex chain run exactly once.
+    // the regex chain run exactly once. SERIALIZED storage level, not
+    // the deserialized default: this checkpoint is CORPUS-sized, and
+    // deserialized blocks hold every row as live heap objects — at the
+    // 150M-filing 1000× replica that OOM'd a 64 GB single JVM outright
+    // (32 tasks unrolling ~5M-row object blocks concurrently).
+    // Serialized blocks are compact and overflow to disk gracefully;
+    // the deserialize-on-reuse CPU is noise next to the regex chain
+    // this checkpoint exists to avoid re-running.
     val baseP = base.select(
         col("company_name"), col("normalized_raw"),
         col("submission_type"), col("date_received"), filingStruct.as("f"))
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // Scalar-only per-name pre-aggregation: every aggregate is
     // constant-size per group (the r7 collect_list here is what OOM'd
