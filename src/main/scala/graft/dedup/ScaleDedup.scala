@@ -573,8 +573,16 @@ object ScaleDedup {
     require(missBound > 0 && missBound < 1, s"missBound in (0,1), got $missBound")
     require(rows >= 1, s"rows >= 1, got $rows")
     val pBand = math.pow(threshold, rows)
-    val bands = math.max(1,
-      math.ceil(math.log(missBound) / math.log1p(-pBand)).toInt)
+    val bandsD = math.ceil(math.log(missBound) / math.log1p(-pBand))
+    // Fail loudly instead of letting ceil(...).toInt saturate at
+    // Int.MaxValue (and k = rows·bands wrap): a plan past 1e6 bands
+    // means the (threshold, missBound, rows) combination is
+    // unsatisfiable in practice — lower `rows` or loosen `missBound`.
+    require(bandsD.isFinite && bandsD <= 1e6,
+      s"bandPlan(threshold=$threshold, missBound=$missBound, rows=$rows) " +
+        s"needs ${if (bandsD.isFinite) bandsD.toLong.toString else "infinitely many"} " +
+        "bands (> 1e6): the combination is unsatisfiable — lower rows or loosen missBound")
+    val bands = math.max(1, bandsD.toInt)
     (bands, rows * bands)
   }
 
@@ -719,6 +727,25 @@ object ScaleDedup {
     * distributed min-label propagation — and the fallback mapping is
     * NOT broadcast (it can exceed driver memory by construction).
     */
+  /** Near-dup pairs under [[bandPlan]]-derived banding — the sizing
+    * rule made executable: (bands, k) = bandPlan(threshold, missBound,
+    * rows), LSH candidates from that derived banding, exact-Jaccard
+    * verify at the same threshold. The plan bounds the at-threshold
+    * per-pair miss probability by `missBound` (pairs above threshold
+    * miss with lower probability still), so the output is the exact
+    * ≥-threshold pair set up to that bound — which is why the
+    * registered query's DuckDB twin is the EXACT pair SQL: the oracle
+    * passing IS the losslessness proof for the derived plan, at every
+    * rung of `rows`, not just the shipped (32 bands, k=64) one.
+    */
+  def nearDupPairsPlanned(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, missBound: Double, rows: Int): DataFrame = {
+    val (bands, k) = bandPlan(threshold, missBound, rows)
+    val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
+    verifyJaccardPairs(minhashCandidatesFromIndex(idx, k, bands), idx, threshold)
+  }
+
   def nearDupDedup(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,

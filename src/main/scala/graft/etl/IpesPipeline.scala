@@ -36,6 +36,19 @@ object IpesPipeline {
   /** Star-schema outputs + the nested silver form. */
   case class Structured(companies: DataFrame, filings: DataFrame, nested: DataFrame)
 
+  /** Hard cap on the distinct-name universe `greedyDedup = true` will
+    * collect to the driver. Parity mode exists to replay the
+    * reference's order-dependent sequential merge bit-for-bit, which
+    * is a driver-side algorithm by nature; past this bound the collect
+    * itself is the OOM, so `structure` refuses with a pointer at the
+    * distributed CC default rather than letting the caller discover it
+    * as a dead JVM. 1M names ≈ tens of MB of strings — comfortably
+    * driver-sized — while the greedy merge's own O(n²) ratio scan is
+    * already impractical well before that. Override per session with
+    * `spark.graft.dedup.greedyParityMaxNames`.
+    */
+  val GreedyParityMaxNames: Int = 1000000
+
   def structure(
       bronze: DataFrame,
       ratioThreshold: Double = 0.95,
@@ -101,7 +114,24 @@ object IpesPipeline {
     val canon = (if (greedyDedup) {
       val spark = bronze.sparkSession
       import spark.implicits._
-      val keys = perName.select(col("normalized_raw")).collect().map(_.getString(0)).toSeq
+      // Parity mode is inherently driver-sided (the reference's greedy
+      // merge is order-dependent, so the whole name universe must be
+      // walked sequentially) — refuse loudly past a bounded name
+      // domain instead of collecting a corpus-scale universe into
+      // driver memory. limit(N+1) bounds the probe itself; the
+      // distributed default (greedyDedup = false) has no such bound.
+      // Conf-overridable (the topk.maxBufferedKeys pattern) so a
+      // deployment can tighten it to its driver size.
+      val cap = spark.conf
+        .get("spark.graft.dedup.greedyParityMaxNames",
+          GreedyParityMaxNames.toString).toInt
+      require(cap > 0, s"greedyParityMaxNames must be positive, got $cap")
+      val probe = perName.select(col("normalized_raw")).limit(cap + 1).collect()
+      require(probe.length <= cap,
+        s"greedyDedup parity mode walks the name universe on the driver " +
+          s"and is capped at $cap distinct names; this corpus exceeds it — " +
+          "use the default distributed CC dedup (greedyDedup = false)")
+      val keys = probe.map(_.getString(0)).toSeq
       FuzzyDedup.greedyCanonicalMap(keys, ratioThreshold).toSeq
         .toDF("name", "canonical")
     } else {

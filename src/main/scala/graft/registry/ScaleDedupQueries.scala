@@ -35,6 +35,20 @@ object ScaleDedupQueries extends QueryRegistry {
   private val WinnowMinShared = 5L
   private val WinnowMaxDocFreq = 1000L
 
+  /** dedup_minhash_autoband parameters — [[ScaleDedup.bandPlan]] made
+    * executable in the registered surface. The banding is DERIVED
+    * ((bands, k) = bandPlan(t, ε, rows) at rows = 3, the next rung up
+    * from the shipped rows=2/(32, 64) ladder: (57 bands, k = 171)),
+    * and the DuckDB twin is the EXACT ≥-t Jaccard pair set at the same
+    * interpolated threshold — so the oracle passing is the proof that
+    * the sizing rule produces a lossless-above-threshold pipeline, not
+    * just a spec-pinned formula. Shared vals, the Winnow pattern: one
+    * constant feeds both sides.
+    */
+  private[registry] val AutoBandT = 0.6
+  private[registry] val AutoBandEps = 1e-6
+  private[registry] val AutoBandRows = 3
+
   /** Minimum slice divisor for the `_sampled` scale-twin queries — the
     * effective divisor is scale-adaptive ([[SampleMod.of]] over the
     * documents row count; 8 at every tier up to 10×, larger at replica
@@ -226,6 +240,26 @@ object ScaleDedupQueries extends QueryRegistry {
     // minhash family instead of a documented exclusion.
     "dedup_minhash_sampled" -> ((s, dir) =>
       ScaleDedup.minhashCandidates(withNearDupsSampled(s, dir), "doc_id", "text")),
+
+    // bandPlan-derived banding, end to end: candidates from the
+    // (bands, k) the sizing rule computes for (AutoBandT, AutoBandEps,
+    // rows=3), exact verify at the same threshold. Twin = the exact
+    // Jaccard pair SQL — any candidate the derived banding misses is a
+    // row diff.
+    "dedup_minhash_autoband" -> ((s, dir) =>
+      ScaleDedup.nearDupPairsPlanned(withNearDups(s, dir), "doc_id", "text",
+        n = 3, threshold = AutoBandT, missBound = AutoBandEps,
+        rows = AutoBandRows)),
+
+    // the derived-banding chain over the 1/DocSampleMod hash slice —
+    // the scale-record twin (the full exact-Jaccard replay is
+    // oracle-side intractable at replica scale; the slice keeps the
+    // COMPLETE planned-banding chain under a tractable full twin at
+    // any corpus size, the dedup_minhash_sampled pattern).
+    "dedup_minhash_autoband_sampled" -> ((s, dir) =>
+      ScaleDedup.nearDupPairsPlanned(withNearDupsSampled(s, dir), "doc_id",
+        "text", n = 3, threshold = AutoBandT, missBound = AutoBandEps,
+        rows = AutoBandRows)),
 
     // substring-level dedup: maximal >=10-token runs shared verbatim
     // across docs (boilerplate/quote blocks that survive doc-level
@@ -629,6 +663,19 @@ object ScaleDedupQueries extends QueryRegistry {
     "dedup_ngram_jaccard_prefix_sampled" -> s"""
       |WITH RECURSIVE $sampledNearDupsCtes,
       |${jaccardPairsSql(0.5, 0)}
+      |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    // the bandPlan-derived banding is lossless above AutoBandT up to
+    // the AutoBandEps miss bound, so its twin is the exact pair set at
+    // the same shared-val threshold (the prefix-twin pattern).
+    "dedup_minhash_autoband" -> s"""
+      |WITH docs AS ($nearDupsSql),
+      |${jaccardPairsSql(AutoBandT, 0)}
+      |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    "dedup_minhash_autoband_sampled" -> s"""
+      |WITH RECURSIVE $sampledNearDupsCtes,
+      |${jaccardPairsSql(AutoBandT, 0)}
       |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
 
     "source_overlap" -> """

@@ -132,10 +132,17 @@ object SimilarityQueries extends QueryRegistry {
         q, emb, k = 5, minHits = 3, minTotalHits = 90)
     }),
 
+    // nCentroids/nProbe = 0 → corpus-derived (Knn.autoCentroids /
+    // autoProbe, r12): the last pinned ANN dials now scale like
+    // autoPlanes and autoRerank do. At every fixture ≤ 2k vectors the
+    // rules resolve to exactly the previously pinned (16, 8) — small-
+    // tier records are value-identical — and grow as √n past that
+    // (20k → 50/25, 200k → 159/80, 2.2M → 528/264), so an inverted
+    // list stays a bounded join partition instead of n/16 rows.
     "ann_ivf_topk" -> ((s, dir) => {
       val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
       Knn.recallChecked(
-        Knn.ivfTopK(emb, q, nCentroids = 16, nProbe = 8, k = 5, lloydIters = 1),
+        Knn.ivfTopK(emb, q, nCentroids = 0, nProbe = 0, k = 5, lloydIters = 1),
         // minHits 2 with maxBelow 2 (r11, was minHits=1 in r10): a
         // fourth fixture seed (GenFixture seed 2) measured one query at
         // exactly 1 hit with a healthy aggregate — fixture luck, not a
@@ -170,7 +177,7 @@ object SimilarityQueries extends QueryRegistry {
     "ann_ivfpq_topk" -> ((s, dir) => {
       val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
       Knn.recallChecked(
-        Knn.ivfPqTopK(emb, q, dim = 64, nCentroids = 16, nProbe = 8,
+        Knn.ivfPqTopK(emb, q, dim = 64, nCentroids = 0, nProbe = 0,
           m = 16, kCode = 32, k = 5, lloydIters = 1,
           rerankFactor = 0), // auto — see ann_pq_topk
         // bounded-outlier floor: see ann_ivf_topk
@@ -192,7 +199,7 @@ object SimilarityQueries extends QueryRegistry {
       val ref = emb.filter(col("vec_id") % 10 =!= 7)
       val batch = emb.filter(col("vec_id") % 10 === 7 && col("vec_id") < 200)
       Knn.recallChecked(
-        Knn.ivfTopK(ref, batch, nCentroids = 16, nProbe = 8, k = 5, lloydIters = 1),
+        Knn.ivfTopK(ref, batch, nCentroids = 0, nProbe = 0, k = 5, lloydIters = 1),
         batch, ref, k = 5, minHits = 2, minTotalHits = 70)
     }),
 

@@ -26,7 +26,7 @@ object SourceQueries extends QueryRegistry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S6 write (JSON lines) -> S3-family schema-explicit tolerant read.
     "s6_s3_json_roundtrip" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft_json_rt").toString + "/docs"
+      val out = QueryTmp.dir("graft_json_rt") + "/docs"
       Writers.json(Tables.documents(s, dir), out)
       Readers.jsonLines(s,
         StructType.fromDDL(
@@ -41,7 +41,7 @@ object SourceQueries extends QueryRegistry {
     // semantics); the read schema matches the file order, the final
     // select restores natural order for the oracle.
     "s7_s4_csv_roundtrip" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft_csv_rt").toString + "/cust"
+      val out = QueryTmp.dir("graft_csv_rt") + "/cust"
       Writers.csvOrdered(Tables.customer(s, dir),
         Seq("c_mktsegment", "c_custkey", "c_name", "c_acctbal", "c_nationkey"), out)
       Readers.csv(s,
@@ -107,7 +107,7 @@ object SourceQueries extends QueryRegistry {
         .withColumn("filename",
           concat(Normalize.sanitizeFilename(col("entity_name")), lit("_"),
             col("doc_id")))
-      val out = Files.createTempDirectory("graft_bloom_manifest").toString +
+      val out = QueryTmp.dir("graft_bloom_manifest") +
         "/manifest"
       docs.filter(col("doc_id").cast("long") % 5 === 0)
         .select("filename").write.mode("overwrite").parquet(out)
@@ -120,7 +120,7 @@ object SourceQueries extends QueryRegistry {
     // file instead of |tasks| small files) -> partition-pruned read
     // back. The small-files problem is a first-class 100 TB concern.
     "s6_partitioned_write" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft_part_write").toString + "/docs"
+      val out = QueryTmp.dir("graft_part_write") + "/docs"
       Tables.documents(s, dir)
         .repartition(col("lang"))
         .write.option("maxRecordsPerFile", 100000)
@@ -133,7 +133,7 @@ object SourceQueries extends QueryRegistry {
     // the old files, the append-only evolution contract a long-lived
     // 100 TB table needs (no rewrite of history).
     "s14_schema_evolution" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft_schema_evo").toString
+      val out = QueryTmp.dir("graft_schema_evo")
       Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("source"))
         .write.parquet(s"$out/batch1")
@@ -150,7 +150,7 @@ object SourceQueries extends QueryRegistry {
     // downstream consumers merge-scan or min/max-prune on the sort key.
     // SourcesSpec proves the file ranges don't overlap.
     "s15_range_partitioned_write" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft_range_write").toString + "/orders"
+      val out = QueryTmp.dir("graft_range_write") + "/orders"
       Tables.orders(s, dir)
         .repartitionByRange(8, col("o_orderkey"))
         .sortWithinPartitions(col("o_orderkey"))
@@ -162,7 +162,7 @@ object SourceQueries extends QueryRegistry {
     // natively; same schema-explicit write/read contract as the
     // parquet paths (identity oracle).
     "s18_orc_roundtrip" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft_orc_rt").toString + "/docs"
+      val out = QueryTmp.dir("graft_orc_rt") + "/docs"
       Tables.documents(s, dir).write.orc(out)
       s.read.orc(out).select("doc_id", "text", "lang", "source", "n_chars")
     }),
@@ -174,7 +174,7 @@ object SourceQueries extends QueryRegistry {
     // ZOrderSpec proves the bounding-box tightening; the oracle is the
     // plain relational predicate (layout is pure reordering).
     "s17_zorder_scan" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft_zorder_q").toString + "/orders"
+      val out = QueryTmp.dir("graft_zorder_q") + "/orders"
       graft.operators.ZOrder.layoutBy(
           Tables.orders(s, dir)
             .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
@@ -198,7 +198,7 @@ object SourceQueries extends QueryRegistry {
       // under concurrent registry use and strand catalog entries. The
       // tiny agg result is materialized (localCheckpoint) so the
       // catalog entries and bucket files can be dropped before return.
-      val p = Files.createTempDirectory("graft_bucketed")
+      val p = java.nio.file.Paths.get(QueryTmp.dir("graft_bucketed"))
       val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       val (tOrders, tLine) = (s"graft_b_orders_$tag", s"graft_b_lineitem_$tag")
       Tables.orders(s, dir)
@@ -230,7 +230,7 @@ object SourceQueries extends QueryRegistry {
     // is F13-classified and measured; the oracle recomputes all of it
     // from `documents`.
     "s9_binary_readback" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft_bin_repo").toString
+      val out = QueryTmp.dir("graft_bin_repo")
       val bin = Tables.documents(s, dir).filter(col("doc_id") < 100)
         .select(
           concat(lit("doc_"), col("doc_id")).as("filename"),
@@ -254,7 +254,7 @@ object SourceQueries extends QueryRegistry {
     // The fetcher is deterministic (trailing url id % 7 fails), so the
     // DuckDB twin recomputes every counter relationally.
     "s9_download_summary" -> ((s, dir) => {
-      val out = Files.createTempDirectory("graft_dl_summary").toString
+      val out = QueryTmp.dir("graft_dl_summary")
       val docs = Tables.orders(s, dir)
         .filter(col("o_orderkey") < 15000 && col("o_orderkey") % 8 === 0)
         .select(
@@ -284,7 +284,7 @@ object SourceQueries extends QueryRegistry {
     // deterministically from events, appended as run_ts partitions,
     // then the success-rate/trend table newest-run-first.
     "s8_run_stats_trend" -> ((s, dir) => {
-      val sink = Files.createTempDirectory("graft_run_history").toString + "/run_stats"
+      val sink = QueryTmp.dir("graft_run_history") + "/run_stats"
       val e = Tables.events(s, dir)
       (0 until 3).foreach { r =>
         val stats = e.filter(col("event_id") % 3 === r).agg(

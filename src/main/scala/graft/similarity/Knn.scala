@@ -134,6 +134,41 @@ object Knn {
   def autoRerank(n: Long): Int =
     math.max(64, math.ceil(math.max(n, 1L).toDouble / 2048.0).toInt)
 
+  /** Corpus-derived IVF list count — the LAST fixture-tuned ANN dial
+    * ([[autoPlanes]] and [[autoRerank]] already scale with n) given
+    * the same treatment. An inverted list is a join partition: at the
+    * pinned nCentroids = 16, 2.2M vectors mean 140k-row lists and a
+    * 16-distinct-key equi-join — the candidate shuffle's parallelism
+    * ceiling IS the list count, so this dial must grow with n or the
+    * index stops scaling horizontally. Balanced split: nCentroids =
+    * ceil(sqrt(n/8)) puts list count and mean list size on the same
+    * √n curve (mean list ≈ √(8n)), reproduces the shipped 16 at the
+    * 2k fixture, floors at 16 and caps at 4096 (the centroid table
+    * stays broadcast-sized at any corpus). Recall under the derived
+    * dials is re-proven per decade with RecallProbe (SCALE_100x.md):
+    * [[autoProbe]] holds the probed-list FRACTION at the shipped 1/2,
+    * so a query's angular neighborhood is sampled no more coarsely
+    * than under the fixture dials — and the PQ families' measured
+    * nProbe recall ceiling rises with the cell count instead of
+    * pinning at 8-of-16.
+    */
+  def autoCentroids(n: Long): Int =
+    math.max(16, math.min(4096,
+      math.ceil(math.sqrt(math.max(n, 1L) / 8.0)).toInt))
+
+  /** Probe count for an [[autoCentroids]]-sized index: half the lists,
+    * the shipped 8-of-16 fraction held constant as the cell count
+    * grows. Candidate volume per query stays ~n/2 — on THIS data that
+    * fraction is what the measured recall floors need (random 64-dim
+    * vectors are near-orthogonal; see the RecallProbe decade tables) —
+    * but the work arrives as ~nCentroids/2 independent join keys
+    * instead of 8, so it spreads across the cluster. Deployments with
+    * clustered (real-embedding) corpora can pin a smaller nProbe and
+    * accept their measured recall.
+    */
+  def autoProbe(nCentroids: Int): Int =
+    math.max(8, math.ceil(nCentroids / 2.0).toInt)
+
   /** Sign-bit bucket id from `nPlanes` hyperplanes of table `table`. */
   def lshBucket(emb: Column, dim: Int, nPlanes: Int, table: Int = 0): Column =
     (0 until nPlanes).map { p =>
@@ -223,11 +258,16 @@ object Knn {
   /** IVF top-k: probe the query's `nProbe` nearest inverted lists, then
     * exact-rank within them. One equi-join shuffle on the list id
     * instead of |Q|×|C| comparisons; recall comes from nProbe.
+    * `nCentroids = 0` / `nProbe = 0` derive the dials from the corpus
+    * ([[autoCentroids]] / [[autoProbe]] — the `rerankFactor = 0`
+    * pattern).
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame,
               nCentroids: Int = 16, nProbe: Int = 4, k: Int = 10,
               lloydIters: Int = 1): DataFrame = {
-    val centroids = ivfCentroids(vectors, nCentroids, lloydIters).localCheckpoint()
+    val nc = if (nCentroids > 0) nCentroids else autoCentroids(vectors.count())
+    val nPr = if (nProbe > 0) nProbe else autoProbe(nc)
+    val centroids = ivfCentroids(vectors, nc, lloydIters).localCheckpoint()
     val assigned = ivfAssign(vectors, centroids)
       .select(col("cid"), col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
         norm(col("embedding")).as("c_nrm"))
@@ -238,7 +278,7 @@ object Knn {
       .withColumn("csim",
         cosinePre(col("q_emb"), col("c_emb"), col("q_nrm"), col("cc_nrm")))
     val probes = graft.plans.TopK.perKey(probeScored,
-      Seq(col("query_id")), Seq(col("csim").desc, col("cid").asc), nProbe)
+      Seq(col("query_id")), Seq(col("csim").desc, col("cid").asc), nPr)
       .select(col("cid"), col("query_id"), col("q_emb"), col("q_nrm"))
     val scored = assigned.join(probes, Seq("cid"))
       .filter(col("query_id") =!= col("cand_id"))
@@ -469,8 +509,12 @@ object Knn {
         transform(col("embedding"), x => x.cast("double") / norm(col("embedding")))
           .as("embedding"))
     val vecsN = normalized(vectors).localCheckpoint()
-    val rr = if (rerankFactor > 0) rerankFactor else autoRerank(vecsN.count())
-    val centroids = ivfCentroids(vecsN, nCentroids, lloydIters).localCheckpoint()
+    // one count (on the pinned frame) feeds every auto dial
+    lazy val n = vecsN.count()
+    val rr = if (rerankFactor > 0) rerankFactor else autoRerank(n)
+    val nc = if (nCentroids > 0) nCentroids else autoCentroids(n)
+    val nPr = if (nProbe > 0) nProbe else autoProbe(nc)
+    val centroids = ivfCentroids(vecsN, nc, lloydIters).localCheckpoint()
     val assigned = ivfAssign(vecsN, centroids)
     // residual r = x − c(x), per assigned list
     val resid = assigned.join(broadcast(centroids), "cid")
@@ -494,7 +538,7 @@ object Knn {
     val probeScored = qN.crossJoin(broadcast(centroids))
       .withColumn("qc_dot", dot(col("q_emb"), col("c_emb")))
     val probes = graft.plans.TopK.perKey(probeScored,
-        Seq(col("query_id")), Seq(col("qc_dot").desc, col("cid").asc), nProbe)
+        Seq(col("query_id")), Seq(col("qc_dot").desc, col("cid").asc), nPr)
       .withColumn("tables", array(cbs.indices.map(s =>
         array(cbs(s).indices.map(j =>
           dotLit(subv(col("q_emb"), s), cbs(s)(j))): _*)): _*))

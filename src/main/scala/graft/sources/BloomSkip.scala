@@ -54,14 +54,28 @@ object BloomSkip {
     * One count pass sizes it; one aggregate pass builds it
     * (partition-local inserts, bitset-OR merge — order-independent,
     * so the bytes are deterministic for a given input set).
+    *
+    * `BloomFilterAggregate` silently clamps its arguments to the
+    * session runtime-filter caps (`spark.sql.optimizer.runtime
+    * .bloomFilter.maxNumBits`, default 2^26 = 8 MiB, and
+    * `...maxNumItems`, default 4M) — left alone, a manifest past 4M
+    * keys would be sized as if it had 4M and fpp would degrade
+    * silently. This builder raises both caps to cover the requested
+    * sizing for the duration of the build and restores them after, so
+    * the stated fpp holds up to `maxNumBits` (exactness never depends
+    * on it either way — a denser filter only adds suspects).
     */
   def bloomBytesOf(df: DataFrame, keyCol: String, fpp: Double,
-                   maxNumBits: Long = 1L << 27): Array[Byte] = {
+                   maxNumBits: Long = 1L << 27,
+                   knownCount: Long = -1L): Array[Byte] = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     // Returns null over an EMPTY input: BloomFilterAggregate evals a
     // zero-cardinality buffer to null (callers must treat a null bloom
     // as "contains nothing", not probe it).
-    val n = math.max(df.select(keyCol).count(), 1L)
+    // knownCount >= 0 skips the sizing scan — callers that already
+    // counted the manifest (DownloadSink's gate) pass it through.
+    val n = math.max(if (knownCount >= 0) knownCount
+                     else df.select(keyCol).count(), 1L)
     // Standard optimal sizing: bits = -n ln(p) / (ln 2)^2.
     val optimal = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val numBits = math.max(64L, math.min(optimal, maxNumBits))
@@ -69,7 +83,19 @@ object BloomSkip {
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col(keyCol))),
         Literal(n), Literal(numBits)).toAggregateExpression())
-    df.agg(agg.as("bf")).head.getAs[Array[Byte]]("bf")
+    val conf = df.sparkSession.conf
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bits0 = conf.get(bitsKey)
+    val items0 = conf.get(itemsKey)
+    try {
+      conf.set(bitsKey, math.max(bits0.toLong, numBits).toString)
+      conf.set(itemsKey, math.max(items0.toLong, n).toString)
+      df.agg(agg.as("bf")).head.getAs[Array[Byte]]("bf")
+    } finally {
+      conf.set(bitsKey, bits0)
+      conf.set(itemsKey, items0)
+    }
   }
 
   /** `might_contain(bloom, xxhash64(key))` as a Column predicate. */
@@ -81,10 +107,21 @@ object BloomSkip {
   /** Exact skip-existing: semantically identical to
     * `queue.join(existing.select(keyCol), Seq(keyCol), "left_anti")`,
     * with only Bloom suspects paying the shuffle.
+    *
+    * Precondition — DETERMINISTIC inputs: the split evaluates `queue`
+    * twice (two disjoint filters of the same plan, unioned) and
+    * `existing` three times (count, Bloom build, residual anti-join).
+    * Both must re-evaluate to the same rows — true for any parquet /
+    * table-backed frame (the production manifest shape), false for
+    * plans carrying `rand()`/`uuid()`-derived keys or a source
+    * mutating between jobs, where rows could land in neither or both
+    * branches. For such inputs, persist/checkpoint first or use the
+    * plain single-evaluation anti-join.
     */
   def skipExisting(queue: DataFrame, existing: DataFrame, keyCol: String,
-                   fpp: Double = 0.01, maxNumBits: Long = 1L << 27): DataFrame = {
-    val bytes = bloomBytesOf(existing, keyCol, fpp, maxNumBits)
+                   fpp: Double = 0.01, maxNumBits: Long = 1L << 27,
+                   knownExistingCount: Long = -1L): DataFrame = {
+    val bytes = bloomBytesOf(existing, keyCol, fpp, maxNumBits, knownExistingCount)
     // Empty manifest → null bloom → the anti-join is an identity;
     // return the queue as-is rather than probing a null filter (whose
     // null verdicts would drop every row from BOTH branches).

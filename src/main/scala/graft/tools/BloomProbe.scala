@@ -44,10 +44,17 @@ object BloomProbe {
       // leaving these metrics at zero).
       df.queryExecution.toRdd.foreach(_ => ())
       val sec = (System.nanoTime() - t0) / 1e9
+      // Reused exchanges appear multiple times in the tree as the SAME
+      // node object (under ReusedExchangeExec) — count each once. Dedup
+      // by reference identity, not case-class equality: with exchange
+      // reuse disabled, two structurally identical but physically
+      // distinct exchanges each carry their own metrics and must both
+      // be counted.
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[ShuffleExchangeLike, java.lang.Boolean]())
       val exchanges = nodes(df.queryExecution.executedPlan)
         .collect { case s: ShuffleExchangeLike => s }
-        // Reused exchanges share the metric objects; count each once.
-        .distinct
+        .filter(seen.add)
       val rows = exchanges.map(e =>
         e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L))
       val bytes = exchanges.map(e =>

@@ -44,13 +44,41 @@ object RecallProbe {
       // sweep for pq/ivfpq — sizes the autoRerank slope at a new decade
       val rrs = args.drop(args.indexOf("floors") + 1).map(_.toInt)
       if (rrs.isEmpty) {
+        println(s"[recall] auto dials at n=$n: " +
+          s"nCentroids=${Knn.autoCentroids(n)} " +
+          s"nProbe=${Knn.autoProbe(Knn.autoCentroids(n))} " +
+          s"rerank=${Knn.autoRerank(n)}")
         floorStats("ann_lsh_topk", Knn.lshTopK(emb, qs, 64, 3, k, nTables = 12))
-        floorStats("ann_ivf_topk", Knn.ivfTopK(emb, qs, 16, 8, k, 1))
+        floorStats("ann_ivf_topk", Knn.ivfTopK(emb, qs, 0, 0, k, 1))
         floorStats("ann_pq_topk", Knn.pqTopK(emb, qs, 64, 16, 32, k, 2, 0))
-        floorStats("ann_ivfpq_topk", Knn.ivfPqTopK(emb, qs, 64, 16, 8, 16, 32, k, 1, 0))
+        floorStats("ann_ivfpq_topk", Knn.ivfPqTopK(emb, qs, 64, 0, 0, 16, 32, k, 1, 0))
       } else for (rr <- rrs) {
         floorStats(s"pq rr$rr", Knn.pqTopK(emb, qs, 64, 16, 32, k, 2, rr))
         floorStats(s"ivfpq rr$rr", Knn.ivfPqTopK(emb, qs, 64, 16, 8, 16, 32, k, 1, rr))
+      }
+      spark.stop(); return
+    }
+
+    // ivfsweep mode: explicit nc:np grid for the ivf/ivfpq families —
+    // sizes the autoCentroids/autoProbe rules at a new decade.
+    // Usage: RecallProbe <dir> [k] ivfsweep 16:8 64:32 0:0 ...
+    if (args.contains("ivfsweep")) {
+      def floorStats(name: String, ann: org.apache.spark.sql.DataFrame): Unit = {
+        val h = Knn.recallAudit(ann, qs, emb, k)
+          .select(col("hits")).collect().map(_.getLong(0))
+        println(s"[recall] $name: min=${h.min} sum=${h.sum} " +
+          s"below2=${h.count(_ < 2)} zeros=${h.count(_ == 0)} n=${h.length}")
+      }
+      val grid = args.drop(args.indexOf("ivfsweep") + 1)
+        .map { s => val Array(a, b) = s.split(":"); (a.toInt, b.toInt) }
+      for ((nc, np) <- grid) {
+        val t0 = System.nanoTime()
+        floorStats(s"ivf $nc:$np", Knn.ivfTopK(emb, qs, nc, np, k, 1))
+        val t1 = System.nanoTime()
+        floorStats(s"ivfpq $nc:$np",
+          Knn.ivfPqTopK(emb, qs, 64, nc, np, 16, 32, k, 1, 0))
+        println(f"[recall] ivf $nc:$np ${(t1 - t0) / 1e9}%.1f s, " +
+          f"ivfpq ${(System.nanoTime() - t1) / 1e9}%.1f s")
       }
       spark.stop(); return
     }

@@ -463,4 +463,19 @@ class ScaleDedupSpec extends AnyFunSuite {
       if (r > 1) assert(bands >= ScaleDedup.bandPlan(t, eps, r - 1)._1)
     }
   }
+
+  test("bandPlan: unsatisfiable combinations refuse loudly, never overflow") {
+    // pBand = 0.1^10 = 1e-10 → ~2e11 bands to hit 1e-9: far past the
+    // 1e6 ceiling. Before the guard this saturated ceil(...).toInt at
+    // Int.MaxValue and k = rows·bands wrapped negative.
+    val e = intercept[IllegalArgumentException] {
+      ScaleDedup.bandPlan(0.1, 1e-9, rows = 10)
+    }
+    assert(e.getMessage.contains("unsatisfiable"))
+    // The satisfiable grid never returns a non-positive k (no wrap).
+    for (t <- Seq(0.4, 0.6, 0.9); eps <- Seq(1e-3, 1e-9); r <- 1 to 5) {
+      val (bands, kk) = ScaleDedup.bandPlan(t, eps, r)
+      assert(bands > 0 && kk > 0 && kk === r * bands)
+    }
+  }
 }

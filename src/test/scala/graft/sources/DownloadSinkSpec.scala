@@ -72,6 +72,30 @@ class DownloadSinkSpec extends AnyFunSuite {
       .contains("Acme_Telecom_LLC_1"))
   }
 
+  test("S11 gate: Bloom-split and plain anti-join branches are equal") {
+    // A 400-doc queue with every 5th filename already in the manifest,
+    // run through buildQueue on BOTH sides of the bloomGate: gate
+    // above the 80-row manifest → plain anti-join; gate at 1 → Bloom
+    // split. The results must be row-identical (BloomSkip's
+    // losslessness surfaced at the sink-integration layer).
+    val many = spark.range(1, 401).select(
+      col("id").as("doc_id"),
+      concat(lit("Vendor "), col("id") % 7).as("entity_name"),
+      concat(lit("https://www.fcc.gov/ecfs/document/"), col("id"), lit("/1"))
+        .as("url"))
+    val manifest = many.filter(col("doc_id") % 5 === 0)
+      .select(concat(graft.etl.Normalize.sanitizeFilename(col("entity_name")),
+        lit("_"), col("doc_id")).as("filename"))
+    def rows(gate: Long) =
+      DownloadSink.buildQueue(many, manifest, bloomGate = gate)
+        .select("doc_id", "entity_name", "url", "filename")
+        .collect().map(_.toSeq).toSet
+    val plain = rows(Long.MaxValue)
+    val bloomed = rows(1L)
+    assert(plain.size === 320)
+    assert(bloomed === plain)
+  }
+
   test("doc-limit caps the queue like --doc-limit") {
     val q = DownloadSink.buildQueue(docs, Seq.empty[String].toDF("filename"), limit = 1)
     assert(q.count() === 1)

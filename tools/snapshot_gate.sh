@@ -53,4 +53,10 @@ sbt -batch 'testOnly graft.EntrySpec graft.BenchLineSpec' > /tmp/gate_specs.log 
   || refuse "fast specs failed (tail: $(grep -E '\*\*\* FAILED|Tests:' /tmp/gate_specs.log | tail -2 | tr '\n' ' '))"
 SPECS=$(grep -E '^\[info\] Tests: succeeded' /tmp/gate_specs.log | tail -1 | sed 's/^\[info\] //')
 
+# bench/SCALE.json (the machine-readable decade record) must parse and
+# cover every recorded family — a family silently dropping out of the
+# scale record is a gate failure, not a doc drift.
+python3 tools/scale_record.py check > /tmp/gate_scale.log 2>&1 \
+  || refuse "SCALE.json check failed: $(tail -1 /tmp/gate_scale.log)"
+
 echo "[gate] GREEN $(head_sha) $(stamp) ${PROBE#\[gateprobe\] OK } | $SPECS"
