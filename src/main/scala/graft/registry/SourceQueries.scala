@@ -23,6 +23,25 @@ import graft.sources.{DownloadSink, Readers, Writers}
   */
 object SourceQueries extends QueryRegistry {
 
+  /** The S10 download-queue fixture: (docs, manifest) synthesized from
+    * orders — every 5th doc already downloaded. Shared by the
+    * registered query and tools/BloomProbe (which also needs the
+    * UNGATED plain-anti form for its shuffle-volume comparison).
+    */
+  private[graft] def s10Fixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.orders(s, dir).select(
+      col("o_orderkey").cast("string").as("doc_id"),
+      concat(lit("Vendor "), col("o_custkey") % 40, lit(" <Networks>"))
+        .as("entity_name"),
+      concat(lit("https://www.fcc.gov/ecfs/document/"), col("o_orderkey"),
+        lit("/1")).as("url"))
+    val manifest = docs.filter(col("doc_id").cast("long") % 5 === 0)
+      .select(concat(Normalize.sanitizeFilename(col("entity_name")),
+        lit("_"), col("doc_id")).as("filename"))
+    (docs, manifest)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S6 write (JSON lines) -> S3-family schema-explicit tolerant read.
     "s6_s3_json_roundtrip" -> ((s, dir) => {
@@ -68,17 +87,12 @@ object SourceQueries extends QueryRegistry {
 
     // S10+S11+F14 composition: the download queue build — endpoint
     // rewrite, sanitized filename, manifest anti-join (every 5th doc
-    // already downloaded).
+    // already downloaded). Goes through the gated buildQueue: plain
+    // broadcast anti-join at fixture tiers (manifest < 1M rows),
+    // Bloom split at replica tiers — the oracle (the plain anti-join
+    // SQL) is the same either way by BloomSkip's construction.
     "s10_queue_build" -> ((s, dir) => {
-      val docs = Tables.orders(s, dir).select(
-        col("o_orderkey").cast("string").as("doc_id"),
-        concat(lit("Vendor "), col("o_custkey") % 40, lit(" <Networks>"))
-          .as("entity_name"),
-        concat(lit("https://www.fcc.gov/ecfs/document/"), col("o_orderkey"),
-          lit("/1")).as("url"))
-      val manifest = docs.filter(col("doc_id").cast("long") % 5 === 0)
-        .select(concat(Normalize.sanitizeFilename(col("entity_name")),
-          lit("_"), col("doc_id")).as("filename"))
+      val (docs, manifest) = s10Fixture(s, dir)
       DownloadSink.buildQueue(docs, manifest)
         .select("doc_id", "entity_name", "url", "filename")
     }),

@@ -72,7 +72,16 @@ object DownloadSink {
     val n = m.count()
     val q =
       if (n >= bloomGate)
-        BloomSkip.skipExisting(named, m, "filename", knownExistingCount = n)
+        // The sink KNOWS the manifest size, so let the filter grow to
+        // hold the stated 1% fpp: 2^30 bits (128 MiB serialized worst
+        // case, shipped once per executor) covers ~112M keys at 1%.
+        // The 16 MiB library default is for callers sizing blind; at a
+        // 30M-key manifest it silently degrades fpp to ~12% — measured
+        // at the 1000× replica as 44M suspects instead of 31M. Past
+        // the cap fpp degrades gracefully; exactness never depends on
+        // it.
+        BloomSkip.skipExisting(named, m, "filename",
+          maxNumBits = 1L << 30, knownExistingCount = n)
       else named.join(m, Seq("filename"), "left_anti")
     if (limit > 0) q.limit(limit) else q
   }

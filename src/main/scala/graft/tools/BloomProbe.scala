@@ -39,7 +39,18 @@ object BloomProbe {
 
     names.foreach { name =>
       val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(name)(spark, dir)
+      // "s10_plain_anti": the s10 fixture FORCED down the plain
+      // anti-join (gate disabled) — the comparison baseline, since the
+      // registered s10_queue_build itself engages the Bloom split once
+      // the manifest passes BloomSkipMinManifestRows.
+      val df =
+        if (name == "s10_plain_anti") {
+          val (docs, manifest) =
+            graft.registry.SourceQueries.s10Fixture(spark, dir)
+          graft.sources.DownloadSink
+            .buildQueue(docs, manifest, bloomGate = Long.MaxValue)
+            .select("doc_id", "entity_name", "url", "filename")
+        } else graft.SparkEntry.queries(name)(spark, dir)
       // Execute THIS QueryExecution (df.write would plan a fresh one,
       // leaving these metrics at zero).
       df.queryExecution.toRdd.foreach(_ => ())
