@@ -195,8 +195,17 @@ object Clustering {
                                trainCap: Int): DataFrame = {
     val train =
       if (trainCap > 0)
+        // repartition AFTER the limit: GlobalLimit collapses its output
+        // to ONE partition and the checkpoint would pin that layout —
+        // every Lloyd pass over a 278k-row × 8,681-centroid sample then
+        // runs its ~2.4e9 distance rows in a single task (measured as a
+        // 100%-one-core stall at the 2.2M-vector replica). Seeds and
+        // decimal-exact means are partitioning-invariant, so the spread
+        // changes cost only, never the centroids.
         v.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
-          .limit(trainCap).localCheckpoint()
+          .limit(trainCap)
+          .repartition(v.sparkSession.sparkContext.defaultParallelism)
+          .localCheckpoint()
       else v
     (0 until iters).foldLeft(seedCentroids(train, k)) {
       (cents, _) => recompute(assign(train, cents)).localCheckpoint()
@@ -318,15 +327,39 @@ object Clustering {
     * @param trainCap as in [[kmeansAssign]] — bounds Lloyd training,
     *                 never the assignment or the pair stage.
     */
+  /** Cell count past which [[semDedup]] leaves the flat n × k argmin:
+    * assignment routes through [[assignTwoLevel]] and the Lloyd
+    * training sample is bounded (32 vectors per cell). 4096 cells =
+    * autoK at ~1M vectors with the default 256 target — every
+    * oracle-checked tier (fixtures ≤ 2k vectors, hash-slice sampled
+    * twins at any replica) sits far below it, so the bit-replay twins
+    * never see the approximate path; at 2.2M vectors (8,681 cells)
+    * the flat argmin is ~19e9 distance rows and this gate is the
+    * difference between minutes and an n × k wall. Cell assignment is
+    * BLOCKING, not scoring: a near-dup pair's two near-identical
+    * vectors compute near-identical probe distances, so IVF-style
+    * probing moves cell boundaries, not pair recall, and the
+    * threshold filter downstream stays exact.
+    */
+  val SemDedupTwoLevelCells: Int = 4096
+
   def semDedup(vectors: DataFrame, k: Int, iters: Int, threshold: Double,
                trainCap: Int = 0,
                driverCcThreshold: Int = 1000000,
-               targetCellSize: Int = 256): DataFrame = {
+               targetCellSize: Int = 256,
+               twoLevelCells: Int = SemDedupTwoLevelCells,
+               scaleProbe: Int = 4): DataFrame = {
     val v = vectors
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .localCheckpoint() // read by seeds, every Lloyd round, and the pair stage
     val kk = if (k > 0) k else autoK(v.count(), targetCellSize)
-    val assigned = assign(v, trainedCentroids(v, kk, iters, trainCap))
+    val scalePath = kk > twoLevelCells
+    val effTrainCap =
+      if (trainCap > 0 || !scalePath) trainCap else 32 * kk
+    val cents = trainedCentroids(v, kk, iters, effTrainCap)
+    val assigned =
+      if (scalePath) assignTwoLevel(v, cents, nProbe = scaleProbe)
+      else assign(v, cents)
     // |e| once per vector BEFORE the pair join (the Knn.cosinePre rule).
     val withNorm = assigned.select(col("cid"), col("vec_id"), col("e"),
       Knn.norm(col("e")).as("nrm"))

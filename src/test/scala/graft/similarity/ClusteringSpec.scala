@@ -144,6 +144,37 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup scale path (two-level assignment) equals flat when probes cover the super-cells") {
+    // Force the scale gate at fixture size (twoLevelCells = 2 < k = 4):
+    // assignment routes through assignTwoLevel. With scaleProbe >= s =
+    // ceil(sqrt(4)) = 2 every super-cell is probed, so two-level is
+    // EXACTLY the flat argmin and the whole semDedup output must match
+    // row-for-row — the equality contract the gated registry queries
+    // rely on (they only cross the gate at replica scale, where the
+    // bit-replay twins never run).
+    val flat = Clustering.semDedup(semCorpus, k = 4, iters = 2,
+        threshold = 0.99)
+      .collect().map(_.toSeq).toSet
+    val twoLevel = Clustering.semDedup(semCorpus, k = 4, iters = 2,
+        threshold = 0.99, twoLevelCells = 2, scaleProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(twoLevel === flat)
+    // At a narrow probe the result is still deterministic and keeps
+    // the dedup property on the planted copies (blocking may move
+    // cell boundaries, never pair recall for near-identical vectors).
+    val narrow = Clustering.semDedup(semCorpus, k = 4, iters = 2,
+        threshold = 0.99, twoLevelCells = 2, scaleProbe = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(narrow.size === 33)
+    for (i <- Seq(0L, 7L, 13L)) {
+      assert(narrow(i + 100)._1 === i && !narrow(i + 100)._2 && narrow(i)._2)
+    }
+    val narrow2 = Clustering.semDedup(semCorpus.repartition(7), k = 4,
+        iters = 2, threshold = 0.99, twoLevelCells = 2, scaleProbe = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(narrow2 === narrow)
+  }
+
   test("semDedup matches a plain-Scala within-cell replay") {
     val df = semCorpus
     val assigned = Clustering.kmeansAssign(df, k = 4, iters = 2)

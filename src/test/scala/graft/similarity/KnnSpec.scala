@@ -192,6 +192,43 @@ class KnnSpec extends AnyFunSuite {
     assert(okCount(zeroed) === ((9L, 10L)))
   }
 
+  test("corpus-derived IVF dials: fixture-identical at small n, sqrt growth, bounded") {
+    // At every fixture <= 2k vectors the rules must resolve to exactly
+    // the previously pinned (16, 8) — that identity is what keeps all
+    // small-tier correctness records value-identical across the r12
+    // dial derivation.
+    for (n <- Seq(1L, 500L, 2000L)) {
+      assert(Knn.autoCentroids(n) === 16, s"n=$n")
+      assert(Knn.autoProbe(Knn.autoCentroids(n)) === 8, s"n=$n")
+    }
+    // The measured decade points (SCALE_100x.md r12 table).
+    assert(Knn.autoCentroids(20000L) === 50)
+    assert(Knn.autoCentroids(200000L) === 159)
+    assert(Knn.autoCentroids(2000000L) === 500)
+    assert(Knn.autoProbe(500) === 250)
+    // Monotone in n, probed fraction pinned at 1/2, hard cap holds.
+    var prev = 0
+    for (n <- Seq(1L, 1000L, 10000L, 100000L, 1000000L, 100000000L, 1000000000L)) {
+      val nc = Knn.autoCentroids(n)
+      assert(nc >= prev && nc <= 4096)
+      assert(Knn.autoProbe(nc) === math.max(8, (nc + 1) / 2))
+      prev = nc
+    }
+    assert(Knn.autoCentroids(Long.MaxValue) === 4096)
+  }
+
+  test("ivfTopK auto dials (0, 0) equal the explicit fixture dials at fixture scale") {
+    // nCentroids = 0 / nProbe = 0 resolve via autoCentroids/autoProbe;
+    // at this corpus that is exactly (16, 8), so the result sets must
+    // be identical row-for-row — the executable form of the
+    // "small-tier records are value-identical" claim.
+    val qs = emb.filter(col("vec_id") < 10)
+    def rows(nc: Int, np: Int) =
+      Knn.ivfTopK(emb, qs, nCentroids = nc, nProbe = np, k = 5)
+        .collect().map(_.toSeq).toSet
+    assert(rows(0, 0) === rows(16, 8))
+  }
+
   test("cosine of identical vectors is 1.0") {
     val one = Knn.cosineNearDupPairs(
       emb.filter(col("vec_id") < 2)
