@@ -195,7 +195,13 @@ object Bench {
     // r11: the lossless prefix-filtered exact-Jaccard path — the
     // production form dedup_ngram_jaccard now points at; benched so
     // its scale curve sits next to the capped form's
-    "dedup_ngram_jaccard_prefix")
+    "dedup_ngram_jaccard_prefix",
+    // r13: the derived-banding paths (r12's fixed-rung bandPlan query
+    // and r13's auto-rung form) — benched so a regression in the
+    // derived sizing surfaces the same way the shipped (32, 64)
+    // path's would
+    "dedup_minhash_autoband",
+    "dedup_minhash_bandauto")
 
   /** The 10× scaling checkpoint: a subset chosen to answer the
     * empirical questions a 100 TB plan review asks — where the
@@ -225,7 +231,10 @@ object Bench {
     "emb_semdedup_cluster",
     // r11: prefix-filtered exact Jaccard at 10× — the decade below
     // its measured 75 s full run at 100×
-    "dedup_ngram_jaccard_prefix")
+    "dedup_ngram_jaccard_prefix",
+    // r13: the derived-banding minhash paths at 10× (see Headline)
+    "dedup_minhash_autoband",
+    "dedup_minhash_bandauto")
 
   /** Build a deterministic 10× replica of the sf0.1 tables the sf1
     * subset reads, once, under target/ (reused via _DONE marker).
@@ -470,6 +479,11 @@ object Bench {
       // fresh session). Unpersist them eagerly by enumeration.
       s.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // The roundtrip fixtures allocate a FRESH temp dir per
+      // invocation; in a many-trial session those accumulate until JVM
+      // exit — sweep them eagerly (safe here: no query is in flight
+      // between trials).
+      graft.registry.QueryTmp.sweep()
       System.gc()
     }
 

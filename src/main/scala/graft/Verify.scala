@@ -38,6 +38,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // eager roundtrip-fixture temp cleanup between queries (the
+      // shutdown hook stays as backstop) — a replica-scale dump runs
+      // long enough for accumulated fixture dirs to matter
+      graft.registry.QueryTmp.sweep()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -586,6 +586,78 @@ object ScaleDedup {
     (bands, rows * bands)
   }
 
+  /** Pick the rows-per-band RUNG too — [[bandPlan]] with the last
+    * caller dial derived. For each candidate `rows`, the miss bound
+    * fixes bands(rows); what distinguishes rungs is the work split:
+    *
+    *  - signature work ∝ k(rows) = rows·bands(rows) hashes per doc
+    *    (grows ~1.8×/rung at t = 0.6 — the ladder 16, 64, 171, 400,
+    *    855, …), and
+    *  - false-candidate work ∝ nDocs·bands(rows)·E[s^rows] expected
+    *    random co-bucketings per doc, each paying one exact-Jaccard
+    *    verify (the S-curve argument: a random pair co-buckets in one
+    *    band with probability E[s^rows], so every +1 of rows buys a
+    *    multiplicative E[s] suppression of the floor — steeper curve
+    *    at the threshold — at ~1.8× the signature cost).
+    *
+    * The rung minimizing their sum is therefore a function of nDocs:
+    * cost(rows) = k(rows) + nDocs·bands(rows)·bgSim^rows·verifyCost,
+    * argmin over the satisfiable rungs. `bgSim` models the effective
+    * background per-band similarity of a NON-duplicate pair
+    * (s.t. E[s^rows] ≈ bgSim^rows; 0.01 is conservative for 3-token
+    * shingle Jaccard over natural text, where random docs share
+    * almost no shingles) and `verifyCost` the verify-to-hash cost
+    * ratio. Both are model constants, not fixture fits: under the
+    * defaults at (t = 0.6, ε = 1e-6) the crossovers sit at
+    * cost-equality of adjacent rungs — rows = 2 → (31, 62) (one band
+    * under the shipped (32, 64), which is minimal + 1) below ~700
+    * docs, rows = 3 → (57, 171) to ~82k, rows = 4 → (100, 400) to
+    * ~9M, rows = 5 → (171, 855) beyond: the roughly
+    * one-rung-per-two-decades climb the fixed form makes the caller
+    * take by hand. Any rung it picks is lossless above `threshold` up
+    * to `missBound` by [[bandPlan]]'s construction, so the choice
+    * moves COST only, never the answer — which is why one
+    * exact-Jaccard twin grades every tier.
+    *
+    * @return (rows, bands, k)
+    */
+  def bandPlanAuto(threshold: Double, missBound: Double, nDocs: Long,
+                   bgSim: Double = 0.01,
+                   verifyCost: Double = 50.0): (Int, Int, Int) = {
+    require(nDocs >= 1, s"nDocs >= 1, got $nDocs")
+    require(bgSim > 0 && bgSim < 1, s"bgSim in (0,1), got $bgSim")
+    require(verifyCost > 0, s"verifyCost > 0, got $verifyCost")
+    val rungs = (1 to 16).flatMap { r =>
+      // a rung unsatisfiable under bandPlan's 1e6-band guard is simply
+      // not a candidate (rows=1 is always satisfiable for t<1, so the
+      // ladder is never empty)
+      try {
+        val (bands, k) = bandPlan(threshold, missBound, r)
+        val cost = k.toDouble +
+          nDocs.toDouble * bands * math.pow(bgSim, r) * verifyCost
+        Some((cost, r, bands, k))
+      } catch { case _: IllegalArgumentException => None }
+    }
+    // min by cost; ties break to the SMALLER rows (cheaper signatures)
+    // deterministically
+    val (_, r, bands, k) = rungs.minBy { case (c, r, _, _) => (c, r) }
+    (r, bands, k)
+  }
+
+  /** [[nearDupPairsPlanned]] with the rows rung derived from the
+    * corpus size by [[bandPlanAuto]] — zero banding dials left. The
+    * count is one metadata-cheap pass over the corpus frame; the
+    * banding it picks is lossless above `threshold` up to `missBound`
+    * by the same argument as the fixed-rung form, so the exact-Jaccard
+    * twin remains the correctness oracle at every tier.
+    */
+  def nearDupPairsAuto(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, missBound: Double): DataFrame = {
+    val (rows, _, _) = bandPlanAuto(threshold, missBound, df.count())
+    nearDupPairsPlanned(df, idCol, textCol, n, threshold, missBound, rows)
+  }
+
   /** LSH candidate pairs from a prebuilt (id, shingle) index: band the
     * signature (bands × rowsPerBand = k), hash each band, join docs
     * sharing any band bucket. Then verify with exact Jaccard

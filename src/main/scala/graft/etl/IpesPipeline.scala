@@ -125,7 +125,11 @@ object IpesPipeline {
       val cap = spark.conf
         .get("spark.graft.dedup.greedyParityMaxNames",
           GreedyParityMaxNames.toString).toInt
-      require(cap > 0, s"greedyParityMaxNames must be positive, got $cap")
+      // upper bound too: limit(cap + 1) would wrap negative at
+      // Int.MaxValue and surface as a confusing AnalysisException
+      // instead of this refusal.
+      require(cap > 0 && cap < Int.MaxValue,
+        s"greedyParityMaxNames must be in [1, ${Int.MaxValue - 1}], got $cap")
       val probe = perName.select(col("normalized_raw")).limit(cap + 1).collect()
       require(probe.length <= cap,
         s"greedyDedup parity mode walks the name universe on the driver " +

@@ -261,6 +261,25 @@ object ScaleDedupQueries extends QueryRegistry {
         "text", n = 3, threshold = AutoBandT, missBound = AutoBandEps,
         rows = AutoBandRows)),
 
+    // the rows RUNG derived too (bandPlanAuto: argmin of signature +
+    // expected-false-candidate cost over the satisfiable ladder, a
+    // function of the corpus count) — zero banding dials. Every rung
+    // the rule can pick is lossless above AutoBandT up to AutoBandEps,
+    // so the twin stays the SAME exact-Jaccard pair set: the oracle
+    // passing proves the auto-chosen rung loses nothing, at whatever
+    // rung the tier resolves (571 docs → rows 2, 57k → 3, 571k+ → 4).
+    "dedup_minhash_bandauto" -> ((s, dir) =>
+      ScaleDedup.nearDupPairsAuto(withNearDups(s, dir), "doc_id", "text",
+        n = 3, threshold = AutoBandT, missBound = AutoBandEps)),
+
+    // the derived-rung chain over the 1/DocSampleMod hash slice — the
+    // scale-record twin (rung resolved from the SLICE count, so the
+    // complete auto chain stays under a tractable full twin at any
+    // corpus size).
+    "dedup_minhash_bandauto_sampled" -> ((s, dir) =>
+      ScaleDedup.nearDupPairsAuto(withNearDupsSampled(s, dir), "doc_id",
+        "text", n = 3, threshold = AutoBandT, missBound = AutoBandEps)),
+
     // substring-level dedup: maximal >=10-token runs shared verbatim
     // across docs (boilerplate/quote blocks that survive doc-level
     // Jaccard because the host docs differ). Spark detects duplicate
@@ -674,6 +693,19 @@ object ScaleDedupQueries extends QueryRegistry {
       |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
 
     "dedup_minhash_autoband_sampled" -> s"""
+      |WITH RECURSIVE $sampledNearDupsCtes,
+      |${jaccardPairsSql(AutoBandT, 0)}
+      |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    // bandPlanAuto picks the rung; losslessness-above-threshold holds
+    // for EVERY rung it can pick, so the twin is rung-independent —
+    // the same exact pair set grades whatever the tier resolves to.
+    "dedup_minhash_bandauto" -> s"""
+      |WITH docs AS ($nearDupsSql),
+      |${jaccardPairsSql(AutoBandT, 0)}
+      |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    "dedup_minhash_bandauto_sampled" -> s"""
       |WITH RECURSIVE $sampledNearDupsCtes,
       |${jaccardPairsSql(AutoBandT, 0)}
       |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,

@@ -137,8 +137,11 @@ object SimilarityQueries extends QueryRegistry {
     // autoPlanes and autoRerank do. At every fixture ≤ 2k vectors the
     // rules resolve to exactly the previously pinned (16, 8) — small-
     // tier records are value-identical — and grow as √n past that
-    // (20k → 50/25, 200k → 159/80, 2.2M → 528/264), so an inverted
-    // list stays a bounded join partition instead of n/16 rows.
+    // (raw replica counts: 20k → 50/25, 200k → 159/80, 2.0M →
+    // 500/250; the r12 RecallProbe's deepest decade ran its 2,222,223-
+    // row fixture — 2.0M raw + the perturbed 1/9 union — where the
+    // rule resolves 528/264), so an inverted list stays a bounded
+    // join partition instead of n/16 rows.
     "ann_ivf_topk" -> ((s, dir) => {
       val (emb, q) = (Tables.embeddings(s, dir), queriesDf(s, dir))
       Knn.recallChecked(

@@ -83,18 +83,27 @@ object BloomSkip {
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col(keyCol))),
         Literal(n), Literal(numBits)).toAggregateExpression())
-    val conf = df.sparkSession.conf
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bits0 = conf.get(bitsKey)
-    val items0 = conf.get(itemsKey)
-    try {
-      conf.set(bitsKey, math.max(bits0.toLong, numBits).toString)
-      conf.set(itemsKey, math.max(items0.toLong, n).toString)
-      df.agg(agg.as("bf")).head.getAs[Array[Byte]]("bf")
-    } finally {
-      conf.set(bitsKey, bits0)
-      conf.set(itemsKey, items0)
+    // The set/build/restore window mutates SESSION-wide confs, so two
+    // concurrent builds on one session could interleave: one build's
+    // restore clamping the other's sizing (silent fpp degradation —
+    // never exactness). Serialize the window per session; the lock is
+    // held only for the build aggregate, and distinct sessions never
+    // contend.
+    val session = df.sparkSession
+    session.synchronized {
+      val conf = session.conf
+      val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bits0 = conf.get(bitsKey)
+      val items0 = conf.get(itemsKey)
+      try {
+        conf.set(bitsKey, math.max(bits0.toLong, numBits).toString)
+        conf.set(itemsKey, math.max(items0.toLong, n).toString)
+        df.agg(agg.as("bf")).head.getAs[Array[Byte]]("bf")
+      } finally {
+        conf.set(bitsKey, bits0)
+        conf.set(itemsKey, items0)
+      }
     }
   }
 

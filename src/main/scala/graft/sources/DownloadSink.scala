@@ -60,6 +60,15 @@ object DownloadSink {
     * manifest is not scanned a second time. Both branches are exactly
     * equal by BloomSkip's construction; DownloadSinkSpec pins the
     * equality on both sides of the gate.
+    *
+    * DETERMINISM PRECONDITION (inherited from
+    * [[BloomSkip.skipExisting]], which evaluates the queue plan twice
+    * past the gate): `docs` must be a deterministic plan — a frame
+    * derived from `rand()`/`uuid()`/`monotonically_increasing_id()`
+    * could land rows in neither or both Bloom branches once the
+    * manifest crosses the gate, a silent semantics change from the
+    * single-evaluation anti-join below it. Persist or checkpoint a
+    * nondeterministic frame before calling.
     */
   def buildQueue(docs: DataFrame, manifest: DataFrame, limit: Int = 0,
                  bloomGate: Long = BloomSkipMinManifestRows): DataFrame = {

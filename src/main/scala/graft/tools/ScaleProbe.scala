@@ -123,6 +123,46 @@ object ScaleProbe {
     }
   }
 
+  /** Per-stage scaling forensics for `corpus_source_authority`: the
+    * corpus-scale edge derivation (sourceOverlap's shingle self-join)
+    * timed apart from the edge-sized PageRank iterations, with the
+    * node/edge counts that make the scaling claim checkable — the
+    * 1000× record's 14.8×-time-for-10×-docs is adjudicated EDGE-bound
+    * (the replica vocabulary multiplies distinct (source, shingle)
+    * pairs superlinearly), so the record must carry edges and
+    * sec/edge, not docs alone. args: `authority <dir> [<dir2> ...]`.
+    */
+  private def probeAuthority(spark: SparkSession, dir: String): Unit = {
+    println(s"[probe] === authority $dir ===")
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("text"))
+    val nDocs = timed("docs.count")(docs.count())
+    val edges = timed("edges materialize (sourceOverlap)") {
+      val e = ScaleDedup.sourceOverlap(docs, "source", "text")
+        .select(col("src_a").as("src"), col("src_b").as("dst"),
+          col("n_shared").as("w"))
+        .localCheckpoint()
+      e.count()
+      e
+    }
+    val nEdges = edges.count()
+    val totalW = edges.agg(sum(col("w"))).head.getLong(0)
+    val nodes = docs.select(col("source").as("id")).distinct().localCheckpoint()
+    val nNodes = nodes.count()
+    val iters = 5
+    val t0 = System.nanoTime()
+    timed(s"ranks ($iters iters, edge-sized only)") {
+      graft.operators.PageRank.ranks(nodes, edges, iters)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val rankSec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe]   rows: docs=$nDocs nodes=$nNodes edges=$nEdges " +
+      f"sumW=$totalW edges/node=${nEdges.toDouble / nNodes}%.1f")
+    println(f"[probe]   ranks: ${rankSec}%.2f s = " +
+      f"${rankSec / iters}%.3f s/iter, " +
+      f"${rankSec * 1e6 / (iters.toLong * nEdges)}%.3f us/(iter*edge)")
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -138,6 +178,7 @@ object ScaleProbe {
     if (args.headOption.contains("seq")) benchSeq(spark, args(1), args.drop(2).toSeq)
     else if (args.headOption.contains("ab")) args.drop(1).foreach(abJaccard(spark, _))
     else if (args.headOption.contains("spans")) args.drop(1).foreach(probeSpans(spark, _))
+    else if (args.headOption.contains("authority")) args.drop(1).foreach(probeAuthority(spark, _))
     else dirs.foreach(probe(spark, _))
     spark.stop()
   }

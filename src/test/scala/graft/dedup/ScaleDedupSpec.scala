@@ -478,4 +478,40 @@ class ScaleDedupSpec extends AnyFunSuite {
       assert(bands > 0 && kk > 0 && kk === r * bands)
     }
   }
+
+  test("bandPlanAuto: rung = argmin of the explicit cost model; documented ladder") {
+    def cost(t: Double, eps: Double, n: Long, r: Int): Option[Double] =
+      try {
+        val (bands, k) = ScaleDedup.bandPlan(t, eps, r)
+        Some(k + n.toDouble * bands * math.pow(0.01, r) * 50.0)
+      } catch { case _: IllegalArgumentException => None }
+    // argmin property over a grid (independent recomputation)
+    for (t <- Seq(0.5, 0.6, 0.75); eps <- Seq(1e-3, 1e-6);
+         n <- Seq(100L, 571L, 57143L, 571429L, 5714285L, 100000000L)) {
+      val (r, bands, k) = ScaleDedup.bandPlanAuto(t, eps, n)
+      assert((bands, k) === ScaleDedup.bandPlan(t, eps, r))
+      val best = (1 to 16).flatMap(rr => cost(t, eps, n, rr).map((_, rr))).min
+      assert(cost(t, eps, n, r).get === best._1,
+        s"not argmin at t=$t eps=$eps n=$n: picked rows=$r")
+    }
+    // the documented (t=0.6, eps=1e-6) ladder at the fixture tiers:
+    // sf0.01 dedup fixture (571 docs) rides the rows-2 rung (31 bands
+    // minimal — the shipped fixed query uses 32, one band above
+    // minimal); sf0.1 (5.7k) and sf1 (57k) the autoband rung
+    // (57, 171); 100x (571k) and 1000x (5.7M) climb to (100, 400).
+    assert(ScaleDedup.bandPlanAuto(0.6, 1e-6, 571) === ((2, 31, 62)))
+    assert(ScaleDedup.bandPlanAuto(0.6, 1e-6, 5714) === ((3, 57, 171)))
+    assert(ScaleDedup.bandPlanAuto(0.6, 1e-6, 57143) === ((3, 57, 171)))
+    assert(ScaleDedup.bandPlanAuto(0.6, 1e-6, 571429) === ((4, 100, 400)))
+    assert(ScaleDedup.bandPlanAuto(0.6, 1e-6, 5714285) === ((4, 100, 400)))
+    // monotone in n: more docs never picks FEWER rows per band
+    val ns = Seq(10L, 1000L, 100000L, 10000000L, 1000000000L)
+    val picked = ns.map(ScaleDedup.bandPlanAuto(0.6, 1e-6, _)._1)
+    assert(picked === picked.sorted)
+    // unsatisfiable rungs are skipped, not fatal: at (0.1, 1e-9) the
+    // deep rungs refuse in bandPlan but the auto rule still answers
+    // from the satisfiable prefix of the ladder
+    val (rLow, _, _) = ScaleDedup.bandPlanAuto(0.1, 1e-9, 1000000L)
+    assert(rLow >= 1)
+  }
 }

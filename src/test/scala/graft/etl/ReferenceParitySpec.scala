@@ -127,4 +127,20 @@ class ReferenceParitySpec extends AnyFunSuite {
     // already prove it end-to-end).
     assert(IpesPipeline.GreedyParityMaxNames >= 1000000)
   }
+
+  test("greedy parity cap refuses Int.MaxValue instead of wrapping") {
+    // limit(cap + 1) at cap = Int.MaxValue wraps negative — the guard
+    // must turn that into the same loud refusal as a non-positive cap,
+    // not a downstream AnalysisException.
+    val key = "spark.graft.dedup.greedyParityMaxNames"
+    for (bad <- Seq(Int.MaxValue.toString, "0", "-5")) {
+      spark.conf.set(key, bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          IpesPipeline.structure(bronze, greedyDedup = true).companies.count()
+        }
+        assert(e.getMessage.contains("greedyParityMaxNames"))
+      } finally spark.conf.unset(key)
+    }
+  }
 }
