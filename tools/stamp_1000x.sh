@@ -1,0 +1,75 @@
+#!/bin/bash
+# Dev-only: stand up the hash-graded 1000x correctness record
+# (CORRECTNESS_1000x.json) — the uniform rows+schema+hash standard the
+# 10x/100x records meet, applied to the 1000x replica tier
+# (target/sf1000{docs,emb,events,orders} + 1x sides symlinked under
+# target/v1000*). Five batches, one per replica family; each is a
+# grade_subset.sh run (Verify subset dump -> DuckDB oracle -> merge).
+#
+# Coverage policy (mirrors the 100x record's tiers):
+#  - full canon      : outputs small enough to materialize in Python;
+#  - digest          : replica-scale outputs — exact multiset equality
+#                      via in-DuckDB (count, hash-sum) on both sides;
+#  - sampled twin    : the COMPLETE chain over the deterministic
+#                      SampleMod hash slice, full twin replayed in
+#                      DuckDB; fulls mapped (full=twin) where the full
+#                      Spark run is affordable at this tier;
+#  - excluded        : oracle-side intractable at 1000x (the DuckDB
+#                      twin's cost, not an engine limit) — recorded as
+#                      excluded_oracle_intractable, never a silent hole.
+#
+# Usage: tools/stamp_1000x.sh <batch>   # docs1|docs2|events|emb|orders
+set -euo pipefail
+cd "$(dirname "$0")/.."
+REC=CORRECTNESS_1000x.json
+export DUCK_ISOLATE=1 DUCK_MEM="${DUCK_MEM:-48GB}"
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-24}" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}"
+
+L_DOCS="sf1000docs (5.71M docs incl. planted dups, 1x sides)"
+L_EV="sf1000events (100M events, 1x dims)"
+L_EMB="sf1000emb (2M vectors, 1x dims)"
+L_ORD="sf1000orders (150M orders, 1x dims)"
+
+case "$1" in
+docs1)  # sampled twins (the COMPLETE chains over the ~5.6k-doc slice)
+        # + small-output fulls; the heavy fulls' 1000x Spark runs are
+        # already recorded in bench/SCALE.json — re-running them here
+        # buys only the row count, so only corpus_source_authority
+        # (needed fresh for the edge-count probe anyway) is mapped.
+  bash tools/grade_subset.sh target/v1000docs /tmp/g1000_docs1 "$REC" "$L_DOCS" \
+    corpus_prep_sampled,corpus_source_authority,corpus_source_authority_sampled,corpus_substring_spans_sampled,dedup_corpus_composed_sampled,dedup_cc_distributed_sampled,dedup_against_reference_sampled,dedup_minhash_sampled,dedup_minhash_autoband_sampled,dedup_minhash_bandauto_sampled,dedup_ngram_jaccard_sampled,dedup_ngram_jaccard_prefix_sampled,dedup_simhash_sampled,text_winnow_sampled,corpus_dsir_select,corpus_dsir_weights,corpus_mix_weights,corpus_profile,corpus_report,corpus_domain_cap,corpus_budget_select,corpus_sample_weighted,corpus_curriculum,text_top_terms,text_bm25_topk,text_entropy,text_distinct_hll,text_heavy_hitters_sketch,mm_embed_topk,text_tfidf \
+    "" corpus_source_authority=corpus_source_authority_sampled "" ;;
+docs2)  # replica-scale outputs, digest-graded; langid/quality/
+        # repetition/stats/chunk/overlap/simhash_md5/winnow_md5/
+        # containment/capped-jaccard/scrub_spans excluded: their FULL
+        # DuckDB replay at 5.7M docs is hours (400s+ already at 571k).
+  bash tools/grade_subset.sh target/v1000docs /tmp/g1000_docs2 "$REC" "$L_DOCS" \
+    f2_flatten_project,f3_first_nonempty,mm_decode_stub,mm_metadata,mm_frame_sample,s14_schema_evolution,s18_orc_roundtrip,s6_partitioned_write,s6_s3_json_roundtrip,dedup_exact,dedup_segments,corpus_quality_filter,corpus_sample_stratified,split_train_val,stream_corpus_ingest,corpus_pack_bins,corpus_pack_payload,corpus_pack_sharded,text_scrub_pii,text_fingerprint,text_unigram_logppl,text_vocab_oov,text_tokens,corpus_decontaminate,f13_filetype_classify,f16_llm_validation \
+    text_langid,text_quality,text_repetition,corpus_stats,corpus_chunk,source_overlap,dedup_simhash_md5,text_winnow_md5,dedup_containment,dedup_ngram_jaccard_capped,dedup_winnow_pairs,corpus_scrub_spans,corpus_scrub_repeats,stream_lsh_neardup \
+    "" \
+    f2_flatten_project,f3_first_nonempty,mm_decode_stub,mm_metadata,mm_frame_sample,s14_schema_evolution,s18_orc_roundtrip,s6_partitioned_write,s6_s3_json_roundtrip,dedup_exact,dedup_segments,corpus_quality_filter,corpus_sample_stratified,split_train_val,stream_corpus_ingest,corpus_pack_bins,corpus_pack_payload,corpus_pack_sharded,text_scrub_pii,text_fingerprint,text_unigram_logppl,text_vocab_oov,text_tokens,corpus_decontaminate,f13_filetype_classify,f16_llm_validation ;;
+events) # 100M-event analytics; asof_join / stream_sessionize /
+        # range_join excluded (their DuckDB twins materialize or
+        # range-scan 100M+ rows — 160-200s already at 10M).
+  bash tools/grade_subset.sh target/v1000events /tmp/g1000_events "$REC" "$L_EV" \
+    events_funnel,events_retention,events_transitions,events_gap_stats,events_anomaly,a17_rolling_avg,w5_latest_run,a20_histogram,a9_mode,stream_enrich_join,ts_gap_fill,stream_tumbling_hourly,stream_late_data,stream_stream_attribution,s8_run_stats_trend,f1_json_path,f4_date_trunc,range_agg_multires \
+    asof_join,stream_sessionize,range_join \
+    "" \
+    f1_json_path,f4_date_trunc,range_agg_multires ;;
+emb)    # 2M-vector similarity/clustering; the three heavy fulls map
+        # to their slice twins; twolevel excluded (full twin ~3000s).
+  bash tools/grade_subset.sh target/v1000emb /tmp/g1000_emb "$REC" "$L_EMB" \
+    ann_lsh_topk,ann_ivf_topk,ann_ivfpq_topk,ann_pq_topk,ann_incremental_topk,emb_cosine_topk,emb_near_dup,emb_near_dup_sampled,emb_semantic_dedup,emb_semantic_dedup_sampled,emb_semdedup_cluster,emb_semdedup_sampled,emb_kmeans_cluster,emb_cluster_balance,emb_cluster_sample,emb_cluster_outliers,stream_cluster_route \
+    emb_kmeans_twolevel \
+    emb_near_dup=emb_near_dup_sampled,emb_semantic_dedup=emb_semantic_dedup_sampled,emb_semdedup_cluster=emb_semdedup_sampled \
+    emb_kmeans_cluster,emb_cluster_outliers,stream_cluster_route ;;
+orders) # 150M-order IPES family; enrich_stub / s2_union_dedup
+        # excluded (driver-paced effect stage; 172s canon at 13M rows
+        # -> ~30min at 130M).
+  bash tools/grade_subset.sh target/v1000orders /tmp/g1000_orders "$REC" "$L_ORD" \
+    ipes_companies,ipes_companies_full,a13_validation_stats,f6_normalize_names,f7_blocklist_filter,f10_individual_heuristic,f11_applicant_gate,f14_sanitize_filename,f15_validation_split,j2_cache_lookup,uuid5_company_id,s10_queue_build,s11_bloom_skip,f9_application_type \
+    enrich_stub,s2_union_dedup \
+    "" \
+    s10_queue_build,s11_bloom_skip,f9_application_type ;;
+*) echo "unknown batch: $1" >&2; exit 2 ;;
+esac
