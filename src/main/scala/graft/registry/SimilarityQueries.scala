@@ -512,10 +512,15 @@ object SimilarityQueries extends QueryRegistry {
       |SELECT vec_id, cid AS cluster, d2 AS dist2, z, abs(z) > 2.0 AS is_outlier
       |FROM z""".stripMargin,
 
+    // share via the half-up scaled-integer idiom, replaying the Spark
+    // side exactly — round(double, 6) disagreed between engines at a
+    // 5e-7 tie the 2M-vector replica landed on (see clusterBalance).
     "emb_cluster_balance" -> s"""
       |WITH ${kmeansCtes(8, 2)}
       |SELECT cid AS cluster, COUNT(*) AS n,
-      |  round(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS share
+      |  CAST((2 * CAST(COUNT(*) AS HUGEINT) * 1000000
+      |        + SUM(COUNT(*)) OVER ())
+      |       // (2 * SUM(COUNT(*)) OVER ()) AS DOUBLE) / 1000000 AS share
       |FROM af GROUP BY cid""".stripMargin,
 
     // Spark orders by signed xxhash64(vec_id) — longHashCte emits the

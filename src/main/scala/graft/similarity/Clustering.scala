@@ -275,8 +275,21 @@ object Clustering {
     */
   def clusterBalance(assigned: DataFrame): DataFrame = {
     val w = Window.partitionBy(lit(1))
+    // share at 6 dp via the repo's half-up SCALED-INTEGER idiom
+    // ((2·n·1e6 + total) div (2·total), then one exact IEEE division
+    // by 1e6) instead of round(double, 6): n/total can land exactly on
+    // a 5·10⁻⁷ rounding tie (found at the 2M-vector replica, where
+    // total = 2e6 makes every odd count a tie at the 7th decimal:
+    // 252395/2e6 = 0.1261975 → Spark HALF_UP said 0.126198, DuckDB's
+    // binary-double round said 0.126197). Integer arithmetic ties
+    // break identically on both engines.
     assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-      .withColumn("share", round(col("n") / sum(col("n")).over(w), 6))
+      .withColumn("_t", sum(col("n")).over(w))
+      .withColumn("share",
+        // n widened first (the PageRank discipline): 2·n·1e6 would
+        // wrap BIGINT past ~4.6e12 rows in one cluster
+        expr("(2 * CAST(n AS DECIMAL(38,0)) * 1000000 + _t) div (2 * _t)")
+          .cast("double") / lit(1e6))
       .select(col("cluster"), col("n"), col("share"))
   }
 
