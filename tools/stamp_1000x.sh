@@ -36,26 +36,42 @@ docs1)  # sampled twins (the COMPLETE chains over the ~5.6k-doc slice)
         # already recorded in bench/SCALE.json — re-running them here
         # buys only the row count, so only corpus_source_authority
         # (needed fresh for the edge-count probe anyway) is mapped.
+        # corpus_prep_sampled excluded: its recursive-CTE twin was the
+        # slowest oracle at 100x already (568 s over an 8.9k slice)
+        # and at this tier burned >35 min of 32-core DuckDB before
+        # this run killed it — oracle-side cost (the Spark chain over
+        # the same slice dumps in seconds); its full-corpus grading
+        # stands at the 100x tier.
   bash tools/grade_subset.sh target/v1000docs /tmp/g1000_docs1 "$REC" "$L_DOCS" \
-    corpus_prep_sampled,corpus_source_authority,corpus_source_authority_sampled,corpus_substring_spans_sampled,dedup_corpus_composed_sampled,dedup_cc_distributed_sampled,dedup_against_reference_sampled,dedup_minhash_sampled,dedup_minhash_autoband_sampled,dedup_minhash_bandauto_sampled,dedup_ngram_jaccard_sampled,dedup_ngram_jaccard_prefix_sampled,dedup_simhash_sampled,text_winnow_sampled,corpus_dsir_select,corpus_dsir_weights,corpus_mix_weights,corpus_profile,corpus_report,corpus_domain_cap,corpus_budget_select,corpus_sample_weighted,corpus_curriculum,text_top_terms,text_bm25_topk,text_entropy,text_distinct_hll,text_heavy_hitters_sketch,mm_embed_topk,text_tfidf \
-    "" corpus_source_authority=corpus_source_authority_sampled "" ;;
+    corpus_source_authority,corpus_source_authority_sampled,corpus_substring_spans_sampled,dedup_corpus_composed_sampled,dedup_cc_distributed_sampled,dedup_against_reference_sampled,dedup_minhash_sampled,dedup_minhash_autoband_sampled,dedup_minhash_bandauto_sampled,dedup_ngram_jaccard_sampled,dedup_ngram_jaccard_prefix_sampled,dedup_simhash_sampled,text_winnow_sampled,corpus_dsir_select,corpus_dsir_weights,corpus_mix_weights,corpus_profile,corpus_report,corpus_domain_cap,corpus_budget_select,corpus_sample_weighted,corpus_curriculum,text_top_terms,text_bm25_topk,text_entropy,text_distinct_hll,text_heavy_hitters_sketch,mm_embed_topk,text_tfidf \
+    corpus_prep_sampled corpus_source_authority=corpus_source_authority_sampled "" ;;
 docs2)  # replica-scale outputs, digest-graded; langid/quality/
         # repetition/stats/chunk/overlap/simhash_md5/winnow_md5/
         # containment/capped-jaccard/scrub_spans excluded: their FULL
         # DuckDB replay at 5.7M docs is hours (400s+ already at 571k).
+        # corpus_decontaminate excluded too: its twin's 13-gram join
+        # spilled duck_tmp past 50 GB of free disk at 5.7M docs before
+        # dying (measured this run) — oracle-side cost, not an engine
+        # limit (the Spark side completed in 133.5 s).
   bash tools/grade_subset.sh target/v1000docs /tmp/g1000_docs2 "$REC" "$L_DOCS" \
-    f2_flatten_project,f3_first_nonempty,mm_decode_stub,mm_metadata,mm_frame_sample,s14_schema_evolution,s18_orc_roundtrip,s6_partitioned_write,s6_s3_json_roundtrip,dedup_exact,dedup_segments,corpus_quality_filter,corpus_sample_stratified,split_train_val,stream_corpus_ingest,corpus_pack_bins,corpus_pack_payload,corpus_pack_sharded,text_scrub_pii,text_fingerprint,text_unigram_logppl,text_vocab_oov,text_tokens,corpus_decontaminate,f13_filetype_classify,f16_llm_validation \
-    text_langid,text_quality,text_repetition,corpus_stats,corpus_chunk,source_overlap,dedup_simhash_md5,text_winnow_md5,dedup_containment,dedup_ngram_jaccard_capped,dedup_winnow_pairs,corpus_scrub_spans,corpus_scrub_repeats,stream_lsh_neardup \
+    f2_flatten_project,f3_first_nonempty,mm_decode_stub,mm_metadata,mm_frame_sample,s14_schema_evolution,s18_orc_roundtrip,s6_partitioned_write,s6_s3_json_roundtrip,dedup_exact,dedup_segments,corpus_quality_filter,corpus_sample_stratified,split_train_val,stream_corpus_ingest,corpus_pack_bins,corpus_pack_payload,corpus_pack_sharded,text_scrub_pii,text_fingerprint,text_unigram_logppl,text_vocab_oov,text_tokens,f13_filetype_classify,f16_llm_validation \
+    text_langid,text_quality,text_repetition,corpus_stats,corpus_chunk,source_overlap,dedup_simhash_md5,text_winnow_md5,dedup_containment,dedup_ngram_jaccard_capped,dedup_winnow_pairs,corpus_scrub_spans,corpus_scrub_repeats,stream_lsh_neardup,corpus_decontaminate \
     "" \
-    f2_flatten_project,f3_first_nonempty,mm_decode_stub,mm_metadata,mm_frame_sample,s14_schema_evolution,s18_orc_roundtrip,s6_partitioned_write,s6_s3_json_roundtrip,dedup_exact,dedup_segments,corpus_quality_filter,corpus_sample_stratified,split_train_val,stream_corpus_ingest,corpus_pack_bins,corpus_pack_payload,corpus_pack_sharded,text_scrub_pii,text_fingerprint,text_unigram_logppl,text_vocab_oov,text_tokens,corpus_decontaminate,f13_filetype_classify,f16_llm_validation ;;
+    f2_flatten_project,f3_first_nonempty,mm_decode_stub,mm_metadata,mm_frame_sample,s14_schema_evolution,s18_orc_roundtrip,s6_partitioned_write,s6_s3_json_roundtrip,dedup_exact,dedup_segments,corpus_quality_filter,corpus_sample_stratified,split_train_val,stream_corpus_ingest,corpus_pack_bins,corpus_pack_payload,corpus_pack_sharded,text_scrub_pii,text_fingerprint,text_unigram_logppl,text_vocab_oov,text_tokens,f13_filetype_classify,f16_llm_validation ;;
 events) # 100M-event analytics; asof_join / stream_sessionize /
         # range_join excluded (their DuckDB twins materialize or
-        # range-scan 100M+ rows — 160-200s already at 10M).
+        # range-scan 100M+ rows — 160-200s already at 10M), and
+        # range_agg_multires too: its twin is the ENUMERATING interval
+        # form — the exact anti-pattern the multi-resolution operator
+        # exists to avoid (measured 86x the operator's cost at the 10M
+        # replica and superlinear beyond; >35 min of 32-core compute
+        # at 100M before this run killed it). Every canon query here
+        # was hand-timed <35 s at 100M before the batch shipped.
   bash tools/grade_subset.sh target/v1000events /tmp/g1000_events "$REC" "$L_EV" \
-    events_funnel,events_retention,events_transitions,events_gap_stats,events_anomaly,a17_rolling_avg,w5_latest_run,a20_histogram,a9_mode,stream_enrich_join,ts_gap_fill,stream_tumbling_hourly,stream_late_data,stream_stream_attribution,s8_run_stats_trend,f1_json_path,f4_date_trunc,range_agg_multires \
-    asof_join,stream_sessionize,range_join \
+    events_funnel,events_retention,events_transitions,events_gap_stats,events_anomaly,a17_rolling_avg,w5_latest_run,a20_histogram,a9_mode,stream_enrich_join,ts_gap_fill,stream_tumbling_hourly,stream_late_data,stream_stream_attribution,s8_run_stats_trend,f1_json_path,f4_date_trunc \
+    asof_join,stream_sessionize,range_join,range_agg_multires \
     "" \
-    f1_json_path,f4_date_trunc,range_agg_multires ;;
+    f1_json_path,f4_date_trunc ;;
 emb)    # 2M-vector similarity/clustering; the three heavy fulls map
         # to their slice twins; twolevel excluded (full twin ~3000s).
   bash tools/grade_subset.sh target/v1000emb /tmp/g1000_emb "$REC" "$L_EMB" \
