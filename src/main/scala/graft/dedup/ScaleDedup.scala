@@ -624,6 +624,13 @@ object ScaleDedup {
   def bandPlanAuto(threshold: Double, missBound: Double, nDocs: Long,
                    bgSim: Double = 0.01,
                    verifyCost: Double = 50.0): (Int, Int, Int) = {
+    // Validate threshold/missBound HERE, not only inside bandPlan: the
+    // per-rung try below treats a rung's IllegalArgumentException as
+    // "rung unsatisfiable, skip it", so a globally invalid threshold
+    // (e.g. t >= 1) would silently skip every rung and surface as
+    // `empty.minBy` instead of a clear refusal.
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    require(missBound > 0 && missBound < 1, s"missBound in (0,1), got $missBound")
     require(nDocs >= 1, s"nDocs >= 1, got $nDocs")
     require(bgSim > 0 && bgSim < 1, s"bgSim in (0,1), got $bgSim")
     require(verifyCost > 0, s"verifyCost > 0, got $verifyCost")
@@ -646,15 +653,26 @@ object ScaleDedup {
 
   /** [[nearDupPairsPlanned]] with the rows rung derived from the
     * corpus size by [[bandPlanAuto]] — zero banding dials left. The
-    * count is one metadata-cheap pass over the corpus frame; the
     * banding it picks is lossless above `threshold` up to `missBound`
     * by the same argument as the fixed-rung form, so the exact-Jaccard
     * twin remains the correctness oracle at every tier.
+    *
+    * `nDocs` (when > 0) supplies the corpus size so no counting pass
+    * runs at all — callers usually already know it (a table count, or
+    * base-count arithmetic over a planted fixture), and the rung only
+    * needs order of magnitude: the cost-model crossovers sit roughly
+    * one rung per two decades, so any estimate within ~2× of the true
+    * count picks either the argmin rung or its cost-equal neighbor —
+    * and EVERY satisfiable rung is lossless, so the answer never
+    * moves. Left at -1, the input frame is counted, re-executing its
+    * lineage once (fine for a parquet scan, wasteful for a transformed
+    * frame at corpus scale).
     */
   def nearDupPairsAuto(
       df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double, missBound: Double): DataFrame = {
-    val (rows, _, _) = bandPlanAuto(threshold, missBound, df.count())
+      threshold: Double, missBound: Double, nDocs: Long = -1L): DataFrame = {
+    val count = if (nDocs > 0) nDocs else df.count()
+    val (rows, _, _) = bandPlanAuto(threshold, missBound, count)
     nearDupPairsPlanned(df, idCol, textCol, n, threshold, missBound, rows)
   }
 

@@ -50,6 +50,17 @@ import org.apache.spark.sql.types.BinaryType
   */
 object BloomSkip {
 
+  /** Per-session build locks for the conf set/build/restore window —
+    * a PRIVATE monitor, not the SparkSession object itself: the
+    * session is a publicly reachable monitor, so locking it would
+    * contend with (and block across a Spark action against) any other
+    * code that also synchronizes on it. Weak keys, so the map never
+    * pins a stopped session in memory.
+    */
+  private val buildLocks: java.util.Map[org.apache.spark.sql.SparkSession, Object] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]())
+
   /** Serialized Bloom filter over `xxhash64(keyCol)` of `df`.
     * One count pass sizes it; one aggregate pass builds it
     * (partition-local inserts, bitset-OR merge — order-independent,
@@ -90,7 +101,8 @@ object BloomSkip {
     // held only for the build aggregate, and distinct sessions never
     // contend.
     val session = df.sparkSession
-    session.synchronized {
+    val lock = buildLocks.computeIfAbsent(session, _ => new Object)
+    lock.synchronized {
       val conf = session.conf
       val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
       val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"

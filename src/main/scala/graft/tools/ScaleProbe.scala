@@ -146,7 +146,9 @@ object ScaleProbe {
       e
     }
     val nEdges = edges.count()
-    val totalW = edges.agg(sum(col("w"))).head.getLong(0)
+    // coalesce: SUM over zero rows is null — an empty edge set (single
+    // source / no overlap fixture) should print zeros, not NPE.
+    val totalW = edges.agg(coalesce(sum(col("w")), lit(0L))).head.getLong(0)
     val nodes = docs.select(col("source").as("id")).distinct().localCheckpoint()
     val nNodes = nodes.count()
     val iters = 5

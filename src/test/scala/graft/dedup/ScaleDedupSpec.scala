@@ -514,4 +514,21 @@ class ScaleDedupSpec extends AnyFunSuite {
     val (rLow, _, _) = ScaleDedup.bandPlanAuto(0.1, 1e-9, 1000000L)
     assert(rLow >= 1)
   }
+
+  test("bandPlanAuto: invalid threshold/missBound refuse with the named " +
+    "dial, never empty.minBy") {
+    // A globally invalid dial must trip the top-level require — not be
+    // swallowed by the per-rung unsatisfiable-skip and surface as
+    // UnsupportedOperationException(empty.minBy).
+    for (t <- Seq(0.0, 1.0, 1.5, -0.2)) {
+      val e = intercept[IllegalArgumentException](
+        ScaleDedup.bandPlanAuto(t, 1e-6, 1000L))
+      assert(e.getMessage.contains("threshold"), s"t=$t: ${e.getMessage}")
+    }
+    for (eps <- Seq(0.0, 1.0, 2.0)) {
+      val e = intercept[IllegalArgumentException](
+        ScaleDedup.bandPlanAuto(0.6, eps, 1000L))
+      assert(e.getMessage.contains("missBound"), s"eps=$eps: ${e.getMessage}")
+    }
+  }
 }

@@ -5,8 +5,13 @@ with a documented exclusion list for oracle-side-intractable queries
 (the DuckDB twin's cost, not an engine limit).
 
 Usage: python3 tools/check_oracle_json.py <sfDir> <verifyOutDir> <outJson> \
-         [excluded1,excluded2,...] [full1=sampled1,full2=sampled2,...] \
+         [excl1[=reason],excl2[=reason],...] \
+         [full1=sampled1,full2=sampled2,...] \
          [digest1,digest2,...]
+
+Excluded entries may carry an inline `=reason` (spaces allowed, commas
+not) recorded verbatim on the excluded_oracle_intractable entry, so
+the emitted record is self-describing.
 
 The 5th arg maps a full-scale query to its `_sampled` twin: the full
 query's DuckDB replay is intractable at replica scale, so its entry is
@@ -171,6 +176,8 @@ def main(sf_dir, out_dir, out_json, excluded, sampled_map=None, digest=None):
     for name, sql in sorted(oracle.items()):
         if name in excluded:
             result[name] = {"status": "excluded_oracle_intractable"}
+            if excluded[name]:
+                result[name]["reason"] = excluded[name]
             print(f"SKIP {name} (documented oracle-side exclusion)")
             continue
         if name in sampled_map:
@@ -220,7 +227,13 @@ def main(sf_dir, out_dir, out_json, excluded, sampled_map=None, digest=None):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    excl = set(sys.argv[4].split(",")) if len(sys.argv) > 4 and sys.argv[4] else set()
+    # excluded arg: comma-separated `name` or `name=reason` entries —
+    # the reason (spaces fine, commas not) is stamped on the entry.
+    excl = {}
+    if len(sys.argv) > 4 and sys.argv[4]:
+        for item in sys.argv[4].split(","):
+            name, _, reason = item.partition("=")
+            excl[name] = reason or None
     smap = dict(kv.split("=") for kv in sys.argv[5].split(",")) \
         if len(sys.argv) > 5 and sys.argv[5] else {}
     dig = set(sys.argv[6].split(",")) if len(sys.argv) > 6 and sys.argv[6] else set()
