@@ -19,6 +19,14 @@ import graft.streaming.EventStreams
   */
 object MmStreamQueries extends QueryRegistry {
 
+  /** Scale-adaptive divisor for the user-hash slice of `events` (the
+    * stream_sessionize scale twin) — same SampleMod ladder as the
+    * docs/emb slices, keyed on the EVENT count (users are uniform over
+    * events in the fixture, so the sliced stream is ~TargetSlice rows).
+    */
+  private[registry] def userMod(s: SparkSession, dir: String): Long =
+    SampleMod.of(Tables.events(s, dir).count(), 8)
+
   private def binDocs(s: SparkSession, dir: String): DataFrame = {
     val content = when(col("doc_id") % 4 === 0, lit("%PDF-1.7 stream"))
       .when(col("doc_id") % 4 === 1, lit("PK worddoc"))
@@ -59,6 +67,19 @@ object MmStreamQueries extends QueryRegistry {
 
     "stream_sessionize" -> ((s, dir) =>
       EventStreams.sessionCounts(Tables.events(s, dir), "30 minutes")),
+
+    // the COMPLETE session_window chain over the deterministic
+    // 1/userMod xxhash64 USER slice — the scale-record twin. Sessions
+    // are per-user by construction, so slicing users before
+    // sessionization equals slicing the full output: the twin grades
+    // real session semantics while DuckDB replays only ~1/mod of the
+    // event stream (the full lag+cumsum twin materializes a window
+    // over every event — oracle-side intractable at the 100M replica).
+    "stream_sessionize_sampled" -> ((s, dir) =>
+      EventStreams.sessionCounts(
+        Tables.events(s, dir)
+          .filter(pmod(xxhash64(col("user_id")), lit(userMod(s, dir))) === 0),
+        "30 minutes")),
 
     // S5's streaming corpus-ingest twin: batch form of the cross-batch
     // fingerprint dedup EventStreamsSpec drives on a MemoryStream
@@ -334,21 +355,39 @@ object MmStreamQueries extends QueryRegistry {
 
     // lag + cumulative-sum sessionization is the closed-form equivalent
     // of session_window: new session iff gap >= 30 min (micros).
-    "stream_sessionize" -> """
-      |WITH e AS (
-      |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
-      |m AS (
-      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
-      |      OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-      |s AS (
-      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-      |    ROWS UNBOUNDED PRECEDING) AS sid
-      |  FROM m)
-      |SELECT user_id,
-      |  strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
-      |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-      |FROM s GROUP BY user_id, sid""".stripMargin,
+    "stream_sessionize" ->
+      s"WITH ${sessionizeChain("SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events")}",
+
+    // the same closed form over the 1/userMod XXH64 user slice — the
+    // scale-record twin (per-user independence makes input slicing
+    // exact, see the Spark-side comment).
+    "stream_sessionize_sampled" -> s"""
+      |WITH RECURSIVE ${SampleMod.modCte("events", 8)},
+      |${XxHashOracleSql.longHashCte("usel", "events",
+           Seq("user_id", "event_id", "value", "ts"), "user_id",
+           "CAST(42 AS UBIGINT)", "h64")},
+      |${sessionizeChain(
+           "SELECT user_id, event_id, value, epoch_us(ts) AS us FROM usel " +
+             s"WHERE ${SampleMod.slicePredicate("h64")}")}""".stripMargin,
   )
+
+  /** The lag + cumsum sessionization chain over an arbitrary
+    * `(user_id, event_id, value, us)` source SELECT — shared by the
+    * full twin and the user-slice scale twin.
+    */
+  private def sessionizeChain(eventsSrc: String): String = s"""
+    |e AS ($eventsSrc),
+    |m AS (
+    |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+    |      OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+    |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    |s AS (
+    |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+    |    ROWS UNBOUNDED PRECEDING) AS sid
+    |  FROM m)
+    |SELECT user_id,
+    |  strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+    |  COUNT(*) AS n_events,
+    |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    |FROM s GROUP BY user_id, sid""".stripMargin
 }

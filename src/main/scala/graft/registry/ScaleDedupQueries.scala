@@ -84,6 +84,16 @@ object ScaleDedupQueries extends QueryRegistry {
       .repartition(s.sparkContext.defaultParallelism)
   }
 
+  /** The RAW 1/[[DocSampleMod]] hash slice of the corpus (no planted
+    * copies) — the input for sampled scale twins whose full form reads
+    * `documents` directly (langid/quality/repetition/stats/chunk/
+    * overlap). The slice is the complete chain's input, so the twin
+    * replays the ENTIRE operator over it; only corpus coverage shrinks.
+    */
+  private[registry] def docsSliced(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(pmod(xxhash64(col("doc_id")), lit(docMod(s, dir))) === 0)
+
   def withNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
@@ -119,9 +129,23 @@ object ScaleDedupQueries extends QueryRegistry {
     * as max(doc_id) + 1 (NOT a constant): a grown fixture can never
     * alias a copy onto a real doc_id, and the SQL twin derives the
     * same offset, so the construction stays replayable at any scale.
+    * Shared by the full and sampled forms via [[subsetsOver]].
     */
-  def withSubsets(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+  /** [[withSubsets]] over the deterministic 1/[[DocSampleMod]] hash
+    * slice — subsets planted AFTER sampling (the withNearDupsSampled
+    * argument: sampling first keeps every planted pair intact at any
+    * scale; planting first would survive only 1/mod² of them). The
+    * offset is max(doc_id)+1 over the SLICE, replayed by the twin.
+    */
+  def withSubsetsSampled(s: SparkSession, dir: String): DataFrame =
+    subsetsOver(s, Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(pmod(xxhash64(col("doc_id")), lit(docMod(s, dir))) === 0))
+
+  def withSubsets(s: SparkSession, dir: String): DataFrame =
+    subsetsOver(s, Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  private def subsetsOver(s: SparkSession, d: DataFrame): DataFrame = {
     // offset computed INSIDE the plan (broadcast cross join on the
     // 1-row max) — building the closure stays lazy (no eager driver
     // job per bench trial / plan dump), and an empty fixture yields an
@@ -145,10 +169,30 @@ object ScaleDedupQueries extends QueryRegistry {
       ScaleDedup.containmentPairs(withSubsets(s, dir), "doc_id", "text",
         n = 3, threshold = 0.9, maxDocFreq = 64)),
 
+    // the COMPLETE containment chain over the 1/DocSampleMod hash
+    // slice (subsets planted after sampling) — the scale-record twin:
+    // the full twin's pairwise shingle join over the whole corpus is
+    // oracle-side intractable at replica scale, the slice keeps the
+    // entire shingle→freq-cap→intersect→direct construction under a
+    // tractable full replay at any corpus size.
+    "dedup_containment_sampled" -> ((s, dir) =>
+      ScaleDedup.containmentPairs(withSubsetsSampled(s, dir), "doc_id",
+        "text", n = 3, threshold = 0.9, maxDocFreq = 64)),
+
     // cross-source leakage matrix over the raw corpus.
     "source_overlap" -> ((s, dir) =>
       ScaleDedup.sourceOverlap(
         Tables.documents(s, dir).select(col("source"), col("text")),
+        "source", "text")),
+
+    // the overlap matrix over the 1/DocSampleMod hash slice — the
+    // scale-record twin (the full twin's shared-shingle mass is the
+    // measured 1000x cost center: ~956M shingle pairs at 5.7M docs).
+    // Slicing docs shrinks the mass ~mod²; sources and the complete
+    // shingle→intersect→containment chain stay intact.
+    "source_overlap_sampled" -> ((s, dir) =>
+      ScaleDedup.sourceOverlap(
+        docsSliced(s, dir).select(col("source"), col("text")),
         "source", "text")),
 
     // source authority: fixed-iteration PageRank over the directed
@@ -268,17 +312,34 @@ object ScaleDedupQueries extends QueryRegistry {
     // so the twin stays the SAME exact-Jaccard pair set: the oracle
     // passing proves the auto-chosen rung loses nothing, at whatever
     // rung the tier resolves (571 docs → rows 2, 57k → 3, 571k+ → 4).
+    // nDocs passed from the base-table count (+1/7 planted copies):
+    // the fixture frame is a transformed union, so letting
+    // nearDupPairsAuto count it would re-execute that lineage once at
+    // corpus scale just to pick a rung that needs only the order of
+    // magnitude (every satisfiable rung is lossless — see bandPlanAuto).
     "dedup_minhash_bandauto" -> ((s, dir) =>
       ScaleDedup.nearDupPairsAuto(withNearDups(s, dir), "doc_id", "text",
-        n = 3, threshold = AutoBandT, missBound = AutoBandEps)),
+        n = 3, threshold = AutoBandT, missBound = AutoBandEps,
+        nDocs = {
+          val base = Tables.documents(s, dir).count()
+          base + base / 7
+        })),
 
     // the derived-rung chain over the 1/DocSampleMod hash slice — the
     // scale-record twin (rung resolved from the SLICE count, so the
     // complete auto chain stays under a tractable full twin at any
     // corpus size).
+    // slice count estimated as base/mod (+1/7 planted) — the rung
+    // needs order of magnitude only, and the base count was already
+    // paid by docMod.
     "dedup_minhash_bandauto_sampled" -> ((s, dir) =>
       ScaleDedup.nearDupPairsAuto(withNearDupsSampled(s, dir), "doc_id",
-        "text", n = 3, threshold = AutoBandT, missBound = AutoBandEps)),
+        "text", n = 3, threshold = AutoBandT, missBound = AutoBandEps,
+        nDocs = {
+          val slice = math.max(1L,
+            Tables.documents(s, dir).count() / docMod(s, dir))
+          slice + slice / 7
+        })),
 
     // substring-level dedup: maximal >=10-token runs shared verbatim
     // across docs (boilerplate/quote blocks that survive doc-level
@@ -451,6 +512,20 @@ object ScaleDedupQueries extends QueryRegistry {
       |        string_split_regex(lower(trim(text)), '\s+') AS t
       |      FROM documents)""".stripMargin
 
+  /** smod + XXH64 + slice CTEs selecting the RAW 1/[[DocSampleMod]]
+    * doc slice (no planted copies) as `<out>` — the SQL twin of
+    * [[docsSliced]]; shared by every sampled twin whose full form
+    * reads `documents` directly. Ends without a trailing comma.
+    */
+  private[registry] def docSliceCtes(
+      cols: Seq[String], out: String = "docs"): String =
+    s"""${SampleMod.modCte("documents", DocSampleMod)},
+      |${XxHashOracleSql.longHashCte("dsel", "documents", cols, "doc_id",
+         "CAST(42 AS UBIGINT)", "h64")},
+      |$out AS (
+      |  SELECT ${cols.mkString(", ")} FROM dsel
+      |  WHERE ${SampleMod.slicePredicate("h64")})""".stripMargin
+
   // the prefix rejoin goes through the SAME lowercased tokenization the
   // engine's shingle index applies, so both sides shingle identically
   private val subsetsSql =
@@ -461,6 +536,68 @@ object ScaleDedupQueries extends QueryRegistry {
       |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
       |      FROM documents)
       |WHERE doc_id % 11 = 0""".stripMargin
+
+  /** [[subsetsSql]] planted over the hash slice — replays
+    * [[withSubsetsSampled]]: slice first (dsamp), then the prefix-half
+    * copies with the offset derived from the SLICE max. Emits `docs`.
+    */
+  private val subsetsSampledCtes: String =
+    s"""${docSliceCtes(Seq("doc_id", "text"), out = "dsamp")},
+      |docs AS (
+      |  SELECT doc_id, text FROM dsamp
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM dsamp) AS doc_id,
+      |    array_to_string(t[1:CAST(ceil(len(t) / 2.0) AS BIGINT)], ' ') AS text
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |        FROM dsamp)
+      |  WHERE doc_id % 11 = 0)""".stripMargin
+
+  /** Containment chain over a `docs(doc_id, text)` CTE — shared by the
+    * full and hash-slice twins (one spec of the freq-cap/intersect/
+    * direct construction, two input fixtures). Starts at `tok`, ends
+    * at the SELECT.
+    */
+  private val containmentChainSql: String =
+    """tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM docs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |freq AS (SELECT shingle, COUNT(*) AS dfreq FROM sh GROUP BY shingle),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |    JOIN freq f ON f.shingle = a.shingle AND f.dfreq <= 64
+      |  GROUP BY 1, 2),
+      |directed AS (
+      |  SELECT id_a AS id_sub, id_b AS id_super,
+      |    round(CAST(i AS DOUBLE) / sa.sz, 6) AS containment
+      |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+      |  UNION ALL
+      |  SELECT id_b, id_a, round(CAST(i AS DOUBLE) / sb.sz, 6)
+      |  FROM inter JOIN sizes sb ON sb.doc_id = id_b)
+      |SELECT id_sub, id_super, containment FROM directed
+      |WHERE containment >= 0.9""".stripMargin
+
+  /** Source-overlap chain over a `docs(source, text)` CTE — shared by
+    * the full matrix and its hash-slice twin. The containment share
+    * uses the half-up scaled-integer idiom (engine-rounding-proof).
+    */
+  private val overlapChainSql: String =
+    """tok AS (
+      |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM docs),
+      |sh AS (
+      |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source <> b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, CAST(i AS BIGINT) AS n_shared,
+      |  CAST((CAST(i AS HUGEINT) * 2000000 + sz) // (2 * sz) AS DOUBLE) / 1000000 AS containment
+      |FROM inter JOIN sizes s ON s.source = src_a""".stripMargin
 
   /** Shared oracle scaffolding: shingle sets, sizes, pairwise
     * intersections (optionally doc-frequency-capped), Jaccard pairs.
@@ -710,21 +847,13 @@ object ScaleDedupQueries extends QueryRegistry {
       |${jaccardPairsSql(AutoBandT, 0)}
       |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
 
-    "source_overlap" -> """
-      |WITH tok AS (
-      |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
-      |sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1),
-      |inter AS (
-      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source <> b.source
-      |  GROUP BY 1, 2)
-      |SELECT src_a, src_b, CAST(i AS BIGINT) AS n_shared,
-      |  CAST((CAST(i AS HUGEINT) * 2000000 + sz) // (2 * sz) AS DOUBLE) / 1000000 AS containment
-      |FROM inter JOIN sizes s ON s.source = src_a""".stripMargin,
+    "source_overlap" ->
+      s"WITH docs AS (SELECT source, text FROM documents),\n$overlapChainSql",
+
+    // the complete overlap chain over the raw hash slice — the
+    // scale-record twin of the full matrix above.
+    "source_overlap_sampled" ->
+      s"WITH RECURSIVE ${docSliceCtes(Seq("doc_id", "source", "text"))},\n$overlapChainSql",
 
     "corpus_source_authority" -> graft.operators.PageRank.oracleSql(
       nodesSql = "SELECT DISTINCT source AS id FROM documents",
@@ -849,28 +978,13 @@ object ScaleDedupQueries extends QueryRegistry {
       |  CAST(len(tok.t) - coalesce(a.nk, 0) AS BIGINT) AS n_dropped
       |FROM tok LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
-    "dedup_containment" -> s"""
-      |WITH docs AS ($subsetsSql),
-      |tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM docs),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-      |freq AS (SELECT shingle, COUNT(*) AS dfreq FROM sh GROUP BY shingle),
-      |inter AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |    JOIN freq f ON f.shingle = a.shingle AND f.dfreq <= 64
-      |  GROUP BY 1, 2),
-      |directed AS (
-      |  SELECT id_a AS id_sub, id_b AS id_super,
-      |    round(CAST(i AS DOUBLE) / sa.sz, 6) AS containment
-      |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
-      |  UNION ALL
-      |  SELECT id_b, id_a, round(CAST(i AS DOUBLE) / sb.sz, 6)
-      |  FROM inter JOIN sizes sb ON sb.doc_id = id_b)
-      |SELECT id_sub, id_super, containment FROM directed
-      |WHERE containment >= 0.9""".stripMargin,
+    "dedup_containment" ->
+      s"WITH docs AS ($subsetsSql),\n$containmentChainSql",
+
+    // the complete chain over the hash-slice-planted fixture — the
+    // scale-record twin of the full form above.
+    "dedup_containment_sampled" ->
+      s"WITH RECURSIVE $subsetsSampledCtes,\n$containmentChainSql",
 
     "dedup_ngram_jaccard_capped" -> s"""
       |WITH docs AS ($nearDupsSql),

@@ -259,6 +259,18 @@ object SimilarityQueries extends QueryRegistry {
       Clustering.kmeansAssignTwoLevel(Tables.embeddings(s, dir), k = 16,
         iters = 2, nProbe = 2)),
 
+    // the COMPLETE two-level chain (base kmeans → meta kmeans →
+    // super-cell probes → member argmin) over the 1/EmbSampleMod hash
+    // slice — the scale-record twin: the full twin replays two
+    // unrolled kmeans over the whole corpus (~3000 s at 2M vectors);
+    // the slice keeps the entire approximate-assignment construction
+    // under a tractable full replay at any corpus size.
+    "emb_kmeans_twolevel_sampled" -> ((s, dir) =>
+      Clustering.kmeansAssignTwoLevel(
+        Tables.embeddings(s, dir)
+          .filter(pmod(xxhash64(col("vec_id")), lit(embMod(s, dir))) === 0),
+        k = 16, iters = 2, nProbe = 2)),
+
     // per-cluster distance z-scores: the embedding-space outlier gate
     // (mislabeled/degenerate vectors sit far from their cluster mean).
     "emb_cluster_outliers" -> ((s, dir) =>
@@ -440,6 +452,33 @@ object SimilarityQueries extends QueryRegistry {
     |  c.id = c.canonical_id AS is_kept
     |FROM canon c JOIN af ON af.vec_id = c.id""".stripMargin
 
+  /** The two-level assignment tail over a base-kmeans CTE chain
+    * (`v`/`c2` from the chain; meta kmeans + probes + member argmin
+    * appended) — shared by the full twin and its hash-slice twin, so
+    * both replay one spec of the approximate assignment.
+    */
+  private def twolevelChain(baseCtes: String): String = s"""
+    |$baseCtes,
+    |${kmeansCtesK(
+         "SELECT greatest(2, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM c2",
+         2, "SELECT cid AS vec_id, c AS e FROM c2", "m")},
+    |members AS (SELECT vec_id AS cid, cid AS mid FROM maf),
+    |probes AS (
+    |  SELECT vec_id, e, mid FROM (
+    |    SELECT v.vec_id, v.e, m.cid AS mid,
+    |      row_number() OVER (PARTITION BY v.vec_id
+    |        ORDER BY ${d2Sql("v.e", "m.c")}, m.cid) AS rn
+    |    FROM v v, mc2 m)
+    |  WHERE rn <= 2)
+    |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
+    |  SELECT p.vec_id, mem.cid, ${d2Sql("p.e", "c.c")} AS d2,
+    |    row_number() OVER (PARTITION BY p.vec_id
+    |      ORDER BY ${d2Sql("p.e", "c.c")}, mem.cid) AS rn
+    |  FROM probes p
+    |  JOIN members mem ON mem.mid = p.mid
+    |  JOIN c2 c ON c.cid = mem.cid)
+    |WHERE rn = 1""".stripMargin
+
   private val sampledBaseCtes: String =
     s"""${SampleMod.modCte("embeddings", EmbSampleMod)},
       |${XxHashOracleSql.longHashCte("vsel", "embeddings", Seq("vec_id", "embedding"),
@@ -466,27 +505,17 @@ object SimilarityQueries extends QueryRegistry {
     // super-cell probes per vector -> argmin over probed members.
     // Same 6-dp d2 chain and lowest-id ties as the Spark side at
     // every level, so the approximate assignment matches exactly.
-    "emb_kmeans_twolevel" -> s"""
-      |WITH ${kmeansCtes(16, 2)},
-      |${kmeansCtesK(
-           "SELECT greatest(2, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM c2",
-           2, "SELECT cid AS vec_id, c AS e FROM c2", "m")},
-      |members AS (SELECT vec_id AS cid, cid AS mid FROM maf),
-      |probes AS (
-      |  SELECT vec_id, e, mid FROM (
-      |    SELECT v.vec_id, v.e, m.cid AS mid,
-      |      row_number() OVER (PARTITION BY v.vec_id
-      |        ORDER BY ${d2Sql("v.e", "m.c")}, m.cid) AS rn
-      |    FROM v v, mc2 m)
-      |  WHERE rn <= 2)
-      |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
-      |  SELECT p.vec_id, mem.cid, ${d2Sql("p.e", "c.c")} AS d2,
-      |    row_number() OVER (PARTITION BY p.vec_id
-      |      ORDER BY ${d2Sql("p.e", "c.c")}, mem.cid) AS rn
-      |  FROM probes p
-      |  JOIN members mem ON mem.mid = p.mid
-      |  JOIN c2 c ON c.cid = mem.cid)
-      |WHERE rn = 1""".stripMargin,
+    "emb_kmeans_twolevel" -> s"WITH ${twolevelChain(kmeansCtes(16, 2))}",
+
+    // the same chain with the base kmeans fed by the 1/EmbSampleMod
+    // XXH64 vec slice — the scale-record twin of the full form.
+    "emb_kmeans_twolevel_sampled" -> s"""
+      |WITH RECURSIVE ${SampleMod.modCte("embeddings", EmbSampleMod)},
+      |${XxHashOracleSql.longHashCte("vsel", "embeddings",
+           Seq("vec_id", "embedding"), "vec_id", "CAST(42 AS UBIGINT)", "h64")},
+      |${twolevelChain(kmeansCtes(16, 2,
+           vSrc = "SELECT vec_id, embedding::DOUBLE[] AS e FROM vsel " +
+             s"WHERE ${SampleMod.slicePredicate("h64")}"))}""".stripMargin,
 
     // same math as Clustering.distanceOutliers: decimal-exact Σd² and
     // Σd⁴ (6-dp d² ⇒ both sums exact), variance arithmetic in double

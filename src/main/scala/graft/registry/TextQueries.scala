@@ -9,14 +9,65 @@ import graft.text.TextAnalysis
 /** Text-analysis extension family over `documents`. */
 object TextQueries extends QueryRegistry {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_langid" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"), TextAnalysis.langId(col("text")).as("predicted_lang"))),
+  // Bodies shared by the full form (whole corpus) and its `_sampled`
+  // scale twin (the 1/DocSampleMod hash slice): one spec of the
+  // operator, two input fixtures — so the sampled twin can never
+  // drift from the full form it certifies at replica scale.
+  private def langidOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("predicted_lang"))
 
-    "text_quality" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+  private def qualityOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  private def repetitionOf(d: DataFrame): DataFrame = {
+    val sh = TextAnalysis.shingles(col("text"), 3)
+    d.select(
+      col("doc_id"),
+      size(sh).cast("long").as("n_shingles"),
+      size(array_distinct(sh)).cast("long").as("n_distinct"))
+      .withColumn("repetition",
+        round(lit(1.0) -
+          col("n_distinct") / greatest(col("n_shingles").cast("double"), lit(1.0)),
+          6))
+  }
+
+  private def chunksOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      posexplode(TextAnalysis.chunks(col("text"), maxTokens = 64, overlap = 8)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col.token_start").cast("long").as("token_start"),
+        col("col.n_tokens").cast("long").as("n_tokens"),
+        col("col.chunk_text").as("chunk_text"))
+
+  private def statsOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    d.select(
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.tokenCount(col("text")).as("ntok"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .groupBy(col("lang_pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        round(sum(col("q").cast(DecimalType(18, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_quality"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> ((s, dir) => langidOf(Tables.documents(s, dir))),
+
+    // the same classifier over the 1/DocSampleMod hash slice — the
+    // scale-record twin (the full per-doc replay is oracle-side hours
+    // at replica scale; the slice keeps the complete stopword-vote
+    // chain under a tractable full twin at any corpus size).
+    "text_langid_sampled" -> ((s, dir) =>
+      langidOf(ScaleDedupQueries.docsSliced(s, dir))),
+
+    "text_quality" -> ((s, dir) => qualityOf(Tables.documents(s, dir))),
+
+    // hash-slice scale twin of the quality score.
+    "text_quality_sampled" -> ((s, dir) =>
+      qualityOf(ScaleDedupQueries.docsSliced(s, dir))),
 
     "text_tokens" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -50,14 +101,13 @@ object TextQueries extends QueryRegistry {
 
     // context-window chunking: one row per (doc, chunk), 64-token
     // windows advancing by 56 (8-token overlap).
-    "corpus_chunk" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          posexplode(TextAnalysis.chunks(col("text"), maxTokens = 64, overlap = 8)))
-        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
-          col("col.token_start").cast("long").as("token_start"),
-          col("col.n_tokens").cast("long").as("n_tokens"),
-          col("col.chunk_text").as("chunk_text"))),
+    "corpus_chunk" -> ((s, dir) => chunksOf(Tables.documents(s, dir))),
+
+    // hash-slice scale twin of the chunker (the full twin's
+    // generate_series explode over every doc is oracle-side hours at
+    // replica scale).
+    "corpus_chunk_sampled" -> ((s, dir) =>
+      chunksOf(ScaleDedupQueries.docsSliced(s, dir))),
 
     // greedy sequence packing: per-language prefix-sum bins of an
     // 8192-token budget — the batch-construction step before
@@ -127,20 +177,12 @@ object TextQueries extends QueryRegistry {
     // corpus reporting: per-language doc counts, token volume, mean
     // quality — the dataset card a training pipeline emits. Sums go
     // through decimal casts so the stats are partitioning-independent.
-    "corpus_stats" -> ((s, dir) => {
-      import org.apache.spark.sql.types.{DecimalType, DoubleType}
-      Tables.documents(s, dir)
-        .select(
-          TextAnalysis.langId(col("text")).as("lang_pred"),
-          TextAnalysis.tokenCount(col("text")).as("ntok"),
-          TextAnalysis.qualityScore(col("text")).as("q"))
-        .groupBy(col("lang_pred"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("ntok")).as("total_tokens"),
-          round(sum(col("q").cast(DecimalType(18, 6))).cast(DoubleType) /
-            count(lit(1)), 6).as("mean_quality"))
-    }),
+    "corpus_stats" -> ((s, dir) => statsOf(Tables.documents(s, dir))),
+
+    // the dataset card over the hash slice — the scale-record twin
+    // (COMPLETE langid+quality+token chain, sliced corpus coverage).
+    "corpus_stats_sampled" -> ((s, dir) =>
+      statsOf(ScaleDedupQueries.docsSliced(s, dir))),
 
     // the dataset card: per-source counts, token volume, mean quality,
     // and a deterministic id sample (HashSampleK) — what a curator
@@ -201,17 +243,11 @@ object TextQueries extends QueryRegistry {
 
     // boilerplate/repetition signal (Gopher-style): share of repeated
     // 3-gram shingles per doc. Pure column math in the scan.
-    "text_repetition" -> ((s, dir) => {
-      val sh = TextAnalysis.shingles(col("text"), 3)
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        size(sh).cast("long").as("n_shingles"),
-        size(array_distinct(sh)).cast("long").as("n_distinct"))
-        .withColumn("repetition",
-          round(lit(1.0) -
-            col("n_distinct") / greatest(col("n_shingles").cast("double"), lit(1.0)),
-            6))
-    }),
+    "text_repetition" -> ((s, dir) => repetitionOf(Tables.documents(s, dir))),
+
+    // hash-slice scale twin of the repetition signal.
+    "text_repetition_sampled" -> ((s, dir) =>
+      repetitionOf(ScaleDedupQueries.docsSliced(s, dir))),
 
     // PII scrubbing — the redaction pass a training pipeline runs
     // before tokenization. PII is seeded deterministically (every 5th
@@ -301,24 +337,89 @@ object TextQueries extends QueryRegistry {
     s"CASE $branches ELSE 'und' END"
   }
 
+  // Twin bodies parametrized by the source relation — `documents` for
+  // the full form, the `docs` hash-slice CTE for the `_sampled` twin —
+  // so both forms replay the SAME spec text.
+  private def qualityChain(src: String): String = s"""
+    |t AS (SELECT doc_id,
+    |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS ntok,
+    |  CAST(length(text) AS DOUBLE) AS nchars,
+    |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+    |  CAST(${hits("en")} AS DOUBLE) AS h
+    |FROM $src)
+    |SELECT doc_id, round(
+    |  least(ntok / 100.0, 1.0) * 0.3 +
+    |  (CASE WHEN nchars / greatest(ntok, 1.0) BETWEEN 3.0 AND 10.0
+    |        THEN 1.0 ELSE 0.3 END) * 0.2 +
+    |  alpha / greatest(nchars, 1.0) * 0.3 +
+    |  least(h / 3.0, 1.0) * 0.2, 6) AS quality
+    |FROM t""".stripMargin
+
+  private def chunkChain(src: String): String = s"""
+    |tok AS (
+    |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    |  FROM $src),
+    |n AS (
+    |  SELECT doc_id, t,
+    |    greatest(CAST(ceil((len(t) - 8) / 56.0) AS INT), 1) AS nchunks
+    |  FROM tok)
+    |SELECT doc_id,
+    |  i AS chunk_id,
+    |  i * 56 AS token_start,
+    |  least(64, len(t) - i * 56) AS n_tokens,
+    |  array_to_string(list_slice(t, i * 56 + 1, i * 56 + 64), ' ') AS chunk_text
+    |FROM n, unnest(generate_series(0, nchunks - 1)) AS u(i)""".stripMargin
+
+  private def statsChain(src: String): String = s"""
+    |scored AS (
+    |  SELECT $langCase AS lang_pred,
+    |    len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok,
+    |    (SELECT round(
+    |      least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3 +
+    |      (CASE WHEN CAST(length(text) AS DOUBLE) /
+    |              greatest(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 1.0)
+    |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.2 +
+    |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+    |        greatest(CAST(length(text) AS DOUBLE), 1.0) * 0.3 +
+    |      least(CAST(${hits("en")} AS DOUBLE) / 3.0, 1.0) * 0.2, 6)) AS q
+    |  FROM $src)
+    |SELECT lang_pred, COUNT(*) AS n_docs,
+    |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+    |  round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality
+    |FROM scored GROUP BY lang_pred""".stripMargin
+
+  private def repetitionChain(src: String): String = s"""
+    |t AS (
+    |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+    |  FROM $src),
+    |s AS (
+    |  SELECT doc_id,
+    |    CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+    |         ELSE list_transform(generate_series(1, len(tk) - 2),
+    |                i -> array_to_string(tk[i:i+2], ' ')) END AS sh
+    |  FROM t)
+    |SELECT doc_id,
+    |  CAST(len(sh) AS BIGINT) AS n_shingles,
+    |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+    |  round(1.0 - len(list_distinct(sh)) / greatest(CAST(len(sh) AS DOUBLE), 1.0), 6)
+    |    AS repetition
+    |FROM s""".stripMargin
+
+  private val docSlice: String =
+    ScaleDedupQueries.docSliceCtes(Seq("doc_id", "text"))
+
   def oracle: Map[String, String] = Map(
     "text_langid" ->
       s"SELECT doc_id, $langCase AS predicted_lang FROM documents",
 
-    "text_quality" -> s"""
-      |WITH t AS (SELECT doc_id,
-      |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS ntok,
-      |  CAST(length(text) AS DOUBLE) AS nchars,
-      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
-      |  CAST(${hits("en")} AS DOUBLE) AS h
-      |FROM documents)
-      |SELECT doc_id, round(
-      |  least(ntok / 100.0, 1.0) * 0.3 +
-      |  (CASE WHEN nchars / greatest(ntok, 1.0) BETWEEN 3.0 AND 10.0
-      |        THEN 1.0 ELSE 0.3 END) * 0.2 +
-      |  alpha / greatest(nchars, 1.0) * 0.3 +
-      |  least(h / 3.0, 1.0) * 0.2, 6) AS quality
-      |FROM t""".stripMargin,
+    "text_langid_sampled" -> s"""
+      |WITH RECURSIVE $docSlice
+      |SELECT doc_id, $langCase AS predicted_lang FROM docs""".stripMargin,
+
+    "text_quality" -> s"WITH ${qualityChain("documents")}",
+
+    "text_quality_sampled" ->
+      s"WITH RECURSIVE $docSlice,\n${qualityChain("docs")}",
 
     "text_tokens" -> """
       |SELECT doc_id,
@@ -331,20 +432,10 @@ object TextQueries extends QueryRegistry {
       |  md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fp
       |FROM documents""".stripMargin,
 
-    "corpus_chunk" -> """
-      |WITH tok AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-      |  FROM documents),
-      |n AS (
-      |  SELECT doc_id, t,
-      |    greatest(CAST(ceil((len(t) - 8) / 56.0) AS INT), 1) AS nchunks
-      |  FROM tok)
-      |SELECT doc_id,
-      |  i AS chunk_id,
-      |  i * 56 AS token_start,
-      |  least(64, len(t) - i * 56) AS n_tokens,
-      |  array_to_string(list_slice(t, i * 56 + 1, i * 56 + 64), ' ') AS chunk_text
-      |FROM n, unnest(generate_series(0, nchunks - 1)) AS u(i)""".stripMargin,
+    "corpus_chunk" -> s"WITH ${chunkChain("documents")}",
+
+    "corpus_chunk_sampled" ->
+      s"WITH RECURSIVE $docSlice,\n${chunkChain("docs")}",
 
     "corpus_pack_bins" -> """
       |SELECT doc_id, lang,
@@ -471,23 +562,10 @@ object TextQueries extends QueryRegistry {
       |       THEN 'train' ELSE 'val' END AS split
       |FROM documents""".stripMargin,
 
-    "corpus_stats" -> s"""
-      |WITH scored AS (
-      |  SELECT $langCase AS lang_pred,
-      |    len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok,
-      |    (SELECT round(
-      |      least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3 +
-      |      (CASE WHEN CAST(length(text) AS DOUBLE) /
-      |              greatest(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 1.0)
-      |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.2 +
-      |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
-      |        greatest(CAST(length(text) AS DOUBLE), 1.0) * 0.3 +
-      |      least(CAST(${hits("en")} AS DOUBLE) / 3.0, 1.0) * 0.2, 6)) AS q
-      |  FROM documents)
-      |SELECT lang_pred, COUNT(*) AS n_docs,
-      |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
-      |  round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality
-      |FROM scored GROUP BY lang_pred""".stripMargin,
+    "corpus_stats" -> s"WITH ${statsChain("documents")}",
+
+    "corpus_stats_sampled" ->
+      s"WITH RECURSIVE $docSlice,\n${statsChain("docs")}",
 
     "corpus_report" -> s"""
       |WITH scored AS (
@@ -536,22 +614,10 @@ object TextQueries extends QueryRegistry {
       |  round(tf * ln((SELECT n FROM n) / df), 5) AS tfidf
       |FROM tf JOIN df USING (term) WHERE tf >= 3""".stripMargin,
 
-    "text_repetition" -> """
-      |WITH t AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
-      |  FROM documents),
-      |s AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
-      |         ELSE list_transform(generate_series(1, len(tk) - 2),
-      |                i -> array_to_string(tk[i:i+2], ' ')) END AS sh
-      |  FROM t)
-      |SELECT doc_id,
-      |  CAST(len(sh) AS BIGINT) AS n_shingles,
-      |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
-      |  round(1.0 - len(list_distinct(sh)) / greatest(CAST(len(sh) AS DOUBLE), 1.0), 6)
-      |    AS repetition
-      |FROM s""".stripMargin,
+    "text_repetition" -> s"WITH ${repetitionChain("documents")}",
+
+    "text_repetition_sampled" ->
+      s"WITH RECURSIVE $docSlice,\n${repetitionChain("docs")}",
 
     "text_scrub_pii" -> """
       |WITH seeded AS (
