@@ -2,9 +2,12 @@
 # Dev-only: stand up the hash-graded 1000x correctness record
 # (CORRECTNESS_1000x.json) — the uniform rows+schema+hash standard the
 # 10x/100x records meet, applied to the 1000x replica tier
-# (target/sf1000{docs,emb,events,orders} + 1x sides symlinked under
-# target/v1000*). Five batches, one per replica family; each is a
-# grade_subset.sh run (Verify subset dump -> DuckDB oracle -> merge).
+# (target/sf1000{docs,emb,events,orders,facts} + 1x sides symlinked
+# under target/v1000*). One grade_subset.sh run per batch (Verify
+# subset dump -> DuckDB oracle -> merge). The r14 conversion batches
+# (docs3/events2/emb2) grade ONLY the nine former exclusions through
+# their new _sampled hash-slice twins — run after docs2/events/emb so
+# merge_record upgrades the excluded entries to pass_sampled_twin.
 #
 # Coverage policy (mirrors the 100x record's tiers):
 #  - full canon      : outputs small enough to materialize in Python;
@@ -18,7 +21,8 @@
 #                      twin's cost, not an engine limit) — recorded as
 #                      excluded_oracle_intractable, never a silent hole.
 #
-# Usage: tools/stamp_1000x.sh <batch>   # docs1|docs2|events|emb|orders
+# Usage: tools/stamp_1000x.sh <batch>
+#   batches: docs1|docs2|events|emb|orders|docs3|events2|emb2|facts
 set -euo pipefail
 cd "$(dirname "$0")/.."
 REC=CORRECTNESS_1000x.json
@@ -44,7 +48,8 @@ docs1)  # sampled twins (the COMPLETE chains over the ~5.6k-doc slice)
         # stands at the 100x tier.
   bash tools/grade_subset.sh target/v1000docs /tmp/g1000_docs1 "$REC" "$L_DOCS" \
     corpus_source_authority,corpus_source_authority_sampled,corpus_substring_spans_sampled,dedup_corpus_composed_sampled,dedup_cc_distributed_sampled,dedup_against_reference_sampled,dedup_minhash_sampled,dedup_minhash_autoband_sampled,dedup_minhash_bandauto_sampled,dedup_ngram_jaccard_sampled,dedup_ngram_jaccard_prefix_sampled,dedup_simhash_sampled,text_winnow_sampled,corpus_dsir_select,corpus_dsir_weights,corpus_mix_weights,corpus_profile,corpus_report,corpus_domain_cap,corpus_budget_select,corpus_sample_weighted,corpus_curriculum,text_top_terms,text_bm25_topk,text_entropy,text_distinct_hll,text_heavy_hitters_sketch,mm_embed_topk,text_tfidf \
-    corpus_prep_sampled corpus_source_authority=corpus_source_authority_sampled "" ;;
+    "corpus_prep_sampled=recursive-CTE twin was the slowest oracle at 100x already (568s over an 8.9k slice) and burned >35min of 32-core DuckDB at this tier before being killed; Spark chain over the same slice dumps in seconds" \
+    corpus_source_authority=corpus_source_authority_sampled "" ;;
 docs2)  # replica-scale outputs, digest-graded; langid/quality/
         # repetition/stats/chunk/overlap/simhash_md5/winnow_md5/
         # containment/capped-jaccard/scrub_spans excluded: their FULL
@@ -55,7 +60,7 @@ docs2)  # replica-scale outputs, digest-graded; langid/quality/
         # limit (the Spark side completed in 133.5 s).
   bash tools/grade_subset.sh target/v1000docs /tmp/g1000_docs2 "$REC" "$L_DOCS" \
     f2_flatten_project,f3_first_nonempty,mm_decode_stub,mm_metadata,mm_frame_sample,s14_schema_evolution,s18_orc_roundtrip,s6_partitioned_write,s6_s3_json_roundtrip,dedup_exact,dedup_segments,corpus_quality_filter,corpus_sample_stratified,split_train_val,stream_corpus_ingest,corpus_pack_bins,corpus_pack_payload,corpus_pack_sharded,text_scrub_pii,text_fingerprint,text_unigram_logppl,text_vocab_oov,text_tokens,f13_filetype_classify,f16_llm_validation \
-    text_langid,text_quality,text_repetition,corpus_stats,corpus_chunk,source_overlap,dedup_simhash_md5,text_winnow_md5,dedup_containment,dedup_ngram_jaccard_capped,dedup_winnow_pairs,corpus_scrub_spans,corpus_scrub_repeats,stream_lsh_neardup,corpus_decontaminate \
+    "dedup_simhash_md5=per-doc md5 over every simhash plane in SQL; 400s+ at 571k docs and hours at 5.7M,text_winnow_md5=same per-shingle md5 replay cost as simhash_md5; hours at 5.7M docs,dedup_ngram_jaccard_capped=full pairwise shingle-join twin; 400s+ at 571k docs and hours at 5.7M,dedup_winnow_pairs=fingerprint self-join twin's full replay is hours at 5.7M docs,corpus_scrub_spans=twin replays regex span extraction over every doc; hours at 5.7M,corpus_scrub_repeats=same per-doc rewrite replay cost as scrub_spans,stream_lsh_neardup=twin replays the full LSH band chain over the whole stream; oracle-side hours at 5.7M docs,corpus_decontaminate=13-gram join twin spilled duck_tmp past 50 GB of free disk at 5.7M docs (measured r13); Spark side completed in 133.5s" \
     "" \
     f2_flatten_project,f3_first_nonempty,mm_decode_stub,mm_metadata,mm_frame_sample,s14_schema_evolution,s18_orc_roundtrip,s6_partitioned_write,s6_s3_json_roundtrip,dedup_exact,dedup_segments,corpus_quality_filter,corpus_sample_stratified,split_train_val,stream_corpus_ingest,corpus_pack_bins,corpus_pack_payload,corpus_pack_sharded,text_scrub_pii,text_fingerprint,text_unigram_logppl,text_vocab_oov,text_tokens,f13_filetype_classify,f16_llm_validation ;;
 events) # 100M-event analytics; asof_join / stream_sessionize /
@@ -69,23 +74,62 @@ events) # 100M-event analytics; asof_join / stream_sessionize /
         # was hand-timed <35 s at 100M before the batch shipped.
   bash tools/grade_subset.sh target/v1000events /tmp/g1000_events "$REC" "$L_EV" \
     events_funnel,events_retention,events_transitions,events_gap_stats,events_anomaly,a17_rolling_avg,w5_latest_run,a20_histogram,a9_mode,stream_enrich_join,ts_gap_fill,stream_tumbling_hourly,stream_late_data,stream_stream_attribution,s8_run_stats_trend,f1_json_path,f4_date_trunc \
-    asof_join,stream_sessionize,range_join,range_agg_multires \
+    "asof_join=twin materializes a 100M-row range scan; 160-200s already at 10M events and superlinear here,range_join=same 100M-row range-scan twin cost as asof_join,range_agg_multires=twin is the ENUMERATING interval form the operator exists to avoid; 86x the operator's cost at 10M events and >35min of 32-core DuckDB at 100M before being killed (r13)" \
     "" \
     f1_json_path,f4_date_trunc ;;
 emb)    # 2M-vector similarity/clustering; the three heavy fulls map
         # to their slice twins; twolevel excluded (full twin ~3000s).
   bash tools/grade_subset.sh target/v1000emb /tmp/g1000_emb "$REC" "$L_EMB" \
     ann_lsh_topk,ann_ivf_topk,ann_ivfpq_topk,ann_pq_topk,ann_incremental_topk,emb_cosine_topk,emb_near_dup,emb_near_dup_sampled,emb_semantic_dedup,emb_semantic_dedup_sampled,emb_semdedup_cluster,emb_semdedup_sampled,emb_kmeans_cluster,emb_cluster_balance,emb_cluster_sample,emb_cluster_outliers,stream_cluster_route \
-    emb_kmeans_twolevel \
+    "" \
     emb_near_dup=emb_near_dup_sampled,emb_semantic_dedup=emb_semantic_dedup_sampled,emb_semdedup_cluster=emb_semdedup_sampled \
     emb_kmeans_cluster,emb_cluster_outliers,stream_cluster_route ;;
+emb2)   # r14 conversion: the former emb_kmeans_twolevel exclusion
+        # (full twin ~3000s) graded through its new hash-slice twin —
+        # the complete base->meta->probe->argmin chain over the
+        # 1/EmbSampleMod vec slice, full Spark run at 2M vectors.
+  bash tools/grade_subset.sh target/v1000emb /tmp/g1000_emb2 "$REC" "$L_EMB" \
+    emb_kmeans_twolevel,emb_kmeans_twolevel_sampled \
+    "" emb_kmeans_twolevel=emb_kmeans_twolevel_sampled "" ;;
 orders) # 150M-order IPES family; enrich_stub / s2_union_dedup
         # excluded (driver-paced effect stage; 172s canon at 13M rows
         # -> ~30min at 130M).
   bash tools/grade_subset.sh target/v1000orders /tmp/g1000_orders "$REC" "$L_ORD" \
     ipes_companies,ipes_companies_full,a13_validation_stats,f6_normalize_names,f7_blocklist_filter,f10_individual_heuristic,f11_applicant_gate,f14_sanitize_filename,f15_validation_split,j2_cache_lookup,uuid5_company_id,s10_queue_build,s11_bloom_skip,f9_application_type \
-    enrich_stub,s2_union_dedup \
+    "enrich_stub=driver-paced effect-stage canon replay; 172s at 13M rows -> ~30min at 130M,s2_union_dedup=same driver-paced effect-stage replay cost as enrich_stub; ~30min at 130M rows" \
     "" \
     s10_queue_build,s11_bloom_skip,f9_application_type ;;
+docs3)  # r14 conversions: the seven former doc-family exclusions
+        # graded through their new hash-slice twins (complete chains
+        # over the 1/DocSampleMod slice; containment plants subsets
+        # AFTER slicing so every planted pair survives). Full Spark
+        # runs at 5.71M docs are dumped for spark_full_rows.
+  bash tools/grade_subset.sh target/v1000docs /tmp/g1000_docs3 "$REC" "$L_DOCS" \
+    text_langid,text_langid_sampled,text_quality,text_quality_sampled,text_repetition,text_repetition_sampled,corpus_stats,corpus_stats_sampled,corpus_chunk,corpus_chunk_sampled,source_overlap,source_overlap_sampled,dedup_containment,dedup_containment_sampled \
+    "" \
+    text_langid=text_langid_sampled,text_quality=text_quality_sampled,text_repetition=text_repetition_sampled,corpus_stats=corpus_stats_sampled,corpus_chunk=corpus_chunk_sampled,source_overlap=source_overlap_sampled,dedup_containment=dedup_containment_sampled \
+    "" ;;
+events2) # r14 conversion: stream_sessionize graded through the
+        # user-hash-slice twin (sessions are per-user, so slicing
+        # users before sessionization equals slicing the output); the
+        # full session_window runs at 100M events on the Spark side.
+  bash tools/grade_subset.sh target/v1000events /tmp/g1000_events2 "$REC" "$L_EV" \
+    stream_sessionize,stream_sessionize_sampled \
+    "" stream_sessionize=stream_sessionize_sampled "" ;;
+facts)  # 1000x facts replica (600M lineitem / 150M orders / 15M
+        # customer, 1x dims): the relational/analytics family the r13
+        # record did not cover. Digest tier for replica-scale outputs
+        # (same split as the 100x record); every canon twin here was
+        # <5s at 60M lineitem except a26_winsorize — hand-timed before
+        # this batch shipped and EXCLUDED: its exact-percentile twin
+        # sorts 600M rows and spilled duck_tmp past the ~45 GB of free
+        # disk before dying (measured r14; 138s already at 60M). The
+        # operator's grading stands at the 100x tier.
+  bash tools/grade_subset.sh target/v1000facts /tmp/g1000_facts "$REC" \
+    "sf1000facts (600M lineitem / 150M orders / 15M customer, 1x dims)" \
+    a11_monthly_trend,a12_topk_priority,a15_percentiles,a15_percentiles_approx,a16_sample_k,a18_unpivot,a19_pivot,a1_group_collect,a21_rollup,a22_cube,a23_ntile_buckets,a24_corr,a25_regression,a27_ab_stats,a3_argmax_longest,a4_bool_any,a5_max_date,a6_distinct_set,a7_headline_metrics,a8_distinct_approx,a8_distinct_exact,bucketed_colocated_join,ipes_filings_fact,j1_star_join,j4_anti_join,j5_explode_roundtrip,j6_full_outer_audit,j7_semi_join,merge_upsert,q10_returned_items,q1_agg,q3_shipping_priority,q5_region_revenue,q7_nation_volume,s15_range_partitioned_write,s16_set_ops,s17_zorder_scan,s1_dsv2_scan,s1_paginated_scan,s7_s4_csv_roundtrip,s9_download_summary,skew_salted_join,sql_dashboard,w1_latest_native,w1_latest_per_group,w2_first_after_sort,w3_global_sort \
+    "a26_winsorize=exact-percentile twin sorts 600M lineitem rows and spilled duck_tmp past the ~45 GB of free disk before dying (measured r14; 138s already at 60M)" \
+    "" \
+    a1_group_collect,a4_bool_any,a5_max_date,ipes_filings_fact,j5_explode_roundtrip,j7_semi_join,merge_upsert,s15_range_partitioned_write,s16_set_ops,s1_dsv2_scan,s1_paginated_scan,s7_s4_csv_roundtrip,w1_latest_native,w1_latest_per_group,w2_first_after_sort ;;
 *) echo "unknown batch: $1" >&2; exit 2 ;;
 esac
