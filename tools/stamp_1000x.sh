@@ -103,7 +103,12 @@ docs3)  # r14 conversions: the seven former doc-family exclusions
         # graded through their new hash-slice twins (complete chains
         # over the 1/DocSampleMod slice; containment plants subsets
         # AFTER slicing so every planted pair survives). Full Spark
-        # runs at 5.71M docs are dumped for spark_full_rows.
+        # runs at 5.71M docs are dumped for spark_full_rows —
+        # dedup_containment's freq-capped intersect needs
+        # SPARK_DRIVER_MEM=64g at this tier (OOMs at 48g; 864.7s at
+        # 64g, measured r14) — and run this batch SOLO: source_overlap
+        # died on a transient disk-full when a concurrent DuckDB
+        # hand-time was spilling 40+ GB (r14).
   bash tools/grade_subset.sh target/v1000docs /tmp/g1000_docs3 "$REC" "$L_DOCS" \
     text_langid,text_langid_sampled,text_quality,text_quality_sampled,text_repetition,text_repetition_sampled,corpus_stats,corpus_stats_sampled,corpus_chunk,corpus_chunk_sampled,source_overlap,source_overlap_sampled,dedup_containment,dedup_containment_sampled \
     "" \
