@@ -55,7 +55,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // sqrt(k) super-centroids) — bounded by k and sqrt(k), never the
       // corpus; the member argmin itself is the mid-keyed equi-join
       // that REPLACES the flat n × k broadcast argmin at scale
-      "emb_kmeans_twolevel",
+      "emb_kmeans_twolevel", "emb_kmeans_twolevel_sampled",
       // SemDeDup: same k-row centroid broadcast for assignment; the
       // pair stage itself is a plain equi-join on the cluster id
       "emb_semdedup_cluster", "emb_semdedup_sampled",
