@@ -35,6 +35,37 @@ object ScaleDedup {
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_docs"))
 
+  /** Per-doc DISTINCT hashed shingle sets (id, shs: array<long>) — the
+    * r14 primitive every doc-keyed dedup path derives from. Computed
+    * entirely inside the row (one codegen'd window-hash pass over the
+    * token array, then an in-row distinct), so building it costs ZERO
+    * shuffles — where the r13 exploded-index form paid a full
+    * `.distinct()` exchange of every (id, sh) row just to dedup
+    * shingles that all live in the same input row anyway.
+    *
+    * Precondition: `idCol` is unique per row (one row per document) —
+    * true for every registered corpus frame; a duplicated id would
+    * leave duplicate (id, sh) pairs where the old global distinct
+    * merged them (source-keyed callers like [[sourceOverlap]] add
+    * their own cross-row distinct).
+    *
+    * Docs with < n tokens get an EMPTY array (kept, so canonical
+    * assignment can read ids off this frame); [[explodeSets]] drops
+    * them exactly like the old index (no rows).
+    */
+  def docShingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_distinct(graft.functions.GraftFunctions.shingleHashes(
+        TextAnalysis.tokens(col(textCol)), n)).as("shs"))
+
+  /** Exploded (id, sh) rows off a doc-set frame — the inverted-index
+    * view for self-join consumers. Pure Generate, no shuffle; empty
+    * sets produce no rows.
+    */
+  def explodeSets(sets: DataFrame): DataFrame =
+    sets.select(col("id"), explode(col("shs")).as("sh"))
+
   /** (id, sh) inverted-index rows, `sh` = xxhash64 of the n-gram
     * shingle — distinct so Jaccard is over shingle SETS. Hashing at
     * the index boundary (not downstream) means every consumer —
@@ -42,12 +73,13 @@ object ScaleDedup {
     * instead of ~n-word strings: the index shuffles/checkpoints at a
     * fraction of the bytes and the 64-slot MinHash rehashes a long,
     * not a string. Collision odds ~|shingles|²/2^65 — immaterial.
+    *
+    * r14: derived from [[docShingleSets]] — the per-doc in-row distinct
+    * replaces the global `.distinct()` exchange (same rows for
+    * unique-id inputs, one less shuffle; see the precondition there).
     */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-      explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("sh"))
-      .distinct()
+    explodeSets(docShingleSets(df, idCol, textCol, n))
 
   /** Pairwise n-gram Jaccard ≥ threshold via the inverted index: join
     * on shingle → count shared → |A∪B| from per-doc sizes.
@@ -82,8 +114,9 @@ object ScaleDedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       maxDocFreq: Long = 1000): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
-    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sets = docShingleSets(df, idCol, textCol, n).localCheckpoint()
+    val idx = explodeSets(sets)
+    val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("sz"))
     val grouped = idx.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     val capped = if (maxDocFreq > 0) grouped.filter(size(col("ids")) <= maxDocFreq)
@@ -125,9 +158,13 @@ object ScaleDedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, w: Int = 4, minShared: Long = 5,
       maxDocFreq: Long = 1000): DataFrame = {
-    val idx = df.select(col(idCol).as("id"),
-        explode(TextAnalysis.winnowFingerprintsMd5(col(textCol), n, w)).as("fp"))
+    // checkpoint the per-doc fingerprint ARRAYS (winnow output is
+    // already distinct per doc) and explode per consumer — the pinned
+    // bytes shrink to one row per doc instead of one per fingerprint
+    val fps = df.select(col(idCol).as("id"),
+        TextAnalysis.winnowFingerprintsMd5(col(textCol), n, w).as("fps"))
       .localCheckpoint() // feeds the hot-list aggregate AND the self-join
+    val idx = fps.select(col("id"), explode(col("fps")).as("fp"))
     val capped = if (maxDocFreq > 0) {
       // fingerprints are distinct per doc by construction, so the
       // plain count IS the doc frequency
@@ -156,10 +193,15 @@ object ScaleDedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       maxDocFreq: Long = 1000): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
+    // r14: pin the compact per-doc set frame (array rows, a fraction of
+    // the exploded index's bytes) and derive the index + sizes from it
+    // — sizes become size(shs), a projection instead of a groupBy
+    // exchange over the whole index.
+    val sets = docShingleSets(df, idCol, textCol, n).localCheckpoint()
+    val idx = explodeSets(sets)
     // sizes come from the FULL index — the cap drops hot shingles from
     // intersection counting only, exactly like ngramJaccardPairs.
-    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("sz"))
     val capped = if (maxDocFreq > 0) {
       val hot = idx.groupBy(col("sh"))
         .agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
@@ -207,8 +249,9 @@ object ScaleDedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
-    val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
-    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sets = docShingleSets(df, idCol, textCol, n).localCheckpoint()
+    val idx = explodeSets(sets)
+    val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("sz"))
     val dfreq = idx.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("dfreq"), col("sh"))
@@ -223,7 +266,7 @@ object ScaleDedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    verifyJaccardPairs(cands, idx, threshold)
+    verifyJaccardSets(cands, sets, threshold)
   }
 
   /** Asymmetric shingle containment |A∩B| / |A| — catches subset
@@ -240,8 +283,9 @@ object ScaleDedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.9,
       maxDocFreq: Long = 1000): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
-    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sets = docShingleSets(df, idCol, textCol, n).localCheckpoint()
+    val idx = explodeSets(sets)
+    val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("sz"))
     val capped = if (maxDocFreq > 0) {
       val hot = idx.groupBy(col("sh"))
         .agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
@@ -277,7 +321,13 @@ object ScaleDedup {
     */
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val idx = shingleIndex(df, srcCol, textCol, n).localCheckpoint()
+    // source-keyed: ids repeat across rows, so the cross-row distinct
+    // stays — but the per-row array_distinct inside docShingleSets
+    // already collapses within-doc repeats BEFORE the explode, so the
+    // distinct exchange reads the reduced stream (guide §2.3: shuffle
+    // fewer bytes).
+    val idx = explodeSets(docShingleSets(df, srcCol, textCol, n))
+      .distinct().localCheckpoint()
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     idx.select(col("sh"), col("id").as("src_a"))
       .join(idx.select(col("sh"), col("id").as("src_b")), "sh")
@@ -343,8 +393,9 @@ object ScaleDedup {
   private[graft] def windowHashes(df: DataFrame, idCol: String,
       textCol: String, minTokens: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        posexplode(TextAnalysis.shingles(col(textCol), minTokens)))
-      .select(col("id"), (col("pos") + 1).as("pos"), xxhash64(col("col")).as("h"))
+        posexplode(graft.functions.GraftFunctions.shingleHashes(
+          TextAnalysis.tokens(col(textCol)), minTokens)))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
       .localCheckpoint()
 
   /** Span excision — the consumer of [[duplicatedSpans]]: rebuild each
@@ -523,6 +574,54 @@ object ScaleDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[verifyJaccardPairs]] over a doc-set frame — the r14 hot path.
+    * Same two-branch exact verify, but sizes are `size(shs)` (a
+    * projection — the exploded form paid a full groupBy exchange) and
+    * the small branch attaches the checkpointed set arrays directly
+    * (the exploded form re-built them with a collect_set exchange).
+    * Only the large branch still explodes. Output is identical: both
+    * branches compute the same exact Jaccard over the same sets.
+    */
+  def verifyJaccardSets(
+      candidates: DataFrame, sets: DataFrame, threshold: Double,
+      largeSetGate: Int = 8192): DataFrame = {
+    require(threshold > 0,
+      "verifyJaccardSets needs threshold > 0 (zero-intersection pairs drop out)")
+    val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("sz"))
+    val cand = candidates.select(col("id_a"), col("id_b"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .localCheckpoint()
+    def jaccardOf(inter: Column, szA: Column, szB: Column): Column =
+      round(inter.cast("double") / (szA + szB - inter), 6)
+
+    val small = cand
+      .filter(col("sz_a") <= largeSetGate && col("sz_b") <= largeSetGate)
+      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        jaccardOf(col("inter"), col("sz_a"), col("sz_b")).as("jaccard"))
+
+    val largePairs = cand
+      .filter(col("sz_a") > largeSetGate || col("sz_b") > largeSetGate)
+    val idx = explodeSets(sets)
+    val largeInter = largePairs.select(col("id_a"), col("id_b"))
+      .join(idx.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(idx.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val large = largePairs
+      .join(largeInter, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardOf(col("inter"), col("sz_a"), col("sz_b")).as("jaccard"))
+
+    small.unionByName(large)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** MinHash signature: k independent permutations simulated as
     * xxhash64 with per-slot salts over the 8-byte shingle hash (an
     * equally valid permutation family, at long-rehash cost instead of
@@ -546,6 +645,20 @@ object ScaleDedup {
     index.repartition(col("id")).groupBy(col("id"))
       .agg(array((0 until k).map(i =>
         min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
+
+  /** MinHash signatures straight off a doc-set frame — the r14 hot
+    * path: the whole signature is ONE codegen'd pass over the in-row
+    * array (precomputed slot seeds, tight primitive loop), so the
+    * repartition + k-buffer aggregation the exploded form needs — and
+    * its per-task agg-map memory story at corpus scale — disappears
+    * entirely. Values are bit-identical to [[minhashSignatures]]
+    * (pinned by ShingleMinHashSpec); docs with empty sets are dropped
+    * exactly like docs with no index rows.
+    */
+  def minhashSignaturesOfSets(sets: DataFrame, k: Int = 16): DataFrame =
+    sets.filter(size(col("shs")) > 0)
+      .select(col("id"),
+        graft.functions.GraftFunctions.minhashSig(col("shs"), k).as("sig"))
 
   /** Size banded MinHash for a corpus decade: the minimal bands `b`
     * such that a pair AT the detection threshold `t` is missed with
@@ -690,9 +803,25 @@ object ScaleDedup {
     * XXH64 oracle (minhashBandedCtes) — do not change one without
     * the other.
     */
-  def bandHashes(index: DataFrame, k: Int, bands: Int): DataFrame = {
+  def bandHashes(index: DataFrame, k: Int, bands: Int): DataFrame =
+    bandExplode(minhashSignatures(index, k), k, bands)
+
+  /** Band hashes off a doc-set frame (see
+    * [[minhashSignaturesOfSets]]). The band string/hash construction
+    * is shared with [[bandHashes]] — the DuckDB XXH64 oracle replays
+    * it verbatim.
+    */
+  def bandHashesOfSets(sets: DataFrame, k: Int, bands: Int): DataFrame =
+    bandExplode(minhashSignaturesOfSets(sets, k), k, bands)
+
+  /** The shared (id, band, band_hash) construction over (id, sig)
+    * rows: comma-joined signed band strings, `xxhash64(band, str)` —
+    * replayed verbatim by the DuckDB oracle (minhashBandedCtes); do
+    * not change one without the other.
+    */
+  private def bandExplode(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    minhashSignatures(index, k).select(col("id"),
+    sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, concat_ws(",",
           transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string")))))))
@@ -700,8 +829,15 @@ object ScaleDedup {
   }
 
   def minhashCandidatesFromIndex(
-      index: DataFrame, k: Int = 16, bands: Int = 8): DataFrame = {
-    val banded = bandHashes(index, k, bands)
+      index: DataFrame, k: Int = 16, bands: Int = 8): DataFrame =
+    bandSelfJoin(bandHashes(index, k, bands))
+
+  /** LSH candidate pairs off a doc-set frame. */
+  def minhashCandidatesFromSets(
+      sets: DataFrame, k: Int = 16, bands: Int = 8): DataFrame =
+    bandSelfJoin(bandHashesOfSets(sets, k, bands))
+
+  private def bandSelfJoin(banded: DataFrame): DataFrame = {
     val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     l.join(r, Seq("band", "band_hash"))
@@ -734,16 +870,16 @@ object ScaleDedup {
       newDf: DataFrame, refDf: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       k: Int = 64, bands: Int = 32): DataFrame = {
-    val idxNew = shingleIndex(newDf, idCol, textCol, n).localCheckpoint()
-    val idxRef = shingleIndex(refDf, idCol, textCol, n).localCheckpoint()
-    val cand = bandHashes(idxNew, k, bands)
+    val setsNew = docShingleSets(newDf, idCol, textCol, n).localCheckpoint()
+    val setsRef = docShingleSets(refDf, idCol, textCol, n).localCheckpoint()
+    val cand = bandHashesOfSets(setsNew, k, bands)
       .select(col("band"), col("band_hash"), col("id").as("id_new"))
-      .join(bandHashes(idxRef, k, bands)
+      .join(bandHashesOfSets(setsRef, k, bands)
         .select(col("band"), col("band_hash"), col("id").as("id_ref")),
         Seq("band", "band_hash"))
       .select(col("id_ref").as("id_a"), col("id_new").as("id_b"))
       .distinct()
-    verifyJaccardPairs(cand, idxNew.unionByName(idxRef), threshold)
+    verifyJaccardSets(cand, setsNew.unionByName(setsRef), threshold)
       .select(col("id_a").as("id_ref"), col("id_b").as("id_new"), col("jaccard"))
   }
 
@@ -751,7 +887,7 @@ object ScaleDedup {
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame =
-    minhashCandidatesFromIndex(shingleIndex(df, idCol, textCol, n), k, bands)
+    minhashCandidatesFromSets(docShingleSets(df, idCol, textCol, n), k, bands)
 
   /** 64-bit SimHash: per-token xxhash64, each bit votes ±1, sign of the
     * vote total sets the fingerprint bit. One shuffle (groupBy id).
@@ -832,8 +968,8 @@ object ScaleDedup {
       df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, missBound: Double, rows: Int): DataFrame = {
     val (bands, k) = bandPlan(threshold, missBound, rows)
-    val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
-    verifyJaccardPairs(minhashCandidatesFromIndex(idx, k, bands), idx, threshold)
+    val sets = docShingleSets(df, idCol, textCol, n).localCheckpoint()
+    verifyJaccardSets(minhashCandidatesFromSets(sets, k, bands), sets, threshold)
   }
 
   def nearDupDedup(
@@ -841,10 +977,13 @@ object ScaleDedup {
       n: Int = 3, threshold: Double = 0.6,
       k: Int = 64, bands: Int = 32,
       driverCcThreshold: Int = 1000000): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n).localCheckpoint()
-    val cands = minhashCandidatesFromIndex(idx, k, bands)
-    val verified = verifyJaccardPairs(cands, idx, threshold)
-    assignCanonical(df.select(col(idCol).as("id")), verified, driverCcThreshold)
+    // The pinned doc-set frame carries EVERY doc (empty sets included),
+    // so canonical assignment reads ids off the checkpoint instead of
+    // re-executing the input lineage a second time.
+    val sets = docShingleSets(df, idCol, textCol, n).localCheckpoint()
+    val cands = minhashCandidatesFromSets(sets, k, bands)
+    val verified = verifyJaccardSets(cands, sets, threshold)
+    assignCanonical(sets.select(col("id")), verified, driverCcThreshold)
   }
 
   /** Component-canonical assignment shared by every near-dup family:
@@ -919,17 +1058,16 @@ object ScaleDedup {
         TextAnalysis.langId(col(textCol)) === lang)
     // exact dedup as ONE window pass (min id per fingerprint == first
     // row_number ordered by id): a groupBy+semi-join would evaluate the
-    // regex-heavy gate chain on both join sides. The survivors are
-    // materialized once (localCheckpoint) because the near-dup stage
-    // consumes them three times (shingle index, signature scan, final
-    // id assignment) — without it each consumer re-runs scan+gate+md5.
+    // regex-heavy gate chain on both join sides. r14: no checkpoint
+    // here — nearDupDedup now consumes its input exactly ONCE (its
+    // pinned doc-set frame carries both the shingle sets and the ids),
+    // so materializing the survivors' full text bought nothing.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_fp")).orderBy(col(idCol))
     val exactKept = gated
       .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn", "_fp")
-      .localCheckpoint()
     nearDupDedup(exactKept, idCol, textCol, n, threshold)
       .filter(col("id") === col("canonical_id"))
       .select(col("id").as("doc_id"))

@@ -49,4 +49,25 @@ object GraftFunctions {
   def sampleK(c: Column, k: Int): Column =
     ColumnBridge.column(
       HashSampleK(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** `shingle_hashes(tokens, n)` — all n-gram window xxhash64 values of
+    * a token array in one codegen'd allocation-free pass (bit-parity
+    * with `transform(shingles(c, n), xxhash64)`).
+    */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), n))
+
+  /** `minhash_sig(shs, k)` — the k-slot MinHash signature of a hashed-
+    * shingle array in one codegen'd pass with precomputed slot seeds
+    * (bit-parity with `array_i(min(xxhash64(lit(i), sh)))`).
+    */
+  def minhashSig(shs: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shs), k))
+
+  /** `md5_ngram_buckets(tokens)` — DSIR unigram+bigram 12-bit md5
+    * bucket ids in one codegen'd pass (bit-parity with the
+    * `conv(substring(md5(f), 1, 3), 16, 10)` HOF chain).
+    */
+  def md5NgramBuckets(tokens: Column): Column =
+    ColumnBridge.column(Md5NgramBuckets(ColumnBridge.expression(tokens)))
 }

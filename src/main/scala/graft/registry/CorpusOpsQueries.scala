@@ -94,8 +94,12 @@ object CorpusOpsQueries extends QueryRegistry {
         .agg(min(struct(col("doc_id"), col("seg_id"))).as("o"))
       val kept = segs.join(firstOwner, "seg_text")
         .filter(col("doc_id") === col("o.doc_id") && col("seg_id") === col("o.seg_id"))
-      val totals = segs.groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("long").as("n_segs"))
+      // r14: per-doc segment totals are a per-row formula (the explode
+      // emits max(nSeg, 1) rows per doc by construction), not a
+      // groupBy over the exploded segments — one less full shuffle and
+      // one less tokenize+explode pass of the corpus.
+      val totals = toks.select(col("doc_id"),
+        greatest(nSeg, lit(1)).cast("long").as("n_segs"))
       val keptAgg = kept.groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_kept"),
           array_join(
@@ -366,12 +370,23 @@ object CorpusOpsQueries extends QueryRegistry {
     */
   private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val b = DsirBuckets
-    val feats = Tables.documents(s, dir)
+    // r14: featurize ONCE — the bucket arrays are pinned per doc
+    // (localCheckpoint) and exploded per consumer. Unpinned, the md5
+    // featurization of the whole corpus executed THREE times: once for
+    // the totals collect, once under the log-ratio aggregate, once on
+    // the join side of the final per-doc sum.
+    val bucketed = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(graft.text.TextAnalysis.hashedNgramBuckets(col("text"))).as("b"))
+        graft.text.TextAnalysis.hashedNgramBuckets(col("text")).as("bs"))
+      .localCheckpoint()
+    val feats = bucketed.select(col("doc_id"), col("lang"), col("source"),
+      explode(col("bs")).as("b"))
+    // ≤ 4096 rows — pinned so the totals collect and the log-ratio
+    // aggregate share one bucket-count pass instead of two
     val stats = feats.groupBy(col("b")).agg(
       count(lit(1)).as("c_raw"),
       sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("c_tgt"))
+      .localCheckpoint()
     val tot = stats.agg(sum(col("c_raw")), sum(col("c_tgt"))).head()
     val (nRaw, nTgt) = (tot.getLong(0), tot.getLong(1))
     // lr = ln( p_tgt(b) / p_raw(b) ) with add-one smoothing, as ONE ln

@@ -20,7 +20,12 @@ object TextQueries extends QueryRegistry {
     d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
 
   private def repetitionOf(d: DataFrame): DataFrame = {
-    val sh = TextAnalysis.shingles(col("text"), 3)
+    // r14: hashed windows instead of shingle strings — counts are
+    // identical (distinct hash count == distinct shingle count up to
+    // the same in-doc xxhash64 collision odds every dedup path already
+    // accepts), and the two array passes skip per-window string builds
+    val sh = graft.functions.GraftFunctions.shingleHashes(
+      TextAnalysis.tokens(col("text")), 3)
     d.select(
       col("doc_id"),
       size(sh).cast("long").as("n_shingles"),

@@ -41,17 +41,18 @@ object StreamingNearDup {
   def bandRows(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
     val rows = k / bands
-    // the hashed-shingle array is let-bound: the k signature slots
-    // each captured the expression and re-shingled the document per
-    // slot (k× the production cost; see TextAnalysis.let1)
-    val sig = graft.text.TextAnalysis.let1(
-      transform(graft.text.TextAnalysis.shingles(col(textCol), n),
-        s => xxhash64(s)),
-      sh => array((0 until k).map(i =>
-        array_min(transform(sh, h => xxhash64(lit(i), h)))): _*))
+    // r14: the hashed-shingle pass and the k-slot mins are ONE
+    // codegen'd expression each (shingle_hashes + minhash_sig,
+    // bit-parity with the interpreted HOF chain this replaces — pinned
+    // by ShingleMinHashSpec), so the signature costs one window-hash
+    // pass plus a primitive k×|shingles| loop per row.
+    val shs = graft.functions.GraftFunctions.shingleHashes(
+      graft.text.TextAnalysis.tokens(col(textCol)), n)
     docs
-      .filter(size(graft.text.TextAnalysis.shingles(col(textCol), n)) > 0)
-      .select(col(idCol).as("doc_id"), sig.as("sig"))
+      .select(col(idCol).as("doc_id"), shs.as("_shs"))
+      .filter(size(col("_shs")) > 0)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSig(col("_shs"), k).as("sig"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, concat_ws(",",

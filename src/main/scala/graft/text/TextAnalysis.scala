@@ -93,7 +93,7 @@ object TextAnalysis {
     * never recomputes it).
     */
   def winnowFingerprints(c: Column, n: Int = 3, w: Int = 4): Column =
-    let1(transform(shingles(c, n), s => xxhash64(s)), hashes =>
+    let1(graft.functions.GraftFunctions.shingleHashes(tokens(c), n), hashes =>
       when(size(hashes) < w, array_sort(array_distinct(hashes)))
         .otherwise(array_sort(array_distinct(
           transform(sequence(lit(0), size(hashes) - w),
@@ -178,6 +178,12 @@ object TextAnalysis {
     * (see [[let1]]) so the bigram lambda never re-splits the document.
     */
   def hashedNgramBuckets(c: Column): Column =
+    graft.functions.GraftFunctions.md5NgramBuckets(tokens(c))
+
+  /** The r13 HOF form of [[hashedNgramBuckets]] — kept as the parity
+    * reference the spec pins the codegen'd expression against.
+    */
+  private[graft] def hashedNgramBucketsHof(c: Column): Column =
     let1(tokens(c), t => {
       val bigrams = when(size(t) < 2, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(0), size(t) - 2),

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.text.TextAnalysis
+
+/** Bit-parity of the codegen'd dedup primitives against the Column
+  * forms they replace: shingle_hashes vs transform(shingles, xxhash64)
+  * and minhash_sig vs the per-slot min(xxhash64(lit(i), sh)) aggregate
+  * — on the real fixture corpus plus adversarial strings. These pins
+  * are what let the r14 optimization swap the hot path without moving
+  * any registered query's output.
+  */
+class ShingleMinHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def adversarial = {
+    import spark.implicits._
+    Seq(
+      (1L, "plain three token text"),
+      (2L, "  leading and   multiple   spaces  "),
+      (3L, "MIXED Case ÜNICODE tökens ñ 中文 字符 here"),
+      (4L, "tab\tseparated\ttokens\tand more words"),
+      (5L, ""),
+      (6L, "one"),
+      (7L, "two tokens"),
+      (8L, "exactly three tokens"),
+      (9L, "a b c d e f g h i j k l m n o p"),
+      (10L, "dup dup dup dup dup dup"),
+    ).toDF("doc_id", "text")
+  }
+
+  private def corpus = graft.Tables.documents(spark, TestSpark.SfDir)
+    .select(col("doc_id"), col("text")).limit(300)
+
+  test("shingle_hashes == transform(shingles, xxhash64), fixture + adversarial") {
+    for (df <- Seq(adversarial, corpus); n <- Seq(3, 10)) {
+      val both = df.select(
+        col("doc_id"),
+        GraftFunctions.shingleHashes(TextAnalysis.tokens(col("text")), n).as("fast"),
+        transform(TextAnalysis.shingles(col("text"), n),
+          s => xxhash64(s)).as("ref"))
+      val bad = both.filter(not(col("fast") <=> col("ref"))).count()
+      assert(bad === 0, s"shingle_hashes diverged on $bad rows at n=$n")
+    }
+  }
+
+  test("minhash_sig == per-slot min(xxhash64(lit(i), sh)) aggregate") {
+    for (k <- Seq(16, 64, 171)) {
+      val idx = graft.dedup.ScaleDedup.shingleIndex(corpus, "doc_id", "text", 3)
+      val agg = idx.groupBy(col("id"))
+        .agg(array((0 until k).map(i =>
+          min(xxhash64(lit(i), col("sh")))): _*).as("ref"))
+      val fast = graft.dedup.ScaleDedup
+        .docShingleSets(corpus, "doc_id", "text", 3)
+        .filter(size(col("shs")) > 0)
+        .select(col("id"), GraftFunctions.minhashSig(col("shs"), k).as("fast"))
+      val joined = agg.join(fast, "id")
+      assert(joined.count() > 0)
+      val bad = joined.filter(not(col("fast") <=> col("ref"))).count()
+      assert(bad === 0, s"minhash_sig diverged on $bad docs at k=$k")
+    }
+  }
+
+  test("md5_ngram_buckets == the conv(substring(md5)) HOF chain") {
+    for (df <- Seq(adversarial, corpus)) {
+      val both = df.select(
+        TextAnalysis.hashedNgramBuckets(col("text")).as("fast"),
+        graft.text.TextAnalysis.hashedNgramBucketsHof(col("text")).as("ref"))
+      val bad = both.filter(not(col("fast") <=> col("ref"))).count()
+      assert(bad === 0, s"md5_ngram_buckets diverged on $bad rows")
+    }
+  }
+
+  test("minhash_sig over the positional multiset equals over the distinct set") {
+    val toks = TextAnalysis.tokens(col("text"))
+    val both = corpus.select(
+      GraftFunctions.minhashSig(
+        GraftFunctions.shingleHashes(toks, 3), 32).as("multiset"),
+      GraftFunctions.minhashSig(
+        array_distinct(GraftFunctions.shingleHashes(toks, 3)), 32).as("set"))
+    assert(both.filter(not(col("multiset") <=> col("set"))).count() === 0)
+  }
+}
