@@ -56,8 +56,9 @@ object ScaleDedup {
   def docShingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-      array_distinct(graft.functions.GraftFunctions.shingleHashes(
-        TextAnalysis.tokens(col(textCol)), n)).as("shs"))
+      graft.functions.GraftFunctions.longSortedSet(
+        graft.functions.GraftFunctions.shingleHashes(
+          TextAnalysis.tokens(col(textCol)), n)).as("shs"))
 
   /** Exploded (id, sh) rows off a doc-set frame — the inverted-index
     * view for self-join consumers. Pure Generate, no shuffle; empty
@@ -165,14 +166,14 @@ object ScaleDedup {
         TextAnalysis.winnowFingerprintsMd5(col(textCol), n, w).as("fps"))
       .localCheckpoint() // feeds the hot-list aggregate AND the self-join
     val idx = fps.select(col("id"), explode(col("fps")).as("fp"))
-    val capped = if (maxDocFreq > 0) {
-      // fingerprints are distinct per doc by construction, so the
-      // plain count IS the doc frequency
-      val hot = idx.groupBy(col("fp"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
-        .select(col("fp"))
-      idx.join(hot, Seq("fp"), "left_anti")
-    } else idx
+    // fingerprints are distinct per doc by construction, so the plain
+    // count IS the doc frequency. r14: keep-list of 2 <= df (<= cap) —
+    // a single-doc fingerprint cannot produce a cross pair, so pruning
+    // it before the self-join is lossless (see ngramJaccardPairsSelfJoin)
+    val df0 = idx.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val keep = (if (maxDocFreq > 0) df0.filter(col("df") <= maxDocFreq) else df0)
+      .filter(col("df") >= 2).select(col("fp"))
+    val capped = idx.join(keep, Seq("fp"), "left_semi")
     capped.select(col("fp"), col("id").as("id_a"))
       .join(capped.select(col("fp"), col("id").as("id_b")), "fp")
       .filter(col("id_a") < col("id_b"))
@@ -202,12 +203,16 @@ object ScaleDedup {
     // sizes come from the FULL index — the cap drops hot shingles from
     // intersection counting only, exactly like ngramJaccardPairs.
     val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("sz"))
-    val capped = if (maxDocFreq > 0) {
-      val hot = idx.groupBy(col("sh"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
-        .select(col("sh"))
-      idx.join(hot, Seq("sh"), "left_anti")
-    } else idx
+    // r14: the survivor list is the shingles with 2 <= df (<= cap) —
+    // a df = 1 shingle self-joins only with itself (dropped by the
+    // id_a < id_b filter), so pruning it BEFORE the self-join is
+    // lossless and, in real text where most shingles are unique,
+    // empties the bulk of both join inputs (guide §3.2's pre-filter
+    // idea, with an exact list instead of a Bloom filter).
+    val df0 = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val keep = (if (maxDocFreq > 0) df0.filter(col("df") <= maxDocFreq) else df0)
+      .filter(col("df") >= 2).select(col("sh"))
+    val capped = idx.join(keep, Seq("sh"), "left_semi")
     val inter = capped.select(col("sh"), col("id").as("id_a"))
       .join(capped.select(col("sh"), col("id").as("id_b")), "sh")
       .filter(col("id_a") < col("id_b"))
@@ -255,12 +260,24 @@ object ScaleDedup {
     val dfreq = idx.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("dfreq"), col("sh"))
+    // r14, two lossless shrinks of the candidate stage:
+    //  - dfreq >= 2: a prefix shingle with corpus doc-frequency 1
+    //    joins only with itself (id_a = id_b, dropped by the < filter)
+    //    — in real text MOST shingles are unique, so this empties the
+    //    bulk of the self-join input without touching the pair set
+    //    (the prefix RANKING still runs over every shingle: rarity
+    //    order is what makes the filter correct);
+    //  - localCheckpoint: the prefix frame feeds both join sides —
+    //    unpinned, the dfreq join + ranking window executed once per
+    //    side.
     val prefix = idx.join(dfreq, "sh")
       .withColumn("rk", row_number().over(w))
       .join(sizes, "id")
       .filter(col("rk") <=
         col("sz") - floor(lit(threshold) * col("sz") - lit(1e-6)))
+      .filter(col("dfreq") >= 2)
       .select(col("id"), col("sh"))
+      .localCheckpoint()
     val cands = prefix.select(col("sh"), col("id").as("id_a"))
       .join(prefix.select(col("sh"), col("id").as("id_b")), "sh")
       .filter(col("id_a") < col("id_b"))
@@ -286,12 +303,12 @@ object ScaleDedup {
     val sets = docShingleSets(df, idCol, textCol, n).localCheckpoint()
     val idx = explodeSets(sets)
     val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("sz"))
-    val capped = if (maxDocFreq > 0) {
-      val hot = idx.groupBy(col("sh"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
-        .select(col("sh"))
-      idx.join(hot, Seq("sh"), "left_anti")
-    } else idx
+    // keep-list of 2 <= df (<= cap): lossless self-join pre-filter, see
+    // ngramJaccardPairsSelfJoin
+    val df0 = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val keep = (if (maxDocFreq > 0) df0.filter(col("df") <= maxDocFreq) else df0)
+      .filter(col("df") >= 2).select(col("sh"))
+    val capped = idx.join(keep, Seq("sh"), "left_semi")
     val inter = capped.select(col("sh"), col("id").as("id_a"))
       .join(capped.select(col("sh"), col("id").as("id_b")), "sh")
       .filter(col("id_a") < col("id_b"))
@@ -329,8 +346,15 @@ object ScaleDedup {
     val idx = explodeSets(docShingleSets(df, srcCol, textCol, n))
       .distinct().localCheckpoint()
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    idx.select(col("sh"), col("id").as("src_a"))
-      .join(idx.select(col("sh"), col("id").as("src_b")), "sh")
+    // r14: only shingles present in >= 2 SOURCES can contribute to a
+    // cross-source intersection — the df >= 2 keep-list empties the
+    // bulk of the self-join input (most shingles live in one source),
+    // lossless by the same argument as ngramJaccardPairsSelfJoin.
+    val keep = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("sh"))
+    val shared = idx.join(keep, Seq("sh"), "left_semi")
+    shared.select(col("sh"), col("id").as("src_a"))
+      .join(shared.select(col("sh"), col("id").as("src_b")), "sh")
       .filter(col("src_a") =!= col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("inter"))
@@ -587,25 +611,37 @@ object ScaleDedup {
       largeSetGate: Int = 8192): DataFrame = {
     require(threshold > 0,
       "verifyJaccardSets needs threshold > 0 (zero-intersection pairs drop out)")
-    val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("sz"))
+    // ONE pair of set joins attaches size AND (small) array per side —
+    // the r13 shape paid two separate joins per side (sizes, then
+    // sets). Arrays above the skew gate are nulled IN the join's fused
+    // projection, so the checkpointed pair rows never carry a giant
+    // array (the original gate rationale) while small pairs keep
+    // everything the verify needs.
+    def side(suffix: String): DataFrame = sets.select(
+      col("id").as(s"id_$suffix"),
+      size(col("shs")).cast("long").as(s"sz_$suffix"),
+      when(size(col("shs")) <= largeSetGate, col("shs")).as(s"shs_$suffix"))
     val cand = candidates.select(col("id_a"), col("id_b"))
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .join(side("a"), "id_a")
+      .join(side("b"), "id_b")
       .localCheckpoint()
     def jaccardOf(inter: Column, szA: Column, szB: Column): Column =
       round(inter.cast("double") / (szA + szB - inter), 6)
 
+    // sorted-set linear-merge intersect — equals
+    // size(array_intersect(...)) on the doc-set frame's canonical
+    // arrays, without per-row hash-set builds (pinned by spec)
     val small = cand
-      .filter(col("sz_a") <= largeSetGate && col("sz_b") <= largeSetGate)
-      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .filter(col("shs_a").isNotNull && col("shs_b").isNotNull)
       .withColumn("inter",
-        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+        graft.functions.GraftFunctions.sortedIntersectSize(
+          col("shs_a"), col("shs_b")).cast("long"))
       .select(col("id_a"), col("id_b"),
         jaccardOf(col("inter"), col("sz_a"), col("sz_b")).as("jaccard"))
 
     val largePairs = cand
-      .filter(col("sz_a") > largeSetGate || col("sz_b") > largeSetGate)
+      .filter(col("shs_a").isNull || col("shs_b").isNull)
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
     val idx = explodeSets(sets)
     val largeInter = largePairs.select(col("id_a"), col("id_b"))
       .join(idx.select(col("id").as("id_a"), col("sh")), "id_a")
@@ -1053,22 +1089,38 @@ object ScaleDedup {
       df: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.5, lang: String = "en",
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val gated = df.filter(
-      TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
-        TextAnalysis.langId(col(textCol)) === lang)
+    // r14: ONE tokenize pass feeds the whole chain. The r13 form
+    // re-split every document ~7 times in the gate alone (5 language
+    // scores + quality's token count and stopword hits), an 8th time
+    // for the fingerprint, and a 9th for the shingles; binding the
+    // token array in one projection evaluates the identical
+    // expressions over a shared array. The exact-dedup window then
+    // shuffles (id, _fp, shs) — the derived 8-byte shingle sets — so
+    // the raw text never crosses an exchange and the survivors need no
+    // re-tokenization (guide §2.3: shuffle keys and derived metadata,
+    // not payloads).
+    val toked = df.select(col(idCol).as("id"), col(textCol).as("_text"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .filter(
+        TextAnalysis.qualityScoreOf(col("_text"), col("_toks")) >= minQuality &&
+          TextAnalysis.langIdOf(col("_toks")) === lang)
+      .select(col("id"),
+        md5(concat_ws(" ", col("_toks"))).as("_fp"),
+        array_distinct(graft.functions.GraftFunctions.shingleHashes(
+          col("_toks"), n)).as("shs"))
     // exact dedup as ONE window pass (min id per fingerprint == first
     // row_number ordered by id): a groupBy+semi-join would evaluate the
-    // regex-heavy gate chain on both join sides. r14: no checkpoint
-    // here — nearDupDedup now consumes its input exactly ONCE (its
-    // pinned doc-set frame carries both the shingle sets and the ids),
-    // so materializing the survivors' full text bought nothing.
+    // gate chain on both join sides.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_fp")).orderBy(col(idCol))
-    val exactKept = gated
-      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .partitionBy(col("_fp")).orderBy(col("id"))
+    val sets = toked
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn", "_fp")
-    nearDupDedup(exactKept, idCol, textCol, n, threshold)
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("shs"))
+      .localCheckpoint()
+    val cands = minhashCandidatesFromSets(sets, 64, 32)
+    val verified = verifyJaccardSets(cands, sets, threshold)
+    assignCanonical(sets.select(col("id")), verified)
       .filter(col("id") === col("canonical_id"))
       .select(col("id").as("doc_id"))
   }

@@ -70,4 +70,17 @@ object GraftFunctions {
     */
   def md5NgramBuckets(tokens: Column): Column =
     ColumnBridge.column(Md5NgramBuckets(ColumnBridge.expression(tokens)))
+
+  /** `long_sorted_set(a)` — sort + dedup a long array in one codegen'd
+    * pass (the doc-set frame's canonical form).
+    */
+  def longSortedSet(a: Column): Column =
+    ColumnBridge.column(LongSortedSet(ColumnBridge.expression(a)))
+
+  /** `sorted_intersect_size(a, b)` — |a ∩ b| of two sorted-distinct
+    * long arrays by linear merge (== size(array_intersect(a, b))).
+    */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

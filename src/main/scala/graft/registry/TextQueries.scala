@@ -46,10 +46,13 @@ object TextQueries extends QueryRegistry {
 
   private def statsOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    d.select(
-      TextAnalysis.langId(col("text")).as("lang_pred"),
-      TextAnalysis.tokenCount(col("text")).as("ntok"),
-      TextAnalysis.qualityScore(col("text")).as("q"))
+    // r14: tokenize once per row — langId + tokenCount + qualityScore
+    // re-split the document ~8 times through their own tokens() calls
+    d.select(col("text"), TextAnalysis.tokens(col("text")).as("_toks"))
+      .select(
+        TextAnalysis.langIdOf(col("_toks")).as("lang_pred"),
+        size(col("_toks")).as("ntok"),
+        TextAnalysis.qualityScoreOf(col("text"), col("_toks")).as("q"))
       .groupBy(col("lang_pred"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -38,13 +38,26 @@ object TextAnalysis {
     * order-independent, hence deterministic under any partitioning).
     */
   def stopwordHits(c: Column, words: Seq[String]): Column =
-    size(array_intersect(tokens(c), array(words.map(lit): _*)))
+    stopwordHitsOf(tokens(c), words)
+
+  /** [[stopwordHits]] over an already-computed token array — lets a
+    * multi-signal gate tokenize the document ONCE (the r14 corpus_prep
+    * gate re-split every document ~7 times: 5 languages + quality's
+    * count and stopword terms).
+    */
+  def stopwordHitsOf(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
 
   /** Language-ID heuristic: argmax of stopword hits, ties to the first
     * language in `LangStopwords` order (deterministic CASE chain).
     */
-  def langId(c: Column): Column = {
-    val scores = LangStopwords.map { case (lang, words) => lang -> stopwordHits(c, words) }
+  def langId(c: Column): Column = langIdOf(tokens(c))
+
+  /** [[langId]] over an already-computed token array. */
+  def langIdOf(toks: Column): Column = {
+    val scores = LangStopwords.map { case (lang, words) =>
+      lang -> stopwordHitsOf(toks, words)
+    }
     scores.foldRight(lit("und")) { case ((lang, score), rest) =>
       val othersGeq = scores.filter(_._1 != lang).map(_._2)
         .foldLeft(lit(true))((acc, s) => acc && score >= s)
@@ -56,15 +69,20 @@ object TextAnalysis {
     * band, alpha ratio, stopword presence. Plain double arithmetic on
     * one row — deterministic everywhere.
     */
-  def qualityScore(c: Column): Column = {
-    val nTok = tokenCount(c).cast("double")
+  def qualityScore(c: Column): Column = qualityScoreOf(c, tokens(c))
+
+  /** [[qualityScore]] with the token array precomputed (the char-level
+    * signals still read the raw string).
+    */
+  def qualityScoreOf(c: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
     val nChars = length(c).cast("double")
     val alphaChars = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double")
     val meanWordLen = nChars / greatest(nTok, lit(1.0))
     val lengthScore = least(nTok / lit(100.0), lit(1.0))
     val wordLenScore = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.3)
     val alphaScore = alphaChars / greatest(nChars, lit(1.0))
-    val stopScore = least(stopwordHits(c, LangStopwords.head._2).cast("double") / lit(3.0), lit(1.0))
+    val stopScore = least(stopwordHitsOf(toks, LangStopwords.head._2).cast("double") / lit(3.0), lit(1.0))
     round(lengthScore * 0.3 + wordLenScore * 0.2 + alphaScore * 0.3 + stopScore * 0.2, 6)
   }
 

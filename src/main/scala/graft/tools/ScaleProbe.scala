@@ -165,6 +165,60 @@ object ScaleProbe {
       f"${rankSec * 1e6 / (iters.toLong * nEdges)}%.3f us/(iter*edge)")
   }
 
+  /** Per-stage forensics for the prefix-filtered exact-Jaccard path
+    * (r14): doc-set build, doc-frequency aggregate, prefix ranking,
+    * candidate self-join, exact verify — timed apart with row counts.
+    * args: `prefix <dir> [<dir2> ...]`.
+    */
+  private def probePrefix(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    println(s"[probe] === prefix $dir ===")
+    val docs = ScaleDedupQueries.withNearDups(spark, dir)
+    val threshold = 0.5
+    val sets = timed("docSets materialize") {
+      val s0 = ScaleDedup.docShingleSets(docs, "doc_id", "text", 3).localCheckpoint()
+      s0.count(); s0
+    }
+    val idx = ScaleDedup.explodeSets(sets)
+    val nIdx = timed("idx count")(idx.count())
+    val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("sz"))
+    val dfreq = timed("dfreq agg materialize") {
+      val d = idx.groupBy(col("sh")).agg(count(lit(1)).as("dfreq")).localCheckpoint()
+      d.count(); d
+    }
+    val w = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("sh"))
+    val prefix = timed("prefix rank+filter materialize") {
+      val p = idx.join(dfreq, "sh")
+        .withColumn("rk", row_number().over(w))
+        .join(sizes, "id")
+        .filter(col("rk") <=
+          col("sz") - floor(lit(threshold) * col("sz") - lit(1e-6)))
+        .filter(col("dfreq") >= 2)
+        .select(col("id"), col("sh"))
+        .localCheckpoint()
+      p.count(); p
+    }
+    val nPrefix = prefix.count()
+    val cands = timed("candidate self-join materialize") {
+      val c = prefix.select(col("sh"), col("id").as("id_a"))
+        .join(prefix.select(col("sh"), col("id").as("id_b")), "sh")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct().localCheckpoint()
+      c.count(); c
+    }
+    val nCands = cands.count()
+    val nVer = timed("verify") {
+      ScaleDedup.verifyJaccardSets(cands, sets, threshold).count()
+    }
+    println(s"[probe]   rows: idx=$nIdx dfreq=${dfreq.count()} " +
+      s"prefix=$nPrefix cands=$nCands verified=$nVer")
+    timed("prefix query (as benched)") {
+      graft.SparkEntry.queries("dedup_ngram_jaccard_prefix")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -181,6 +235,7 @@ object ScaleProbe {
     else if (args.headOption.contains("ab")) args.drop(1).foreach(abJaccard(spark, _))
     else if (args.headOption.contains("spans")) args.drop(1).foreach(probeSpans(spark, _))
     else if (args.headOption.contains("authority")) args.drop(1).foreach(probeAuthority(spark, _))
+    else if (args.headOption.contains("prefix")) args.drop(1).foreach(probePrefix(spark, _))
     else dirs.foreach(probe(spark, _))
     spark.stop()
   }

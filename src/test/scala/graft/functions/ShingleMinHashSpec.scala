@@ -74,6 +74,28 @@ class ShingleMinHashSpec extends AnyFunSuite {
     }
   }
 
+  test("long_sorted_set == array_sort(array_distinct); merge intersect == array_intersect size") {
+    val toks = TextAnalysis.tokens(col("text"))
+    val hs = GraftFunctions.shingleHashes(toks, 3)
+    for (df <- Seq(adversarial, corpus)) {
+      val sorted = df.select(
+        GraftFunctions.longSortedSet(hs).as("fast"),
+        array_sort(array_distinct(hs)).as("ref"))
+      assert(sorted.filter(not(col("fast") <=> col("ref"))).count() === 0)
+    }
+    // intersect over real candidate pairs: fast == built-in
+    val sets = graft.dedup.ScaleDedup
+      .docShingleSets(corpus, "doc_id", "text", 3)
+    val pairs = sets.select(col("id").as("id_a"), col("shs").as("shs_a"))
+      .crossJoin(sets.select(col("id").as("id_b"), col("shs").as("shs_b")))
+      .filter(col("id_a") < col("id_b")).limit(5000)
+    val bad = pairs.select(
+      GraftFunctions.sortedIntersectSize(col("shs_a"), col("shs_b")).as("fast"),
+      size(array_intersect(col("shs_a"), col("shs_b"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad === 0)
+  }
+
   test("minhash_sig over the positional multiset equals over the distinct set") {
     val toks = TextAnalysis.tokens(col("text"))
     val both = corpus.select(
