@@ -83,4 +83,18 @@ object GraftFunctions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectSize(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `l2_normalize(e)` — one-pass L2 normalization (bit-parity with
+    * `transform(e, x => x.cast("double") / norm(e))`, which re-ran the
+    * captured norm once per element).
+    */
+  def l2Normalize(e: Column): Column =
+    ColumnBridge.column(L2Normalize(ColumnBridge.expression(e)))
+
+  /** `nearest_centroid(e)` — 0-based argmax-cosine position against
+    * literal centroids (bit-parity with the crossJoin + cosinePre +
+    * rank-1 window assignment it replaces).
+    */
+  def nearestCentroid(e: Column, centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(e), centroids))
 }

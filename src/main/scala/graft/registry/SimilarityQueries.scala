@@ -14,7 +14,7 @@ import graft.similarity.{Clustering, Knn}
   */
 object SimilarityQueries extends QueryRegistry {
 
-  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+  private[graft] def queriesDf(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < 20)
 
   def withPerturbed(s: SparkSession, dir: String): DataFrame = {

@@ -242,17 +242,27 @@ object Knn {
     }
   }
 
-  /** Assign every vector to its nearest centroid (broadcast nested
-    * loop over the tiny centroid set — corpus never shuffles).
+  /** Assign every vector to its nearest centroid. r14: the argmax is
+    * per-row column math against the collected centroid set (bounded —
+    * autoCentroids caps at 4096) through the codegen'd
+    * [[graft.functions.NearestCentroid]], so the corpus TRULY never
+    * shuffles: the former crossJoin + rank-1 window pushed
+    * n×nCentroids rows carrying the embedding arrays through an
+    * exchange just to keep each row's argmax. Parity with that window
+    * (round-6 cosine, NaN-high ordering, cid-asc ties, null → smallest
+    * cid) is pinned in the expression and by ShingleMinHashSpec.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vectors.withColumn("v_nrm", norm(col("embedding")))
-      .crossJoin(broadcast(centroids.withColumn("c_nrm", norm(col("c_emb")))))
-      .withColumn("csim",
-        cosinePre(col("embedding"), col("c_emb"), col("v_nrm"), col("c_nrm")))
-    graft.plans.TopK.perKey(scored,
-      Seq(col("vec_id")), Seq(col("csim").desc, col("cid").asc), 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val cents = centroids.select(col("cid").cast("long"), col("c_emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+    val cids = cents.map(_._1).toSeq
+    val mat = cents.map(_._2).toSeq
+    vectors.select(col("vec_id"), col("embedding"),
+      element_at(typedlit(cids),
+        graft.functions.GraftFunctions.nearestCentroid(col("embedding"), mat)
+          + 1).as("cid"))
   }
 
   /** IVF top-k: probe the query's `nProbe` nearest inverted lists, then
@@ -355,40 +365,37 @@ object Knn {
     // 256 training points per 32-cell codebook, comfortably above the
     // k-means rule of thumb. The full corpus still gets ENCODED — only
     // the iterative training is capped. trainCap = 0 disables.
+    //
+    // r14 shape: centroids live on the DRIVER between iterations
+    // (bounded: m×k cells, the same collect the function ended with
+    // anyway), so each Lloyd step is ONE projection through the
+    // codegen'd [[graft.functions.PqEncode]] — whose argmin arithmetic
+    // is bit-identical to the former broadcast-join + window scoring
+    // (norms − 2.0·dot in index order, first-min = cid-asc ties) —
+    // plus ONE decimal-mean aggregate and a ≤ m×k×subDim-row collect.
+    // The r13 form paid a per-subspace explode (checkpointed), a seed
+    // window, and per iteration a broadcast join + ranking window +
+    // two aggregation exchanges.
     val train =
-      if (trainCap > 0)
+      (if (trainCap > 0)
         vectors.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
           .limit(trainCap)
-      else vectors
-    // localCheckpoint: the subspace explode is consumed by the seed
-    // pass AND re-joined in EVERY Lloyd iteration — without pinning,
-    // each fold re-executes the whole upstream lineage (normalize →
-    // explode → slice), which at the 10× bench replica multiplied the
-    // training cost several-fold.
-    val sub = train
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("s"),
-        col("embedding"))
-      .select(col("vec_id"), col("s"),
-        transform(slice(col("embedding"), col("s") * subDim + 1, lit(subDim)),
-          _.cast("double")).as("sub"))
-      .localCheckpoint()
-    val seeds = graft.plans.TopK.perKey(
-        sub.withColumn("h", xxhash64(col("vec_id"))),
-        Seq(col("s")), Seq(col("h").asc, col("vec_id").asc), k)
-      .select(col("s"), col("rank").as("cid"), col("sub").as("c_sub"))
-    val trained = (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
-      // argmin key |c|² − 2⟨sub,c⟩ (the |sub|² term is constant per
-      // row — dropped, same trick as the encoder): two codegen'd dot
-      // products instead of the interpreted zip_with/aggregate lambda
-      // pair, which dominated training time at replica scale
-      val dot = graft.functions.GraftFunctions.dotProduct _
-      val scored = sub.join(
-          broadcast(cents.withColumn("cn2", dot(col("c_sub"), col("c_sub")))),
-          Seq("s"))
-        .withColumn("d2", col("cn2") - lit(2.0) * dot(col("sub"), col("c_sub")))
-      val assigned = graft.plans.TopK.perKey(scored,
-          Seq(col("vec_id"), col("s")), Seq(col("d2").asc, col("cid").asc), 1)
-        .select(col("s"), col("cid"), col("sub"))
+      else vectors)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("emb"))
+        .localCheckpoint()
+    // seeds: the k lowest-(hash, id) train vectors — the former
+    // per-subspace rank window picked the SAME k vectors for every
+    // subspace (its order key is subspace-independent), so one bounded
+    // k-row collect replaces it, sliced per subspace driver-side.
+    val seedRows = train
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(k).select(col("emb")).collect()
+      .map(_.getSeq[Double](0))
+    var cur: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
+      seedRows.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
+    var iter = 0
+    while (iter < lloydIters) {
       // decimal-exact means (the Clustering.recompute pattern): a
       // float avg() is partition-order-dependent, and the ulp drift
       // cascades through argmin code assignments into RUN-TO-RUN
@@ -396,20 +403,35 @@ object Knn {
       // on the 511k replica before this fix) — codebooks must be a
       // deterministic function of the corpus for the recall floors,
       // the autoRerank knee, and the oracle twins to be meaningful.
-      assigned.select(col("s"), col("cid"), posexplode(col("sub")))
+      val means = train
+        .select(posexplode(
+          graft.functions.GraftFunctions.pqEncode(col("emb"), cur))
+          .as(Seq("s", "cid")), col("emb"))
+        .select(col("s"), col("cid"),
+          posexplode(slice(col("emb"), col("s") * subDim + 1, lit(subDim))))
         .groupBy(col("s"), col("cid"), col("pos"))
         .agg(round(sum(col("col")
             .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
           .cast(org.apache.spark.sql.types.DoubleType) /
           count(lit(1)), 6).as("mcoord"))
-        .groupBy(col("s"), col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mcoord")))).as("sc"))
-        .select(col("s"), col("cid"),
-          transform(col("sc"), x => x.getField("mcoord")).as("c_sub"))
+        .collect()
+      // rebuild per subspace: surviving cells in ascending cid order
+      // (a centroid that loses all members drops out — dense
+      // re-indexing, exactly the former collect-order rebuild)
+      cur = (0 until m).map { s =>
+        means.filter(_.getInt(0) == s)
+          .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+          .map { case (_, rows) =>
+            val coords = rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+            require(coords.length == subDim,
+              s"pqCodebooks: subspace $s centroid has ${coords.length} " +
+                s"coords, expected $subDim")
+            coords
+          }
+      }
+      iter += 1
     }
-    trained.orderBy(col("s"), col("cid")).collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map(_._2.map(_.getSeq[Double](2).toSeq).toSeq)
+    cur
   }
 
   /** PQ top-k with ADC (asymmetric distance computation) and exact
@@ -438,8 +460,10 @@ object Knn {
     // re-rank candidates), and the codebooks spend their 16 cells per
     // subspace on directions, not magnitudes.
     def normalized(df: DataFrame): DataFrame =
+      // r14: one-pass codegen'd normalize — the transform form re-ran
+      // the captured norm subtree per element (O(dim²) per vector)
       df.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") / norm(col("embedding")))
+        graft.functions.GraftFunctions.l2Normalize(col("embedding"))
           .as("embedding"))
     // pinned: consumed by codebook training AND the encode pass
     val vecsN = normalized(vectors).localCheckpoint()
@@ -505,8 +529,10 @@ object Knn {
                 lloydIters: Int = 1, rerankFactor: Int = 4): DataFrame = {
     val subDim = dim / m
     def normalized(df: DataFrame): DataFrame =
+      // r14: one-pass codegen'd normalize — the transform form re-ran
+      // the captured norm subtree per element (O(dim²) per vector)
       df.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") / norm(col("embedding")))
+        graft.functions.GraftFunctions.l2Normalize(col("embedding"))
           .as("embedding"))
     val vecsN = normalized(vectors).localCheckpoint()
     // one count (on the pinned frame) feeds every auto dial
@@ -537,12 +563,20 @@ object Knn {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val probeScored = qN.crossJoin(broadcast(centroids))
       .withColumn("qc_dot", dot(col("q_emb"), col("c_emb")))
+    // localCheckpoint: the m×k literal-dot `tables` projection is a
+    // ~2000-node expression tree — pinned at |queries|·nProbe rows it
+    // is trivial, but left lazy the optimizer can collapse it toward
+    // the (candidate-scale) join output, where it falls out of codegen
+    // and evaluates interpreted per candidate row (the PqEncode
+    // failure mode; measured ~10 s of the 21 s ivfpq wall at the 10×
+    // replica)
     val probes = graft.plans.TopK.perKey(probeScored,
         Seq(col("query_id")), Seq(col("qc_dot").desc, col("cid").asc), nPr)
       .withColumn("tables", array(cbs.indices.map(s =>
         array(cbs(s).indices.map(j =>
           dotLit(subv(col("q_emb"), s), cbs(s)(j))): _*)): _*))
       .select(col("cid"), col("query_id"), col("qc_dot"), col("tables"))
+      .localCheckpoint()
 
     val approx = encoded.join(probes, Seq("cid"))
       .filter(col("query_id") =!= col("cand_id"))

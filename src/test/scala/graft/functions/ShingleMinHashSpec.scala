@@ -96,6 +96,41 @@ class ShingleMinHashSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("l2_normalize == per-element x/norm(e) HOF chain on fixture embeddings") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.SfDir).limit(500)
+    val both = emb.select(
+      GraftFunctions.l2Normalize(col("embedding")).as("fast"),
+      transform(col("embedding"),
+        x => x.cast("double") /
+          sqrt(GraftFunctions.dotProduct(col("embedding"), col("embedding"))))
+        .as("ref"))
+    assert(both.filter(not(col("fast") <=> col("ref"))).count() === 0)
+  }
+
+  test("nearest_centroid == crossJoin + cosinePre + rank-1 window assignment") {
+    import graft.similarity.Knn
+    val emb = graft.Tables.embeddings(spark, TestSpark.SfDir).limit(400)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+    val centroids = emb.orderBy(xxhash64(col("vec_id"))).limit(8)
+      .select(monotonically_increasing_id().as("cid"),
+        col("embedding").as("c_emb")).localCheckpoint()
+    // the r13 window form, replicated verbatim
+    val scored = emb.withColumn("v_nrm", Knn.norm(col("embedding")))
+      .crossJoin(broadcast(centroids.withColumn("c_nrm", Knn.norm(col("c_emb")))))
+      .withColumn("csim", round(
+        GraftFunctions.dotProduct(col("embedding"), col("c_emb")) /
+          (col("v_nrm") * col("c_nrm")), 6))
+    val ref = graft.plans.TopK.perKey(scored,
+        Seq(col("vec_id")), Seq(col("csim").desc, col("cid").asc), 1)
+      .select(col("vec_id"), col("cid").as("ref_cid"))
+    val fast = Knn.ivfAssign(emb, centroids)
+      .select(col("vec_id"), col("cid").as("fast_cid"))
+    val joined = ref.join(fast, "vec_id")
+    assert(joined.count() === 400)
+    assert(joined.filter(col("ref_cid") =!= col("fast_cid")).count() === 0)
+  }
+
   test("minhash_sig over the positional multiset equals over the distinct set") {
     val toks = TextAnalysis.tokens(col("text"))
     val both = corpus.select(
