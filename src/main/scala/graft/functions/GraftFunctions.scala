@@ -97,4 +97,11 @@ object GraftFunctions {
     */
   def nearestCentroid(e: Column, centroids: Seq[Seq[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(e), centroids))
+
+  /** `centroid_argmin_l2(e)` — struct(pos, d2) of the L2-argmin
+    * centroid against literal centroids (bit-parity with the
+    * crossJoin + round-6 d2 + rank-1 window it replaces).
+    */
+  def centroidArgminL2(e: Column, centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(CentroidArgminL2(ColumnBridge.expression(e), centroids))
 }

@@ -62,19 +62,48 @@ object Clustering {
     * the vec_id exchange — one corpus-cardinality shuffle, never a
     * k×corpus one (see the class doc's scale-shape note).
     */
+  /** Above this cell count the per-row argmin expression would embed
+    * too large a literal in the plan (k × dim doubles ship inside
+    * every task binary, where a broadcast torrents once per executor)
+    * — the crossJoin + window form stays the scale path there. 16384
+    * cells × 64 dims ≈ 8 MB of literal, the broadcast-threshold order
+    * of magnitude.
+    */
+  private val ArgminLiteralMaxCells = 16384
+
   private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
-    // |e|² once per vector and |c|² once per centroid BEFORE the
-    // k-way expansion: the scored pair runs ONE dot loop, not three.
-    // Same expression tree as [[dist2]] — round((e² − 2d) + c², 6) —
-    // so the assignment key is bit-identical to the oracle's formula.
-    val scored = v.withColumn("e_n2", dot(col("e"), col("e")))
-      .crossJoin(broadcast(
-        centroids.withColumn("c_n2", dot(col("c_emb"), col("c_emb")))))
-      .withColumn("d2",
-        round(col("e_n2") - lit(2.0) * dot(col("e"), col("c_emb")) + col("c_n2"), 6))
-    graft.plans.TopK.perKey(scored,
-      Seq(col("vec_id")), Seq(col("d2").asc, col("cid").asc), 1)
-      .select(col("vec_id"), col("e"), col("cid"), col("d2"))
+    // r14: for every broadcastable centroid set the argmin is per-row
+    // column math against the collected centroids (codegen'd
+    // CentroidArgminL2 — round-6 d2, cid-asc ties, null → smallest
+    // cid, all window-parity and spec-pinned), so the corpus never
+    // shuffles for assignment: the former crossJoin + rank-1 window
+    // pushed n×k rows CARRYING THE EMBEDDINGS through an exchange.
+    val cents = centroids.select(col("cid").cast("int"), col("c_emb"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+    if (cents.length <= ArgminLiteralMaxCells) {
+      val cids = cents.map(_._1).toSeq
+      val mat = cents.map(_._2).toSeq
+      v.select(col("vec_id"), col("e"),
+          graft.functions.GraftFunctions.centroidArgminL2(col("e"), mat).as("_r"))
+        .select(col("vec_id"), col("e"),
+          element_at(typedlit(cids), col("_r.pos") + 1).as("cid"),
+          col("_r.d2").as("d2"))
+    } else {
+      // |e|² once per vector and |c|² once per centroid BEFORE the
+      // k-way expansion: the scored pair runs ONE dot loop, not three.
+      // Same expression tree as [[dist2]] — round((e² − 2d) + c², 6) —
+      // so the assignment key is bit-identical to the oracle's formula.
+      val scored = v.withColumn("e_n2", dot(col("e"), col("e")))
+        .crossJoin(broadcast(
+          centroids.withColumn("c_n2", dot(col("c_emb"), col("c_emb")))))
+        .withColumn("d2",
+          round(col("e_n2") - lit(2.0) * dot(col("e"), col("c_emb")) + col("c_n2"), 6))
+      graft.plans.TopK.perKey(scored,
+        Seq(col("vec_id")), Seq(col("d2").asc, col("cid").asc), 1)
+        .select(col("vec_id"), col("e"), col("cid"), col("d2"))
+    }
   }
 
   /** Two-level (IVF-style) centroid assignment — the scale path past

@@ -131,6 +131,37 @@ class ShingleMinHashSpec extends AnyFunSuite {
     assert(joined.filter(col("ref_cid") =!= col("fast_cid")).count() === 0)
   }
 
+  test("centroid_argmin_l2 == crossJoin + round-6 d2 + rank-1 window assignment") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.SfDir).limit(400)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+    val centroids = emb.orderBy(col("vec_id")).limit(7)
+      .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+          .as("cid"),
+        col("e").as("c_emb")).localCheckpoint()
+    val dot = GraftFunctions.dotProduct _
+    // the r13 window form, replicated verbatim
+    val scored = emb.withColumn("e_n2", dot(col("e"), col("e")))
+      .crossJoin(broadcast(
+        centroids.withColumn("c_n2", dot(col("c_emb"), col("c_emb")))))
+      .withColumn("d2",
+        round(col("e_n2") - lit(2.0) * dot(col("e"), col("c_emb")) + col("c_n2"), 6))
+    val ref = graft.plans.TopK.perKey(scored,
+        Seq(col("vec_id")), Seq(col("d2").asc, col("cid").asc), 1)
+      .select(col("vec_id"), col("cid").as("ref_cid"), col("d2").as("ref_d2"))
+    val mat = centroids.orderBy(col("cid")).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val fast = emb.select(col("vec_id"),
+        GraftFunctions.centroidArgminL2(col("e"), mat).as("_r"))
+      .select(col("vec_id"), col("_r.pos").as("fast_cid"),
+        col("_r.d2").as("fast_d2"))
+    val joined = ref.join(fast, "vec_id")
+    assert(joined.count() === 400)
+    assert(joined.filter(col("ref_cid") =!= col("fast_cid") ||
+      not(col("ref_d2") <=> col("fast_d2"))).count() === 0)
+  }
+
   test("minhash_sig over the positional multiset equals over the distinct set") {
     val toks = TextAnalysis.tokens(col("text"))
     val both = corpus.select(
