@@ -49,8 +49,28 @@ object PageRank {
     *         scaled BIGINT / 1e9 is the same IEEE division on both
     *         engines)
     */
-  def ranks(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+  def ranks(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame =
+    ranks(nodes, edges, iters, driverEdgeThreshold = 1000000)
+
+  /** r14: graphs whose edge set fits under `driverEdgeThreshold` run
+    * the identical half-up integer recurrence ON THE DRIVER (one
+    * bounded collect — the assignCanonical union-find precedent) —
+    * the recurrence is scaled-integer arithmetic, so driver and
+    * distributed evaluation are bit-identical (integer sums have no
+    * order sensitivity), and the distributed loop's 3 exchanges + 1
+    * checkpoint PER ITERATION collapse to zero jobs. The source-
+    * overlap graph this operator exists for is #domains wide (~400
+    * edges at 20 sources, constant in corpus size — the corpus-scale
+    * work is the edge DERIVATION, not the iterations); a graph past
+    * the threshold falls back to the distributed loop unchanged.
+    */
+  def ranks(nodes: DataFrame, edges: DataFrame, iters: Int,
+            driverEdgeThreshold: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1, 50]")
+    val eSample = edges.select(col("src"), col("dst"), col("w").cast("long"))
+      .limit(driverEdgeThreshold + 1).collect()
+    if (eSample.length <= driverEdgeThreshold)
+      return ranksOnDriver(nodes, eSample, iters)
     val n = nodes.agg(count(lit(1)).as("n"))
     // out-weight totals ride along on every edge row; pinned because
     // the edge frame is re-read once per iteration
@@ -80,6 +100,76 @@ object PageRank {
     }
     r.select(col("id"), (col("rank").cast("double") / lit(1e9)).as("authority"))
   }
+
+  /** The same recurrence evaluated driver-side over a collected edge
+    * list — bit-identical to the distributed loop (every step is
+    * half-up integer arithmetic on exact integers; sums are
+    * order-independent). Node ids keep their original type through a
+    * generic index map, and the result ships back as one small
+    * DataFrame.
+    */
+  private def ranksOnDriver(nodes: DataFrame,
+                            eSample: Array[org.apache.spark.sql.Row],
+                            iters: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    val idRows = nodes.select(col("id")).collect()
+    val ids: Array[Any] = idRows.map(_.get(0))
+    // boxed Integer values: a java.util.HashMap[Any, Int] would unbox a
+    // missing key's null to 0 and silently alias unknown ids to node 0
+    val index = new java.util.HashMap[Any, Integer](ids.length * 2)
+    ids.zipWithIndex.foreach { case (id, i) => index.put(id, Integer.valueOf(i)) }
+    val nN = ids.length.toLong
+    if (nN == 0)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        ranksSchema(nodes))
+    def halfUp(a: BigInt, b: BigInt): Long = ((2 * a + b) / (2 * b)).toLong
+    // wout per src, then (src, dst, w, wout) per edge — edges whose src
+    // is not a node row contribute exactly as in the distributed form
+    // (the join keys on edge src, not on nodes), but such edges cannot
+    // exist for a well-formed graph; guard by skipping unknown dsts at
+    // the contribution sink the same way the left join did (unknown
+    // dst rows simply never land on a node).
+    val wout = new java.util.HashMap[Any, Long]()
+    eSample.foreach { r =>
+      wout.merge(r.get(0), r.getLong(2), (a, b) => a + b)
+    }
+    var rank: Array[Long] =
+      Array.fill(ids.length)(halfUp(BigInt(1000000000L), BigInt(nN)))
+    // ranks are keyed by node id; an edge src absent from nodes has no
+    // rank and contributes nothing (the distributed join semantics)
+    var it = 0
+    while (it < iters) {
+      val contrib = new Array[Long](ids.length)
+      eSample.foreach { r =>
+        val si = index.get(r.get(0))
+        val di = index.get(r.get(1))
+        if (si != null && di != null) {
+          val w = r.getLong(2)
+          val wo = wout.get(r.get(0))
+          contrib(di) += halfUp(BigInt(rank(si)) * BigInt(w), BigInt(wo))
+        }
+      }
+      val teleport = halfUp(BigInt(150000000L), BigInt(nN))
+      rank = Array.tabulate(ids.length)(i =>
+        teleport + (170L * contrib(i) + 100L) / 200L)
+      it += 1
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+    var i = 0
+    while (i < ids.length) {
+      rows.add(org.apache.spark.sql.Row(ids(i), rank(i).toDouble / 1e9))
+      i += 1
+    }
+    spark.createDataFrame(rows, ranksSchema(nodes))
+  }
+
+  private def ranksSchema(nodes: DataFrame): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        nodes.schema("id").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("authority",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
 
   /** The unrolled DuckDB twin: CTEs r0 → c1 → r1 → … replaying the
     * identical half-up integer recurrence over caller-supplied node /

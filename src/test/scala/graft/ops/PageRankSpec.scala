@@ -51,6 +51,18 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
+  test("driver path == distributed path, bit-exact (r14 bounded-graph shortcut)") {
+    val nodes = nodeIds.toDF("id")
+    val edges = edgeList.toDF("src", "dst", "w")
+    for (iters <- Seq(1, 5)) {
+      val driver = PageRank.ranks(nodes, edges, iters)
+        .as[(String, Double)].collect().toMap
+      val dist = PageRank.ranks(nodes, edges, iters, driverEdgeThreshold = 0)
+        .as[(String, Double)].collect().toMap
+      assert(driver == dist, s"iters=$iters: $driver != $dist")
+    }
+  }
+
   test("ranks sum to just under 1.0 (dangling mass dropped, not redistributed)") {
     val nodes = nodeIds.toDF("id")
     val edges = edgeList.toDF("src", "dst", "w")
