@@ -1108,14 +1108,14 @@ object ScaleDedup {
         md5(concat_ws(" ", col("_toks"))).as("_fp"),
         array_distinct(graft.functions.GraftFunctions.shingleHashes(
           col("_toks"), n)).as("shs"))
-    // exact dedup as ONE window pass (min id per fingerprint == first
-    // row_number ordered by id): a groupBy+semi-join would evaluate the
-    // gate chain on both join sides.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_fp")).orderBy(col("id"))
-    val sets = toked
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+    // exact dedup through the native partial/final top-k operator (min
+    // id per fingerprint == top-1 by id): at most one row per
+    // fingerprint per input partition reaches the exchange, where the
+    // r13 row_number window shuffled EVERY gated row and sorted each
+    // partition. A groupBy+semi-join would evaluate the gate chain on
+    // both join sides.
+    val sets = graft.plans.TopK.perKey(toked,
+        Seq(col("_fp")), Seq(col("id").asc), 1)
       .select(col("id"), col("shs"))
       .localCheckpoint()
     val cands = minhashCandidatesFromSets(sets, 64, 32)

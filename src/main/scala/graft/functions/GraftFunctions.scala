@@ -104,4 +104,20 @@ object GraftFunctions {
     */
   def centroidArgminL2(e: Column, centroids: Seq[Seq[Double]]): Column =
     ColumnBridge.column(CentroidArgminL2(ColumnBridge.expression(e), centroids))
+
+  /** `lang_id(tokens)` — argmax distinct-stopword-hit language, ties to
+    * inventory order (bit-parity with the CASE chain over
+    * array_intersect scores).
+    */
+  def langIdScore(toks: Column, inventory: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(LangIdScore(ColumnBridge.expression(toks), inventory))
+
+  /** `quality_score(text, tokens)` — the 4-signal quality score in one
+    * codegen'd pass (bit-parity with the Column chain incl. the
+    * regexp_replace alpha count).
+    */
+  def qualityScoreFast(text: Column, toks: Column,
+                       stopwords: Seq[String]): Column =
+    ColumnBridge.column(QualityScoreExpr(
+      ColumnBridge.expression(text), ColumnBridge.expression(toks), stopwords))
 }

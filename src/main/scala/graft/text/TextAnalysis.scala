@@ -53,8 +53,18 @@ object TextAnalysis {
     */
   def langId(c: Column): Column = langIdOf(tokens(c))
 
-  /** [[langId]] over an already-computed token array. */
-  def langIdOf(toks: Column): Column = {
+  /** [[langId]] over an already-computed token array. r14: ONE
+    * codegen'd pass (token-set build + 50 lookups) replacing five
+    * per-row array_intersect hash builds — bit-parity with the CASE
+    * chain, pinned by spec against [[langIdOfHof]].
+    */
+  def langIdOf(toks: Column): Column =
+    graft.functions.GraftFunctions.langIdScore(toks, LangStopwords)
+
+  /** The r13 CASE-chain form — the parity reference the spec pins the
+    * codegen'd expression against.
+    */
+  private[graft] def langIdOfHof(toks: Column): Column = {
     val scores = LangStopwords.map { case (lang, words) =>
       lang -> stopwordHitsOf(toks, words)
     }
@@ -72,9 +82,18 @@ object TextAnalysis {
   def qualityScore(c: Column): Column = qualityScoreOf(c, tokens(c))
 
   /** [[qualityScore]] with the token array precomputed (the char-level
-    * signals still read the raw string).
+    * signals still read the raw string). r14: one codegen'd pass — the
+    * Column form's regexp_replace alpha count scanned every document
+    * through the regex engine; the expression's byte scan is exact
+    * (ASCII letters are single-byte in UTF-8). Parity pinned by spec
+    * against [[qualityScoreOfHof]].
     */
-  def qualityScoreOf(c: Column, toks: Column): Column = {
+  def qualityScoreOf(c: Column, toks: Column): Column =
+    graft.functions.GraftFunctions.qualityScoreFast(c, toks,
+      LangStopwords.head._2)
+
+  /** The r13 Column-chain form — the parity reference. */
+  private[graft] def qualityScoreOfHof(c: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val nChars = length(c).cast("double")
     val alphaChars = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double")

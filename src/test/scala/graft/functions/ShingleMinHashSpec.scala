@@ -162,6 +162,21 @@ class ShingleMinHashSpec extends AnyFunSuite {
       not(col("ref_d2") <=> col("fast_d2"))).count() === 0)
   }
 
+  test("lang_id and quality_score == the r13 Column chains, fixture + adversarial") {
+    val docs = graft.Tables.documents(spark, TestSpark.SfDir)
+      .select(col("doc_id"), col("text")).limit(500)
+    for (df <- Seq(adversarial, docs)) {
+      val toks = TextAnalysis.tokens(col("text"))
+      val both = df.select(
+        TextAnalysis.langIdOf(toks).as("lang_fast"),
+        TextAnalysis.langIdOfHof(toks).as("lang_ref"),
+        TextAnalysis.qualityScoreOf(col("text"), toks).as("q_fast"),
+        TextAnalysis.qualityScoreOfHof(col("text"), toks).as("q_ref"))
+      assert(both.filter(not(col("lang_fast") <=> col("lang_ref")) ||
+        not(col("q_fast") <=> col("q_ref"))).count() === 0)
+    }
+  }
+
   test("minhash_sig over the positional multiset equals over the distinct set") {
     val toks = TextAnalysis.tokens(col("text"))
     val both = corpus.select(
