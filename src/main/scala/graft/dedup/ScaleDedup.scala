@@ -346,15 +346,16 @@ object ScaleDedup {
     val idx = explodeSets(docShingleSets(df, srcCol, textCol, n))
       .distinct().localCheckpoint()
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // r14: only shingles present in >= 2 SOURCES can contribute to a
-    // cross-source intersection — the df >= 2 keep-list empties the
-    // bulk of the self-join input (most shingles live in one source),
-    // lossless by the same argument as ngramJaccardPairsSelfJoin.
-    val keep = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("sh"))
-    val shared = idx.join(keep, Seq("sh"), "left_semi")
-    shared.select(col("sh"), col("id").as("src_a"))
-      .join(shared.select(col("sh"), col("id").as("src_b")), "sh")
+    // The self-join's per-shingle expansion is bounded by #sources²
+    // (the key is the source, not the doc), so the r13 join shape
+    // stays: A/B'd r14 alternatives — a df>=2 keep-list semi-join and
+    // a grouped in-row pair expansion — both measured SLOWER on the
+    // fixture (1.28 s vs 1.56/2.4 s at sf0.1: the synthetic vocabulary
+    // puts most shingles in many sources, so the prefilter removes
+    // little and pays its extra exchanges; on a real corpus the
+    // expansion is tiny either way, bounded by sources²).
+    idx.select(col("sh"), col("id").as("src_a"))
+      .join(idx.select(col("sh"), col("id").as("src_b")), "sh")
       .filter(col("src_a") =!= col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("inter"))
