@@ -1107,8 +1107,14 @@ object ScaleDedup {
           TextAnalysis.langIdOf(col("_toks")) === lang)
       .select(col("id"),
         md5(concat_ws(" ", col("_toks"))).as("_fp"),
-        array_distinct(graft.functions.GraftFunctions.shingleHashes(
-          col("_toks"), n)).as("shs"))
+        // longSortedSet, NOT array_distinct: verifyJaccardSets' small
+        // branch intersects by sorted linear merge and silently
+        // undercounts on unsorted input (mid-document edits) — the shs
+        // column must be the doc-set frame's sorted-distinct canonical
+        // form, exactly as docShingleSets builds it.
+        graft.functions.GraftFunctions.longSortedSet(
+          graft.functions.GraftFunctions.shingleHashes(
+            col("_toks"), n)).as("shs"))
     // exact dedup through the native partial/final top-k operator (min
     // id per fingerprint == top-1 by id): at most one row per
     // fingerprint per input partition reaches the exchange, where the

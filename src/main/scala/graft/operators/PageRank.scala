@@ -67,10 +67,19 @@ object PageRank {
   def ranks(nodes: DataFrame, edges: DataFrame, iters: Int,
             driverEdgeThreshold: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1, 50]")
-    val eSample = edges.select(col("src"), col("dst"), col("w").cast("long"))
-      .limit(driverEdgeThreshold + 1).collect()
-    if (eSample.length <= driverEdgeThreshold)
-      return ranksOnDriver(nodes, eSample, iters)
+    // Gate on the NODE count first (a dangling-heavy graph can have few
+    // edges but an unbounded node set — collecting it would be the OOM
+    // the threshold exists to prevent), and only then probe the edge
+    // side; both probes are bounded limit-collects. Driver and
+    // distributed evaluation are bit-identical (spec-pinned), so the
+    // gate moves cost only, never the answer.
+    val nSample = nodes.select(col("id")).limit(driverEdgeThreshold + 1).collect()
+    if (nSample.length <= driverEdgeThreshold) {
+      val eSample = edges.select(col("src"), col("dst"), col("w").cast("long"))
+        .limit(driverEdgeThreshold + 1).collect()
+      if (eSample.length <= driverEdgeThreshold)
+        return ranksOnDriver(nodes, nSample, eSample, iters)
+    }
     val n = nodes.agg(count(lit(1)).as("n"))
     // out-weight totals ride along on every edge row; pinned because
     // the edge frame is re-read once per iteration
@@ -109,10 +118,10 @@ object PageRank {
     * DataFrame.
     */
   private def ranksOnDriver(nodes: DataFrame,
+                            idRows: Array[org.apache.spark.sql.Row],
                             eSample: Array[org.apache.spark.sql.Row],
                             iters: Int): DataFrame = {
     val spark = nodes.sparkSession
-    val idRows = nodes.select(col("id")).collect()
     val ids: Array[Any] = idRows.map(_.get(0))
     // boxed Integer values: a java.util.HashMap[Any, Int] would unbox a
     // missing key's null to 0 and silently alias unknown ids to node 0

@@ -97,7 +97,13 @@ object CorpusOpsQueries extends QueryRegistry {
       // r14: per-doc segment totals are a per-row formula (the explode
       // emits max(nSeg, 1) rows per doc by construction), not a
       // groupBy over the exploded segments — one less full shuffle and
-      // one less tokenize+explode pass of the corpus.
+      // one less tokenize+explode pass of the corpus. Null-text parity
+      // (r15, investigated): for a null tk the segment ARRAY is [null]
+      // (sequence(0, greatest(null-1, 0)) = [0], slice/array_join of
+      // null → one null element), so posexplode emits exactly one row
+      // and the exploded form yields (doc, 1, 0, '') — the same row
+      // greatest(null, 1) = 1 produces here. The forms agree on null
+      // text as-is (pinned by CorpusOpsSpec); no filter needed.
       val totals = toks.select(col("doc_id"),
         greatest(nSeg, lit(1)).cast("long").as("n_segs"))
       val keptAgg = kept.groupBy(col("doc_id"))

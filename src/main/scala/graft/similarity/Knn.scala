@@ -252,17 +252,45 @@ object Knn {
     * (round-6 cosine, NaN-high ordering, cid-asc ties, null → smallest
     * cid) is pinned in the expression and by ShingleMinHashSpec.
     */
+  /** Above this centroid count the argmax expression would embed too
+    * large a literal matrix in every task binary (the
+    * Clustering.ArgminLiteralMaxCells rationale) — the broadcast
+    * crossJoin + native top-1 form stays the scale path there, and it
+    * also covers the empty-centroid case (empty result, as the r13
+    * window form produced) where the expression's require would throw.
+    */
+  private val AssignLiteralMaxCentroids = 16384
+
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = centroids.select(col("cid").cast("long"), col("c_emb"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1)
-    val cids = cents.map(_._1).toSeq
-    val mat = cents.map(_._2).toSeq
-    vectors.select(col("vec_id"), col("embedding"),
-      element_at(typedlit(cids),
-        graft.functions.GraftFunctions.nearestCentroid(col("embedding"), mat)
-          + 1).as("cid"))
+    // bounded probe, not an unconditional collect: a caller passing a
+    // huge centroid frame must fall back, not OOM the driver
+    val sample = centroids.select(col("cid").cast("long"), col("c_emb"))
+      .limit(AssignLiteralMaxCentroids + 1).collect()
+    if (sample.nonEmpty && sample.length <= AssignLiteralMaxCentroids) {
+      val cents = sample
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1)
+      val cids = cents.map(_._1).toSeq
+      val mat = cents.map(_._2).toSeq
+      vectors.select(col("vec_id"), col("embedding"),
+        element_at(typedlit(cids),
+          graft.functions.GraftFunctions.nearestCentroid(col("embedding"), mat)
+            + 1).as("cid"))
+    } else {
+      // the pre-r14 shape NearestCentroid is parity-pinned against:
+      // broadcast crossJoin + round-6 cosinePre + native top-1 (csim
+      // desc, cid asc ties) — identical assignments, scale-safe sizing
+      val scored = vectors
+        .withColumn("e_nrm", norm(col("embedding")))
+        .crossJoin(broadcast(centroids
+          .select(col("cid").cast("long").as("cid"), col("c_emb"),
+            norm(col("c_emb")).as("c_nrm"))))
+        .withColumn("csim",
+          cosinePre(col("embedding"), col("c_emb"), col("e_nrm"), col("c_nrm")))
+      graft.plans.TopK.perKey(scored,
+        Seq(col("vec_id")), Seq(col("csim").desc, col("cid").asc), 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+    }
   }
 
   /** IVF top-k: probe the query's `nProbe` nearest inverted lists, then

@@ -43,6 +43,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("dedup_segments totals formula == exploded form on null-text docs (r15)") {
+    import spark.implicits._
+    // A null tk does NOT vanish from the exploded form: the segment
+    // array is [null] (sequence(0, greatest(null-1, 0)) = [0], then
+    // slice/array_join of null yields one null element), so posexplode
+    // emits exactly one row — matching greatest(null, 1) = 1 in the
+    // formula. Pins the two forms equal on exactly that input (the
+    // r15 advice suggested filtering null tk, which would DIVERGE).
+    val segTokens = 20
+    val docs = Seq((1L, "alpha beta gamma"), (2L, null), (3L, ""))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+    val nSeg = ceil(size(col("tk")) / lit(segTokens.toDouble)).cast("int")
+    // the registered query's formula fragment
+    val formula = toks
+      .select(col("doc_id"), greatest(nSeg, lit(1)).cast("long").as("n_segs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exploded reference: count rows per doc out of the same segment array
+    val segArr = transform(sequence(lit(0), greatest(nSeg - 1, lit(0))),
+      i => array_join(slice(col("tk"), i * segTokens + 1, lit(segTokens)), " "))
+    val exploded = toks.select(col("doc_id"), posexplode(segArr))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(formula === exploded, s"formula=$formula exploded=$exploded")
+    assert(formula(2L) === 1L)
+  }
+
   test("ts_gap_fill: grid is complete and forward fill carries the last observation") {
     val out = run("ts_gap_fill")
     val rows = out.orderBy(col("event_type"), col("hour")).collect()

@@ -86,6 +86,61 @@ class ScaleDedupSpec extends AnyFunSuite {
     assert(unrelated > 10)
   }
 
+  test("verifyJaccardSets is exact on mid-array-divergent sets (r15 advice)") {
+    import spark.implicits._
+    // Mid-document edits put the diverging shingle hashes mid-array —
+    // the case the sorted linear-merge intersect silently undercounts
+    // on non-canonical (encounter-ordered) input. The doc-set frame is
+    // canonical by construction; this pins that verifyJaccardSets over
+    // it reproduces exact array_intersect Jaccard on exactly that shape.
+    val base = "the cat and the dog walked over the old bridge while the " +
+      "bright sun was setting far in the west and many small birds sang"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("old bridge", "new tunnel")),
+      (3L, base.replace("bright sun", "pale moon")),
+      (4L, "a completely different short note about numbers and weather " +
+        "with no shared windows of any kind at all in this text")
+    ).toDF("doc_id", "text")
+    val sets = ScaleDedup.docShingleSets(docs, "doc_id", "text", 3)
+      .localCheckpoint()
+    val cands = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    val got = ScaleDedup.verifyJaccardSets(cands, sets, threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val ref = cands
+      .join(sets.select(col("id").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shs").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(inter / (size(col("sa")) + size(col("sb")) - inter), 6).as("j"))
+      .filter(col("j") >= 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === ref)
+    // the mid-edit pairs must be present with high similarity
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) > 0.5, s"got $got")
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) > 0.5, s"got $got")
+  }
+
+  test("prepareCorpus dedups mid-document-edit near-dups (r15 canonical fix)") {
+    import spark.implicits._
+    // With array_distinct (encounter order) feeding verifyJaccardSets,
+    // a mid-document edit pair's Jaccard was undercounted and the copy
+    // survived corpus prep; the canonical longSortedSet form dedups it.
+    val base = "the cat and the dog walked over the old bridge while the " +
+      "bright sun was setting far in the west and many small birds sang"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("old bridge", "new tunnel")),
+      (3L, "a completely different short note about numbers and weather " +
+        "with no shared windows of any kind at all in this text")
+    ).toDF("doc_id", "text")
+    val kept = ScaleDedup.prepareCorpus(docs, "doc_id", "text",
+      minQuality = 0.0, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L), s"got $kept")
+  }
+
   test("composed nearDupDedup collapses engineered near-dups to the min id") {
     val mapping = ScaleDedup.nearDupDedup(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

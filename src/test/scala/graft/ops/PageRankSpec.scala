@@ -63,6 +63,22 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
+  test("driver gate respects node count: dangling-heavy graph stays distributed") {
+    import spark.implicits._
+    // 30 nodes, 1 edge: the edge probe alone would take the driver
+    // path and collect ALL node ids; the r15 node-count gate must send
+    // this to the distributed loop (threshold 5 < 30 nodes), and both
+    // paths must stay bit-exact.
+    val nodes = (1 to 30).map(i => s"n$i").toDF("id")
+    val edges = Seq(("n1", "n2", 1L)).toDF("src", "dst", "w")
+    val gated = PageRank.ranks(nodes, edges, 3, driverEdgeThreshold = 5)
+      .as[(String, Double)].collect().toMap
+    val driver = PageRank.ranks(nodes, edges, 3) // default threshold: driver path
+      .as[(String, Double)].collect().toMap
+    assert(gated.size === 30)
+    assert(gated === driver)
+  }
+
   test("ranks sum to just under 1.0 (dangling mass dropped, not redistributed)") {
     val nodes = nodeIds.toDF("id")
     val edges = edgeList.toDF("src", "dst", "w")
