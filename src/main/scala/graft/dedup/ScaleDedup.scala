@@ -256,33 +256,68 @@ object ScaleDedup {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val sets = docShingleSets(df, idCol, textCol, n).localCheckpoint()
     val idx = explodeSets(sets)
-    val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("sz"))
     val dfreq = idx.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("dfreq"), col("sh"))
-    // r14, two lossless shrinks of the candidate stage:
-    //  - dfreq >= 2: a prefix shingle with corpus doc-frequency 1
-    //    joins only with itself (id_a = id_b, dropped by the < filter)
-    //    — in real text MOST shingles are unique, so this empties the
-    //    bulk of the self-join input without touching the pair set
-    //    (the prefix RANKING still runs over every shingle: rarity
-    //    order is what makes the filter correct);
-    //  - localCheckpoint: the prefix frame feeds both join sides —
-    //    unpinned, the dfreq join + ranking window executed once per
-    //    side.
+    // r15: the per-doc prefix rank is computed ARRAY-SIDE — the
+    // (dfreq, sh) pairs are collected per doc (one hash-aggregate
+    // exchange whose list state is bounded by document width), sorted
+    // in-row and cut at the prefix length L = sz − ⌈t·sz⌉ + 1, where
+    // sz = size of the collected list (every set element contributes
+    // exactly one index row, so the list size IS the doc's set size).
+    // This replaces the r14 ranking window — whose sort ordered the
+    // ENTIRE index by (id, dfreq, sh) per partition — and the separate
+    // sizes join, with per-row array sorts of ~doc-width pairs: the
+    // same (id, sh) prefix rows, one less corpus-wide sort and one
+    // less join (guide §2.4; equivalence: row_number over (dfreq, sh)
+    // asc == position in the sorted pair array — (dfreq, sh) is unique
+    // within a doc because sh is distinct there).
+    //
+    // r14 shrinks retained:
+    //  - dfreq >= 2 (applied after the cut, exactly like the rk
+    //    filter): a prefix shingle with corpus doc-frequency 1 joins
+    //    only with itself — lossless drop;
+    //  - localCheckpoint: the prefix frame feeds both join sides.
+    val lCol = (size(col("ps")) -
+      floor(lit(threshold) * size(col("ps")) - lit(1e-6))).cast("int")
     val prefix = idx.join(dfreq, "sh")
-      .withColumn("rk", row_number().over(w))
-      .join(sizes, "id")
-      .filter(col("rk") <=
-        col("sz") - floor(lit(threshold) * col("sz") - lit(1e-6)))
-      .filter(col("dfreq") >= 2)
-      .select(col("id"), col("sh"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("dfreq"), col("sh"))).as("ps"))
+      .select(col("id"), size(col("ps")).cast("long").as("sz"),
+        posexplode(slice(array_sort(col("ps")), lit(1), lCol)))
+      .filter(col("col.dfreq") >= 2)
+      .select(col("id"), col("col.sh").as("sh"),
+        (col("pos") + 1).cast("long").as("p"), col("sz"))
       .localCheckpoint()
-    val cands = prefix.select(col("sh"), col("id").as("id_a"))
-      .join(prefix.select(col("sh"), col("id").as("id_b")), "sh")
+    // r15: ppjoin POSITIONAL filter (Xiao/Wang/Lin/Yu WWW'08), lossless
+    // by the same family of arguments as the prefix filter itself. Per
+    // candidate pair, take the FIRST shared prefix element under the
+    // global (dfreq, sh) order — position is monotone in that order
+    // within every doc, so min(struct(p_a, p_b)) picks it, and it
+    // always survives the dfreq >= 2 row filter (an element shared by
+    // two docs has dfreq >= 2). Every common element ranks at or after
+    // it in BOTH docs, so |A∩B| <= 1 + min(sz_a − p_a, sz_b − p_b);
+    // J >= t needs |A∩B| >= t/(1+t)·(sz_a + sz_b), so pairs whose
+    // upper bound falls short cannot qualify and are dropped BEFORE
+    // the verify joins (which at corpus scale carry the set arrays).
+    // The 1e-6 slack mirrors the prefix-length guard: a one-ulp drift
+    // can only LOWER the required-overlap estimate, keeping extra
+    // pairs — never dropping a qualifying one. The min-aggregate rides
+    // the same exchange the r14 .distinct() paid.
+    val firstShared = prefix
+      .select(col("sh"), col("id").as("id_a"), col("p").as("p_a"),
+        col("sz").as("sz_a"))
+      .join(prefix.select(col("sh"), col("id").as("id_b"),
+        col("p").as("p_b"), col("sz").as("sz_b")), "sh")
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(struct(col("p_a"), col("p_b"),
+        col("sz_a"), col("sz_b"))).as("m"))
+    val needOverlap = ceil(
+      lit(threshold / (1.0 + threshold)) * (col("m.sz_a") + col("m.sz_b"))
+        - lit(1e-6))
+    val cands = firstShared
+      .filter(lit(1L) + least(col("m.sz_a") - col("m.p_a"),
+        col("m.sz_b") - col("m.p_b")) >= needOverlap)
       .select(col("id_a"), col("id_b"))
-      .distinct()
     verifyJaccardSets(cands, sets, threshold)
   }
 
@@ -854,9 +889,20 @@ object ScaleDedup {
   /** The shared (id, band, band_hash) construction over (id, sig)
     * rows: comma-joined signed band strings, `xxhash64(band, str)` —
     * replayed verbatim by the DuckDB oracle (minhashBandedCtes); do
-    * not change one without the other.
+    * not change one without the other. r15: one codegen'd pass
+    * ([[graft.functions.BandHashes]], bit-parity with
+    * [[bandExplodeHof]] pinned by ShingleMinHashSpec — the interpreted
+    * chain allocated a slice + per-slot strings + a concat per band).
     */
-  private def bandExplode(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def bandExplode(sigs: DataFrame, k: Int, bands: Int): DataFrame =
+    sigs.select(col("id"),
+      posexplode(graft.functions.GraftFunctions.bandHashes(col("sig"), bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
+  /** The r13/r14 HOF chain — the parity reference the spec pins the
+    * codegen'd [[graft.functions.BandHashes]] expression against.
+    */
+  private[graft] def bandExplodeHof(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -84,6 +84,29 @@ object GraftFunctions {
     ColumnBridge.column(SortedIntersectSize(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** `band_hashes(sig, bands)` — all LSH band hashes of a MinHash
+    * signature in one codegen'd pass (bit-parity with the
+    * `xxhash64(b, concat_ws(",", ...))` HOF chain the DuckDB oracle
+    * replays).
+    */
+  def bandHashes(sig: Column, bands: Int): Column =
+    ColumnBridge.column(BandHashes(ColumnBridge.expression(sig), bands))
+
+  /** `winnow_md5(tokens, n, w)` — winnowing fingerprints in the
+    * md5-hex domain in one codegen'd pass: shingle strings → md5 hex →
+    * deque window minima → sorted distinct (bit-parity with the
+    * interpreted winnowFingerprintsMd5 HOF chain).
+    */
+  def winnowMd5(tokens: Column, n: Int, w: Int): Column =
+    ColumnBridge.column(WinnowMd5(ColumnBridge.expression(tokens), n, w))
+
+  /** `winnow_min_set(hashes, w)` — winnowing window minima of a long
+    * hash array as a sorted distinct set, one deque pass (bit-parity
+    * with the `array_min(slice(...))` HOF tail over shingle hashes).
+    */
+  def winnowMinSet(hashes: Column, w: Int): Column =
+    ColumnBridge.column(WinnowMinSet(ColumnBridge.expression(hashes), w))
+
   /** `l2_normalize(e)` — one-pass L2 normalization (bit-parity with
     * `transform(e, x => x.cast("double") / norm(e))`, which re-ran the
     * captured norm once per element).

@@ -93,6 +93,73 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Winnowing window minima of a long-hash array, as a sorted distinct
+  * set — bit-parity with the HOF tail of
+  * [[graft.text.TextAnalysis.winnowFingerprintsHof]]:
+  * `when(size(h) < w, array_sort(array_distinct(h)))
+  *  .otherwise(array_sort(array_distinct(transform(sequence(0, size-w),
+  *     i => array_min(slice(h, i+1, w))))))`.
+  * One monotonic-deque pass (O(len) comparisons) replaces the
+  * interpreted O(len·w) slice + array_min scan. Input is a
+  * [[ShingleHashes]] array (containsNull = false).
+  */
+case class WinnowMinSet(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 1, s"winnow window w >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_min_set"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_min_set requires array<bigint>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(arr: Any): Any =
+    WinnowMinSet.compute(arr.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WinnowMinSet$$.MODULE$$.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowMinSet {
+  def compute(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < w) return LongSortedSet.compute(arr)
+    val h = arr.toLongArray()
+    val mins = new Array[Long](n - w + 1)
+    // monotonic deque of candidate indices: head is the window min;
+    // ties keep the earlier index (strict > eviction) — equal values
+    // are one set element either way
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < n) {
+      while (tail > head && h(deque(tail - 1)) > h(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) mins(i - w + 1) = h(deque(head))
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var m = 0
+    i = 0
+    while (i < mins.length) {
+      if (m == 0 || mins(i) != mins(m - 1)) { mins(m) = mins(i); m += 1 }
+      i += 1
+    }
+    val out = if (m == mins.length) mins else java.util.Arrays.copyOf(mins, m)
+    new GenericArrayData(out)
+  }
+}
+
 object SortedIntersectSize {
   def compute(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()

@@ -130,6 +130,13 @@ object TextAnalysis {
     * never recomputes it).
     */
   def winnowFingerprints(c: Column, n: Int = 3, w: Int = 4): Column =
+    graft.functions.GraftFunctions.winnowMinSet(
+      graft.functions.GraftFunctions.shingleHashes(tokens(c), n), w)
+
+  /** The r14 HOF form — the parity reference the spec pins the
+    * codegen'd [[graft.functions.WinnowMinSet]] tail against.
+    */
+  private[graft] def winnowFingerprintsHof(c: Column, n: Int = 3, w: Int = 4): Column =
     let1(graft.functions.GraftFunctions.shingleHashes(tokens(c), n), hashes =>
       when(size(hashes) < w, array_sort(array_distinct(hashes)))
         .otherwise(array_sort(array_distinct(
@@ -140,9 +147,18 @@ object TextAnalysis {
     * hashes, lexicographic min per window (hex order = numeric order
     * for same-length lowercase hex). Same substring-sharing guarantee
     * as [[winnowFingerprints]]; the xxhash64 form is the scale path
-    * (8-byte vs 32-byte fingerprints).
+    * (8-byte vs 32-byte fingerprints). r15: one codegen'd pass
+    * (shingle bytes → md5 hex → deque window minima → sorted distinct),
+    * bit-parity with [[winnowFingerprintsMd5Hof]] pinned by spec — the
+    * md5-hex value domain the DuckDB twin replays is unchanged.
     */
   def winnowFingerprintsMd5(c: Column, n: Int = 3, w: Int = 4): Column =
+    graft.functions.GraftFunctions.winnowMd5(tokens(c), n, w)
+
+  /** The r13/r14 interpreted chain — the parity reference the spec pins
+    * the codegen'd [[graft.functions.WinnowMd5]] expression against.
+    */
+  private[graft] def winnowFingerprintsMd5Hof(c: Column, n: Int = 3, w: Int = 4): Column =
     let1(transform(shingles(c, n), s => md5(s)), hashes =>
       when(size(hashes) < w, array_sort(array_distinct(hashes)))
         .otherwise(array_sort(array_distinct(

@@ -187,7 +187,7 @@ object ScaleProbe {
       d.count(); d
     }
     val w = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("sh"))
-    val prefix = timed("prefix rank+filter materialize") {
+    val prefixWindow = timed("prefix rank (r14 window form)") {
       val p = idx.join(dfreq, "sh")
         .withColumn("rk", row_number().over(w))
         .join(sizes, "id")
@@ -198,8 +198,25 @@ object ScaleProbe {
         .localCheckpoint()
       p.count(); p
     }
+    val lCol = (size(col("ps")) -
+      floor(lit(threshold) * size(col("ps")) - lit(1e-6))).cast("int")
+    val prefix = timed("prefix rank (r15 array form)") {
+      val p = idx.join(dfreq, "sh")
+        .groupBy(col("id"))
+        .agg(collect_list(struct(col("dfreq"), col("sh"))).as("ps"))
+        .select(col("id"),
+          explode(slice(array_sort(col("ps")), lit(1), lCol)).as("p"))
+        .filter(col("p.dfreq") >= 2)
+        .select(col("id"), col("p.sh").as("sh"))
+        .localCheckpoint()
+      p.count(); p
+    }
     val nPrefix = prefix.count()
-    val cands = timed("candidate self-join materialize") {
+    val nPrefixW = prefixWindow.count()
+    println(s"[probe]   prefix rows: window=$nPrefixW array=$nPrefix " +
+      s"(must be equal)")
+    // r14 candidate stage: plain self-join + distinct
+    val cands = timed("candidate self-join (r14 distinct)") {
       val c = prefix.select(col("sh"), col("id").as("id_a"))
         .join(prefix.select(col("sh"), col("id").as("id_b")), "sh")
         .filter(col("id_a") < col("id_b"))
@@ -208,14 +225,177 @@ object ScaleProbe {
       c.count(); c
     }
     val nCands = cands.count()
-    val nVer = timed("verify") {
+    // r15 candidate stage: ppjoin positional filter at the first
+    // shared prefix element (see ngramJaccardPairsPrefix)
+    val prefixPos = idx.join(dfreq, "sh")
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("dfreq"), col("sh"))).as("ps"))
+      .select(col("id"), size(col("ps")).cast("long").as("sz"),
+        posexplode(slice(array_sort(col("ps")), lit(1),
+          (size(col("ps")) -
+            floor(lit(threshold) * size(col("ps")) - lit(1e-6))).cast("int"))))
+      .filter(col("col.dfreq") >= 2)
+      .select(col("id"), col("col.sh").as("sh"),
+        (col("pos") + 1).cast("long").as("p"), col("sz"))
+      .localCheckpoint()
+    val candsPos = timed("candidate self-join (r15 positional)") {
+      val needOverlap = ceil(
+        lit(threshold / (1.0 + threshold)) * (col("m.sz_a") + col("m.sz_b"))
+          - lit(1e-6))
+      val c = prefixPos
+        .select(col("sh"), col("id").as("id_a"), col("p").as("p_a"),
+          col("sz").as("sz_a"))
+        .join(prefixPos.select(col("sh"), col("id").as("id_b"),
+          col("p").as("p_b"), col("sz").as("sz_b")), "sh")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(min(struct(col("p_a"), col("p_b"),
+          col("sz_a"), col("sz_b"))).as("m"))
+        .filter(lit(1L) + least(col("m.sz_a") - col("m.p_a"),
+          col("m.sz_b") - col("m.p_b")) >= needOverlap)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      c.count(); c
+    }
+    val nCandsPos = candsPos.count()
+    val nVer = timed("verify (r15 positional cands)") {
+      ScaleDedup.verifyJaccardSets(candsPos, sets, threshold).count()
+    }
+    val nVerOld = timed("verify (r14 distinct cands)") {
       ScaleDedup.verifyJaccardSets(cands, sets, threshold).count()
     }
     println(s"[probe]   rows: idx=$nIdx dfreq=${dfreq.count()} " +
-      s"prefix=$nPrefix cands=$nCands verified=$nVer")
+      s"prefix=$nPrefix cands=$nCands candsPos=$nCandsPos " +
+      s"verified=$nVer verifiedOld=$nVerOld (must be equal)")
     timed("prefix query (as benched)") {
       graft.SparkEntry.queries("dedup_ngram_jaccard_prefix")(spark, dir)
         .write.format("noop").mode("overwrite").save()
+    }
+  }
+
+  /** Per-stage forensics for the winnow pair path (r15): fingerprint
+    * arrays, doc-frequency keep-list, capped self-join — timed apart
+    * with row counts. args: `winnow <dir> [<dir2> ...]`.
+    */
+  private def probeWinnow(spark: SparkSession, dir: String): Unit = {
+    import graft.text.TextAnalysis
+    println(s"[probe] === winnow $dir ===")
+    val docs = ScaleDedupQueries.withNearDups(spark, dir)
+    val fps = timed("fingerprints materialize") {
+      val f = docs.select(col("doc_id").as("id"),
+          TextAnalysis.winnowFingerprintsMd5(col("text"), 3, 4).as("fps"))
+        .localCheckpoint()
+      f.count(); f
+    }
+    val idx = fps.select(col("id"), explode(col("fps")).as("fp"))
+    val nIdx = timed("idx count")(idx.count())
+    val keep = timed("dfreq keep-list materialize") {
+      val k = idx.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 1000 && col("df") >= 2).select(col("fp"))
+        .localCheckpoint()
+      k.count(); k
+    }
+    val nKeep = keep.count()
+    val nPairs = timed("capped self-join + pair agg") {
+      val capped = idx.join(keep, Seq("fp"), "left_semi")
+      capped.select(col("fp"), col("id").as("id_a"))
+        .join(capped.select(col("fp"), col("id").as("id_b")), "fp")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+        .filter(col("n_shared") >= 5).count()
+    }
+    println(s"[probe]   rows: idx=$nIdx keep=$nKeep pairs=$nPairs")
+    timed("winnow query (as benched)") {
+      graft.SparkEntry.queries("dedup_winnow_pairs")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+  }
+
+  /** Per-stage forensics for the banded-minhash auto paths (r15):
+    * doc-set frame, signature+band hashes at the tier's rung, band
+    * self-join, exact verify. args: `bandauto <dir> [<dir2> ...]`.
+    */
+  private def probeBandauto(spark: SparkSession, dir: String): Unit = {
+    println(s"[probe] === bandauto $dir ===")
+    val docs = ScaleDedupQueries.withNearDups(spark, dir)
+    val nDocs = timed("docs.count")(docs.count())
+    val (rows, bands, k) = ScaleDedup.bandPlanAuto(0.6, 1e-6, nDocs)
+    println(s"[probe]   rung: rows=$rows bands=$bands k=$k (nDocs=$nDocs)")
+    val sets = timed("docSets materialize") {
+      val s0 = ScaleDedup.docShingleSets(docs, "doc_id", "text", 3).localCheckpoint()
+      s0.count(); s0
+    }
+    val bh = timed("signatures+band hashes materialize") {
+      val b = ScaleDedup.bandHashesOfSets(sets, k, bands).localCheckpoint()
+      b.count(); b
+    }
+    val nBh = bh.count()
+    val cands = timed("band self-join materialize") {
+      val c = bh.select(col("band"), col("band_hash"), col("id").as("id_a"))
+        .join(bh.select(col("band"), col("band_hash"), col("id").as("id_b")),
+          Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct().localCheckpoint()
+      c.count(); c
+    }
+    val nCands = cands.count()
+    val nVer = timed("verify") {
+      ScaleDedup.verifyJaccardSets(cands, sets, 0.6).count()
+    }
+    println(s"[probe]   rows: bandHashes=$nBh cands=$nCands verified=$nVer")
+    timed("bandauto query (as benched)") {
+      graft.SparkEntry.queries("dedup_minhash_bandauto")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+  }
+
+  /** Write explain("formatted") of the PREFIX-FRAME construction
+    * (which the query's localCheckpoint hides from the whole-query
+    * explain) in both the r14 window form and the r15 array form —
+    * the committable plan evidence for the stage the optimization
+    * actually changed. args: `prefixplan <outDir> [<sfDir>]`.
+    */
+  private def prefixPlans(spark: SparkSession, outDir: String, dir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val threshold = 0.5
+    val docs = ScaleDedupQueries.withNearDups(spark, dir)
+    val sets = ScaleDedup.docShingleSets(docs, "doc_id", "text", 3)
+    val idx = ScaleDedup.explodeSets(sets)
+    val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("sz"))
+    val dfreq = idx.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("sh"))
+    val windowForm = idx.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "id")
+      .filter(col("rk") <=
+        col("sz") - floor(lit(threshold) * col("sz") - lit(1e-6)))
+      .filter(col("dfreq") >= 2)
+      .select(col("id"), col("sh"))
+    val arrayForm = idx.join(dfreq, "sh")
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("dfreq"), col("sh"))).as("ps"))
+      .select(col("id"), size(col("ps")).cast("long").as("sz"),
+        posexplode(slice(array_sort(col("ps")), lit(1),
+          (size(col("ps")) -
+            floor(lit(threshold) * size(col("ps")) - lit(1e-6))).cast("int"))))
+      .filter(col("col.dfreq") >= 2)
+      .select(col("id"), col("col.sh").as("sh"),
+        (col("pos") + 1).cast("long").as("p"), col("sz"))
+    for ((tag, df) <- Seq(("before", windowForm), ("after", arrayForm))) {
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val lines = txt.split("\n")
+      val summary = s"== prefix-frame stage ($tag) @ $dir ==\n" +
+        s"Exchanges: ${lines.count(l => l.contains("Exchange") && !l.contains("Reuse"))}  " +
+        s"SMJ: ${lines.count(_.contains("SortMergeJoin"))}  " +
+        s"Sort: ${lines.count(_.contains(") Sort "))}  " +
+        s"Window: ${lines.count(_.contains(") Window"))}\n\n"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          s"$outDir/dedup_ngram_jaccard_prefix_stage_$tag.txt"),
+        summary + txt)
+      println(s"[probe] wrote $outDir/dedup_ngram_jaccard_prefix_stage_$tag.txt")
     }
   }
 
@@ -236,6 +416,11 @@ object ScaleProbe {
     else if (args.headOption.contains("spans")) args.drop(1).foreach(probeSpans(spark, _))
     else if (args.headOption.contains("authority")) args.drop(1).foreach(probeAuthority(spark, _))
     else if (args.headOption.contains("prefix")) args.drop(1).foreach(probePrefix(spark, _))
+    else if (args.headOption.contains("prefixplan"))
+      prefixPlans(spark, args(1),
+        if (args.length > 2) args(2) else "/root/testdata/sf0.1")
+    else if (args.headOption.contains("winnow")) args.drop(1).foreach(probeWinnow(spark, _))
+    else if (args.headOption.contains("bandauto")) args.drop(1).foreach(probeBandauto(spark, _))
     else dirs.foreach(probe(spark, _))
     spark.stop()
   }

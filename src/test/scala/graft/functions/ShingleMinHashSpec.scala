@@ -47,6 +47,46 @@ class ShingleMinHashSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow_md5 == the interpreted md5 winnowing chain (r15)") {
+    for (df <- Seq(adversarial, corpus); (n, w) <- Seq((3, 4), (2, 7))) {
+      val both = df.select(
+        col("doc_id"),
+        TextAnalysis.winnowFingerprintsMd5(col("text"), n, w).as("fast"),
+        TextAnalysis.winnowFingerprintsMd5Hof(col("text"), n, w).as("ref"))
+      val bad = both.filter(not(col("fast") <=> col("ref"))).count()
+      assert(bad === 0, s"winnow_md5 diverged on $bad rows at n=$n w=$w")
+    }
+  }
+
+  test("winnow_min_set == the array_min(slice) HOF tail (r15)") {
+    for (df <- Seq(adversarial, corpus); (n, w) <- Seq((3, 4), (2, 7))) {
+      val both = df.select(
+        col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text"), n, w).as("fast"),
+        TextAnalysis.winnowFingerprintsHof(col("text"), n, w).as("ref"))
+      val bad = both.filter(not(col("fast") <=> col("ref"))).count()
+      assert(bad === 0, s"winnow_min_set diverged on $bad rows at n=$n w=$w")
+    }
+  }
+
+  test("band_hashes == the xxhash64(band, concat_ws) HOF chain (r15)") {
+    import graft.dedup.ScaleDedup
+    for (df <- Seq(adversarial, corpus); (k, bands) <- Seq((64, 32), (171, 57))) {
+      val sigs = ScaleDedup
+        .minhashSignaturesOfSets(
+          ScaleDedup.docShingleSets(df, "doc_id", "text", 3), k)
+        .localCheckpoint()
+      val fast = ScaleDedup.bandExplode(sigs, k, bands)
+      val ref = ScaleDedup.bandExplodeHof(sigs, k, bands)
+      val joined = fast.withColumnRenamed("band_hash", "fast_bh")
+        .join(ref.withColumnRenamed("band_hash", "ref_bh"),
+          Seq("id", "band"), "full")
+      val bad = joined
+        .filter(not(col("fast_bh") <=> col("ref_bh"))).count()
+      assert(bad === 0, s"band_hashes diverged on $bad rows at k=$k bands=$bands")
+    }
+  }
+
   test("minhash_sig == per-slot min(xxhash64(lit(i), sh)) aggregate") {
     for (k <- Seq(16, 64, 171)) {
       val idx = graft.dedup.ScaleDedup.shingleIndex(corpus, "doc_id", "text", 3)
@@ -129,6 +169,19 @@ class ShingleMinHashSpec extends AnyFunSuite {
     val joined = ref.join(fast, "vec_id")
     assert(joined.count() === 400)
     assert(joined.filter(col("ref_cid") =!= col("fast_cid")).count() === 0)
+  }
+
+  test("ivfAssign: empty centroid frame yields an empty assignment (r15)") {
+    import graft.similarity.Knn
+    val emb = graft.Tables.embeddings(spark, TestSpark.SfDir).limit(10)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+    val empty = emb.filter(lit(false))
+      .select(monotonically_increasing_id().as("cid"),
+        col("embedding").as("c_emb"))
+    // the r13 crossJoin form returned empty here; the literal-argmax
+    // expression would throw — the fallback must route around it
+    assert(Knn.ivfAssign(emb, empty).count() === 0)
   }
 
   test("centroid_argmin_l2 == crossJoin + round-6 d2 + rank-1 window assignment") {
