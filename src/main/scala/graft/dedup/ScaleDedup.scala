@@ -199,10 +199,15 @@ object ScaleDedup {
     // — sizes become size(shs), a projection instead of a groupBy
     // exchange over the whole index.
     val sets = docShingleSets(df, idCol, textCol, n).localCheckpoint()
-    val idx = explodeSets(sets)
-    // sizes come from the FULL index — the cap drops hot shingles from
-    // intersection counting only, exactly like ngramJaccardPairs.
-    val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("sz"))
+    // r15: each index row CARRIES its doc's full set size (8 bytes) —
+    // the per-pair sizes then fall out of the intersection-count
+    // aggregate (min(sz) — constant per doc, so the partial aggregate
+    // combines it for free), removing BOTH pair-scale sizes joins the
+    // r14 shape paid (each re-shuffled the pair table by one id side
+    // at corpus scale). Sizes are computed BEFORE the cap, so the cap
+    // still drops hot shingles from intersection counting only.
+    val idx = sets.select(col("id"),
+      size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("sh"))
     // r14: the survivor list is the shingles with 2 <= df (<= cap) —
     // a df = 1 shingle self-joins only with itself (dropped by the
     // id_a < id_b filter), so pruning it BEFORE the self-join is
@@ -213,14 +218,13 @@ object ScaleDedup {
     val keep = (if (maxDocFreq > 0) df0.filter(col("df") <= maxDocFreq) else df0)
       .filter(col("df") >= 2).select(col("sh"))
     val capped = idx.join(keep, Seq("sh"), "left_semi")
-    val inter = capped.select(col("sh"), col("id").as("id_a"))
-      .join(capped.select(col("sh"), col("id").as("id_b")), "sh")
+    capped.select(col("sh"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(capped.select(col("sh"), col("id").as("id_b"), col("sz").as("sz_b")),
+        "sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .agg(count(lit(1)).as("inter"),
+        min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 6))
@@ -336,22 +340,23 @@ object ScaleDedup {
       n: Int = 3, threshold: Double = 0.9,
       maxDocFreq: Long = 1000): DataFrame = {
     val sets = docShingleSets(df, idCol, textCol, n).localCheckpoint()
-    val idx = explodeSets(sets)
-    val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("sz"))
+    // r15: sizes ride the index rows through the self-join (see
+    // ngramJaccardPairsSelfJoin) — both pair-scale sizes joins gone.
+    val idx = sets.select(col("id"),
+      size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("sh"))
     // keep-list of 2 <= df (<= cap): lossless self-join pre-filter, see
     // ngramJaccardPairsSelfJoin
     val df0 = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val keep = (if (maxDocFreq > 0) df0.filter(col("df") <= maxDocFreq) else df0)
       .filter(col("df") >= 2).select(col("sh"))
     val capped = idx.join(keep, Seq("sh"), "left_semi")
-    val inter = capped.select(col("sh"), col("id").as("id_a"))
-      .join(capped.select(col("sh"), col("id").as("id_b")), "sh")
+    capped.select(col("sh"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(capped.select(col("sh"), col("id").as("id_b"), col("sz").as("sz_b")),
+        "sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .agg(count(lit(1)).as("inter"),
+        min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
       .select(explode(array(
         struct(col("id_a").as("id_sub"), col("id_b").as("id_super"),
           round(col("inter").cast("double") / col("sz_a"), 6).as("containment")),
@@ -650,9 +655,14 @@ object ScaleDedup {
     // ONE pair of set joins attaches size AND (small) array per side —
     // the r13 shape paid two separate joins per side (sizes, then
     // sets). Arrays above the skew gate are nulled IN the join's fused
-    // projection, so the checkpointed pair rows never carry a giant
-    // array (the original gate rationale) while small pairs keep
-    // everything the verify needs.
+    // projection (the original gate rationale). r15: the small-branch
+    // merge-intersect is ALSO computed inside that fused projection,
+    // so the checkpointed pair rows carry five scalars and never an
+    // array — at the sf1 prefix tier the pinned bytes drop from two
+    // ~88-element long arrays per pair (~1 GB across 668k pairs) to
+    // ~40 B/pair (guide §2.3: pin/shuffle derived scalars, not
+    // payloads). inter_sm is null exactly when either side's set
+    // exceeds the gate — the branch predicate the filters below read.
     def side(suffix: String): DataFrame = sets.select(
       col("id").as(s"id_$suffix"),
       size(col("shs")).cast("long").as(s"sz_$suffix"),
@@ -660,23 +670,24 @@ object ScaleDedup {
     val cand = candidates.select(col("id_a"), col("id_b"))
       .join(side("a"), "id_a")
       .join(side("b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        // sorted-set linear-merge intersect — equals
+        // size(array_intersect(...)) on the doc-set frame's canonical
+        // arrays, without per-row hash-set builds (pinned by spec)
+        when(col("shs_a").isNotNull && col("shs_b").isNotNull,
+          graft.functions.GraftFunctions.sortedIntersectSize(
+            col("shs_a"), col("shs_b")).cast("long")).as("inter_sm"))
       .localCheckpoint()
     def jaccardOf(inter: Column, szA: Column, szB: Column): Column =
       round(inter.cast("double") / (szA + szB - inter), 6)
 
-    // sorted-set linear-merge intersect — equals
-    // size(array_intersect(...)) on the doc-set frame's canonical
-    // arrays, without per-row hash-set builds (pinned by spec)
     val small = cand
-      .filter(col("shs_a").isNotNull && col("shs_b").isNotNull)
-      .withColumn("inter",
-        graft.functions.GraftFunctions.sortedIntersectSize(
-          col("shs_a"), col("shs_b")).cast("long"))
+      .filter(col("inter_sm").isNotNull)
       .select(col("id_a"), col("id_b"),
-        jaccardOf(col("inter"), col("sz_a"), col("sz_b")).as("jaccard"))
+        jaccardOf(col("inter_sm"), col("sz_a"), col("sz_b")).as("jaccard"))
 
     val largePairs = cand
-      .filter(col("shs_a").isNull || col("shs_b").isNull)
+      .filter(col("inter_sm").isNull)
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
     val idx = explodeSets(sets)
     val largeInter = largePairs.select(col("id_a"), col("id_b"))

@@ -399,6 +399,39 @@ object ScaleProbe {
     }
   }
 
+  /** Decompose the doc-set frame build (the stage every dedup query
+    * pays first): scan, tokenize, shingle-hash, sorted-set, checkpoint
+    * write. args: `docsets <dir> [<dir2> ...]`.
+    */
+  private def probeDocsets(spark: SparkSession, dir: String): Unit = {
+    import graft.text.TextAnalysis
+    println(s"[probe] === docsets $dir ===")
+    val docs = ScaleDedupQueries.withNearDups(spark, dir)
+    timed("scan only (noop)") {
+      docs.select(col("doc_id"), col("text"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("+ tokens (noop)") {
+      docs.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("tk"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("+ shingle hashes (noop)") {
+      docs.select(col("doc_id"),
+          graft.functions.GraftFunctions.shingleHashes(
+            TextAnalysis.tokens(col("text")), 3).as("hs"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("+ sorted set (noop)") {
+      ScaleDedup.docShingleSets(docs, "doc_id", "text", 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("full: sets localCheckpoint") {
+      ScaleDedup.docShingleSets(docs, "doc_id", "text", 3)
+        .localCheckpoint().count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -419,6 +452,7 @@ object ScaleProbe {
     else if (args.headOption.contains("prefixplan"))
       prefixPlans(spark, args(1),
         if (args.length > 2) args(2) else "/root/testdata/sf0.1")
+    else if (args.headOption.contains("docsets")) args.drop(1).foreach(probeDocsets(spark, _))
     else if (args.headOption.contains("winnow")) args.drop(1).foreach(probeWinnow(spark, _))
     else if (args.headOption.contains("bandauto")) args.drop(1).foreach(probeBandauto(spark, _))
     else dirs.foreach(probe(spark, _))
