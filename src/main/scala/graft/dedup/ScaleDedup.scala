@@ -318,7 +318,13 @@ object ScaleDedup {
     val needOverlap = ceil(
       lit(threshold / (1.0 + threshold)) * (col("m.sz_a") + col("m.sz_b"))
         - lit(1e-6))
+    // length filter (same paper, same slack idiom): J <= min/max of the
+    // set sizes, so J >= t needs min >= t·max — scalars already in m,
+    // one more conjunct, zero added plan cost
     val cands = firstShared
+      .filter(least(col("m.sz_a"), col("m.sz_b")) >=
+        ceil(lit(threshold) * greatest(col("m.sz_a"), col("m.sz_b"))
+          - lit(1e-6)))
       .filter(lit(1L) + least(col("m.sz_a") - col("m.p_a"),
         col("m.sz_b") - col("m.p_b")) >= needOverlap)
       .select(col("id_a"), col("id_b"))

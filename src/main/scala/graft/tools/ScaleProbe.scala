@@ -251,6 +251,9 @@ object ScaleProbe {
         .groupBy(col("id_a"), col("id_b"))
         .agg(min(struct(col("p_a"), col("p_b"),
           col("sz_a"), col("sz_b"))).as("m"))
+        .filter(least(col("m.sz_a"), col("m.sz_b")) >=
+          ceil(lit(threshold) * greatest(col("m.sz_a"), col("m.sz_b"))
+            - lit(1e-6)))
         .filter(lit(1L) + least(col("m.sz_a") - col("m.p_a"),
           col("m.sz_b") - col("m.p_b")) >= needOverlap)
         .select(col("id_a"), col("id_b"))
