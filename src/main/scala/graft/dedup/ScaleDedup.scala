@@ -938,6 +938,15 @@ object ScaleDedup {
     bandSelfJoin(bandHashesOfSets(sets, k, bands))
 
   private def bandSelfJoin(banded: DataFrame): DataFrame = {
+    // r15 investigated-and-rejected: pre-repartitioning by
+    // (band, band_hash) so the two sides share one exchange
+    // (guide §2.4) does NOT pay here — at every benchable tier the
+    // planner broadcasts one side (the band frame is checkpoint-sized,
+    // no shuffle exists to share; the optimizer then drops the
+    // repartition), and with broadcast forced off the repartition form
+    // measured 2.5× SLOWER than this aliased form with no
+    // ReusedExchange materializing (`ScaleProbe bandreuse`, identical
+    // 44,741-pair output). Keep the plain aliased self-join.
     val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     l.join(r, Seq("band", "band_hash"))

@@ -71,6 +71,8 @@ object PlanDump {
           s"joins: bhj=${c("BroadcastHashJoin")} smj=${c("SortMergeJoin")} " +
           s"shj=${c("ShuffledHashJoin")} bnl=${c("BroadcastNestedLoopJoin")} " +
           s"aqeShuffleReads=${c("AQEShuffleRead")} " +
+          s"reusedExchanges=${c("ReusedExchange")} " +
+          s"exchanges=${c("Exchange")} " +
           s"final=${fin.contains("isFinalPlan=true")}")
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values

@@ -435,6 +435,51 @@ object ScaleProbe {
     }
   }
 
+  /** Evidence mode for the r15 bandSelfJoin single-shuffle form: with
+    * auto-broadcast disabled (forcing the SMJ shape the join takes at
+    * corpus scale), the second join side must plan as ReusedExchange
+    * over the repartition's shuffle — and the executed r15 form must
+    * produce the same candidate pairs as the r14 aliased form.
+    * args: `bandreuse <dir>`.
+    */
+  private def probeBandReuse(spark: SparkSession, dir: String): Unit = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = ScaleDedupQueries.withNearDups(spark, dir)
+      val sets = ScaleDedup.docShingleSets(docs, "doc_id", "text", 3)
+        .localCheckpoint()
+      val banded = ScaleDedup.bandHashesOfSets(sets, 64, 32).localCheckpoint()
+      // r15 shape (what bandSelfJoin ships): one repartition, aliased above
+      val part = banded.repartition(col("band"), col("band_hash"))
+      val r15 = part.select(col("band"), col("band_hash"), col("id").as("id_a"))
+        .join(part.select(col("band"), col("band_hash"), col("id").as("id_b")),
+          Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val plan = r15.queryExecution.executedPlan.toString
+      val nReuse = plan.split("\n").count(_.contains("ReusedExchange"))
+      val nEx = plan.split("\n").count(l =>
+        l.contains("Exchange") && !l.contains("Reused"))
+      println(s"[probe] bandreuse (broadcast off): exchanges=$nEx " +
+        s"reusedExchanges=$nReuse")
+      // r14 shape: aliased projections, two independent exchanges
+      val l14 = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      val r14 = l14.join(
+          banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
+          Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val p14 = r14.queryExecution.executedPlan.toString
+      println(s"[probe] bandreuse r14 control: exchanges=${p14.split("\n")
+        .count(l => l.contains("Exchange") && !l.contains("Reused"))} " +
+        s"reusedExchanges=${p14.split("\n").count(_.contains("ReusedExchange"))}")
+      val n15 = timed("r15 single-shuffle form")(r15.count())
+      val n14 = timed("r14 two-exchange form")(r14.count())
+      println(s"[probe] bandreuse rows: r15=$n15 r14=$n14 (must be equal)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -455,6 +500,7 @@ object ScaleProbe {
     else if (args.headOption.contains("prefixplan"))
       prefixPlans(spark, args(1),
         if (args.length > 2) args(2) else "/root/testdata/sf0.1")
+    else if (args.headOption.contains("bandreuse")) args.drop(1).foreach(probeBandReuse(spark, _))
     else if (args.headOption.contains("docsets")) args.drop(1).foreach(probeDocsets(spark, _))
     else if (args.headOption.contains("winnow")) args.drop(1).foreach(probeWinnow(spark, _))
     else if (args.headOption.contains("bandauto")) args.drop(1).foreach(probeBandauto(spark, _))
