@@ -292,41 +292,52 @@ object ScaleDedup {
         (col("pos") + 1).cast("long").as("p"), col("sz"))
       .localCheckpoint()
     // r15: ppjoin POSITIONAL filter (Xiao/Wang/Lin/Yu WWW'08), lossless
-    // by the same family of arguments as the prefix filter itself. Per
-    // candidate pair, take the FIRST shared prefix element under the
-    // global (dfreq, sh) order — position is monotone in that order
-    // within every doc, so min(struct(p_a, p_b)) picks it, and it
-    // always survives the dfreq >= 2 row filter (an element shared by
-    // two docs has dfreq >= 2). Every common element ranks at or after
-    // it in BOTH docs, so |A∩B| <= 1 + min(sz_a − p_a, sz_b − p_b);
+    // by the same family of arguments as the prefix filter itself —
+    // the FULL accumulation form (r15b; the first cut used only the
+    // FIRST shared element's bound, which this strictly dominates).
+    // Position is monotone in the global (dfreq, sh) order within
+    // every doc, so over a pair's shared prefix elements: cnt counts
+    // them, and max(p_a) / max(p_b) are the two positions of the SAME
+    // element — the LAST shared one, e*. Every common element of the
+    // full sets ranked <= e* is in both prefixes (its positions are
+    // <= the prefix cuts that admit e*), so there are exactly cnt of
+    // those; common elements ranked > e* occupy positions > max(p) on
+    // each side, so there are <= min(sz_a − max_pa, sz_b − max_pb).
+    // Hence |A∩B| <= cnt + min(sz_a − max_pa, sz_b − max_pb) — and
+    // since shared positions are distinct and increasing,
+    // max_p >= first_p + cnt − 1, which makes this bound <= the
+    // first-element bound 1 + min(sz − first_p) on every pair: a
+    // strictly tighter lossless cut for the same aggregate exchange.
     // J >= t needs |A∩B| >= t/(1+t)·(sz_a + sz_b), so pairs whose
     // upper bound falls short cannot qualify and are dropped BEFORE
     // the verify joins (which at corpus scale carry the set arrays).
     // The 1e-6 slack mirrors the prefix-length guard: a one-ulp drift
     // can only LOWER the required-overlap estimate, keeping extra
-    // pairs — never dropping a qualifying one. The min-aggregate rides
-    // the same exchange the r14 .distinct() paid.
-    val firstShared = prefix
+    // pairs — never dropping a qualifying one. Sizes are constant per
+    // doc, so min() reads them off the aggregate for free; everything
+    // rides the exchange the r14 .distinct() already paid.
+    val shared = prefix
       .select(col("sh"), col("id").as("id_a"), col("p").as("p_a"),
         col("sz").as("sz_a"))
       .join(prefix.select(col("sh"), col("id").as("id_b"),
         col("p").as("p_b"), col("sz").as("sz_b")), "sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(min(struct(col("p_a"), col("p_b"),
-        col("sz_a"), col("sz_b"))).as("m"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("p_a")).as("mpa"), max(col("p_b")).as("mpb"),
+        min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
     val needOverlap = ceil(
-      lit(threshold / (1.0 + threshold)) * (col("m.sz_a") + col("m.sz_b"))
+      lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b"))
         - lit(1e-6))
     // length filter (same paper, same slack idiom): J <= min/max of the
-    // set sizes, so J >= t needs min >= t·max — scalars already in m,
-    // one more conjunct, zero added plan cost
-    val cands = firstShared
-      .filter(least(col("m.sz_a"), col("m.sz_b")) >=
-        ceil(lit(threshold) * greatest(col("m.sz_a"), col("m.sz_b"))
+    // set sizes, so J >= t needs min >= t·max — scalars already in the
+    // aggregate, one more conjunct, zero added plan cost
+    val cands = shared
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        ceil(lit(threshold) * greatest(col("sz_a"), col("sz_b"))
           - lit(1e-6)))
-      .filter(lit(1L) + least(col("m.sz_a") - col("m.p_a"),
-        col("m.sz_b") - col("m.p_b")) >= needOverlap)
+      .filter(col("cnt") + least(col("sz_a") - col("mpa"),
+        col("sz_b") - col("mpb")) >= needOverlap)
       .select(col("id_a"), col("id_b"))
     verifyJaccardSets(cands, sets, threshold)
   }

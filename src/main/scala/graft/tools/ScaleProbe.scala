@@ -261,7 +261,37 @@ object ScaleProbe {
       c.count(); c
     }
     val nCandsPos = candsPos.count()
-    val nVer = timed("verify (r15 positional cands)") {
+    // r15b candidate stage: FULL ppjoin accumulation (count of shared
+    // prefix elements + last shared positions — strictly tighter than
+    // the first-element bound; see ngramJaccardPairsPrefix)
+    val candsAcc = timed("candidate self-join (r15b accumulation)") {
+      val needOverlap = ceil(
+        lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b"))
+          - lit(1e-6))
+      val c = prefixPos
+        .select(col("sh"), col("id").as("id_a"), col("p").as("p_a"),
+          col("sz").as("sz_a"))
+        .join(prefixPos.select(col("sh"), col("id").as("id_b"),
+          col("p").as("p_b"), col("sz").as("sz_b")), "sh")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("cnt"),
+          max(col("p_a")).as("mpa"), max(col("p_b")).as("mpb"),
+          min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
+        .filter(least(col("sz_a"), col("sz_b")) >=
+          ceil(lit(threshold) * greatest(col("sz_a"), col("sz_b"))
+            - lit(1e-6)))
+        .filter(col("cnt") + least(col("sz_a") - col("mpa"),
+          col("sz_b") - col("mpb")) >= needOverlap)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      c.count(); c
+    }
+    val nCandsAcc = candsAcc.count()
+    val nVer = timed("verify (r15b accumulation cands)") {
+      ScaleDedup.verifyJaccardSets(candsAcc, sets, threshold).count()
+    }
+    val nVerPos = timed("verify (r15 positional cands)") {
       ScaleDedup.verifyJaccardSets(candsPos, sets, threshold).count()
     }
     val nVerOld = timed("verify (r14 distinct cands)") {
@@ -269,7 +299,8 @@ object ScaleProbe {
     }
     println(s"[probe]   rows: idx=$nIdx dfreq=${dfreq.count()} " +
       s"prefix=$nPrefix cands=$nCands candsPos=$nCandsPos " +
-      s"verified=$nVer verifiedOld=$nVerOld (must be equal)")
+      s"candsAcc=$nCandsAcc " +
+      s"verified=$nVer verifiedPos=$nVerPos verifiedOld=$nVerOld (must be equal)")
     timed("prefix query (as benched)") {
       graft.SparkEntry.queries("dedup_ngram_jaccard_prefix")(spark, dir)
         .write.format("noop").mode("overwrite").save()
