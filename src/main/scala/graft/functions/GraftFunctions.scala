@@ -57,6 +57,13 @@ object GraftFunctions {
   def shingleHashes(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), n))
 
+  /** `ws_split(c)` — whitespace tokenization as one codegen'd byte
+    * scan (bit-parity with `split(c, "\\s+")`, whose String.split
+    * route recompiles the regex per row).
+    */
+  def wsSplit(c: Column): Column =
+    ColumnBridge.column(WsSplit(ColumnBridge.expression(c)))
+
   /** `minhash_sig(shs, k)` — the k-slot MinHash signature of a hashed-
     * shingle array in one codegen'd pass with precomputed slot seeds
     * (bit-parity with `array_i(min(xxhash64(lit(i), sh)))`).

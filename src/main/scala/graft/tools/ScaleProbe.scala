@@ -466,6 +466,42 @@ object ScaleProbe {
     }
   }
 
+  /** A/B of the regex tokenizer vs the codegen'd byte-scan ws_split
+    * (r15b): the shared per-row constant of every tokenizing query.
+    * args: `tokenize <dir> [<dir2> ...]`.
+    */
+  private def probeTokenize(spark: SparkSession, dir: String): Unit = {
+    import graft.functions.GraftFunctions
+    println(s"[probe] === tokenize $dir ===")
+    val docs = ScaleDedupQueries.withNearDups(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    println(s"[probe]   docs=${docs.count()}")
+    def splitForm = docs.select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("tk"))
+    def wsForm = docs.select(col("doc_id"),
+      GraftFunctions.wsSplit(lower(trim(col("text")))).as("tk"))
+    for (trial <- 1 to 3) {
+      timed(s"split regex tokens (noop) #$trial") {
+        splitForm.write.format("noop").mode("overwrite").save()
+      }
+      timed(s"ws_split tokens  (noop) #$trial") {
+        wsForm.write.format("noop").mode("overwrite").save()
+      }
+      timed(s"split -> shingle sets (noop) #$trial") {
+        docs.select(col("doc_id"),
+            GraftFunctions.longSortedSet(GraftFunctions.shingleHashes(
+              split(lower(trim(col("text"))), "\\s+"), 3)).as("shs"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed(s"ws    -> shingle sets (noop) #$trial") {
+        docs.select(col("doc_id"),
+            GraftFunctions.longSortedSet(GraftFunctions.shingleHashes(
+              GraftFunctions.wsSplit(lower(trim(col("text")))), 3)).as("shs"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+  }
+
   /** Evidence mode for the r15 bandSelfJoin single-shuffle form: with
     * auto-broadcast disabled (forcing the SMJ shape the join takes at
     * corpus scale), the second join side must plan as ReusedExchange
@@ -533,6 +569,7 @@ object ScaleProbe {
         if (args.length > 2) args(2) else "/root/testdata/sf0.1")
     else if (args.headOption.contains("bandreuse")) args.drop(1).foreach(probeBandReuse(spark, _))
     else if (args.headOption.contains("docsets")) args.drop(1).foreach(probeDocsets(spark, _))
+    else if (args.headOption.contains("tokenize")) args.drop(1).foreach(probeTokenize(spark, _))
     else if (args.headOption.contains("winnow")) args.drop(1).foreach(probeWinnow(spark, _))
     else if (args.headOption.contains("bandauto")) args.drop(1).foreach(probeBandauto(spark, _))
     else dirs.foreach(probe(spark, _))
